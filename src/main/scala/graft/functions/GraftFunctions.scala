@@ -1,13 +1,37 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-/** Registration point for graft's custom Catalyst expressions, so they are
-  * callable from SQL (`expr("cosine_sim(a, b)")`) as well as the Column API.
+/** SQL registration for graft's custom Catalyst expressions, so the same
+  * operators are reachable from `spark.sql` text as from the Column API —
+  * the registry the reference's name-keyed function nodes implied but never
+  * shipped (/root/reference/src/planner/logicalplan.rs:64-80).
   * Idempotent; safe to call per-query on a shared session.
   */
 object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
-    // Filled in as custom expressions land (cosine_sim, minhash_sig, ...).
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming64",
+      exprs => HammingDistance64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      exprs => Fingerprint64(exprs(0), 42L), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0), 42L), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSignature(exprs(0), intArg(exprs(1), "k"), 42L), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs(0),
+        intArg(exprs(1), "k"), intArg(exprs(2), "w"), 42L), "built-in")
   }
 }

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared 64-bit hashing helpers for the dedup/fingerprint expressions.
+  *
+  * Everything is seeded xxHash64 (Spark's own XXH64 implementation) plus
+  * splitmix64-derived universal-hash coefficients — standard public
+  * constructions (Broder '97 minwise hashing; Charikar '02 simhash).
+  */
+private[graft] object Hashing64 {
+  def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** splitmix64 — deterministic stream of well-mixed 64-bit constants. */
+  def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: array of k minwise hashes over a token array.
+  *
+  * One xxHash64 per token, then k universal-hash rotations
+  * (g_i(h) = a_i*h + b_i) — O(tokens + k*tokens cheap multiplies), not k
+  * full rehashes. Each signature slot is the min over tokens, so the
+  * collision probability of slot i between two documents equals their
+  * Jaccard similarity — the estimator LSH banding builds on.
+  *
+  * North-star operator; no trace in the reference (SURVEY.md §2.4-2.10:
+  * no functions exist, logicalplan.rs:64-71).
+  */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => Hashing64.splitmix(seed + 2L * i) | 1L) // odd multiplier
+  private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => Hashing64.splitmix(seed + 2L * i + 1))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = Hashing64.hashUtf8(arr.getUTF8String(j), seed)
+        var i = 0
+        while (i < k) {
+          val g = as(i) * h + bs(i)
+          if (g < mins(i)) mins(i) = g
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a token array (Charikar '02): per-token 64-bit hash,
+  * signed bit-vote accumulation, sign -> bit. Documents within small Hamming
+  * distance are near-duplicates.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = Hashing64.hashUtf8(arr.getUTF8String(j), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two 64-bit hashes — codegen'd to a single
+  * Long.bitCount, so simhash near-dup joins stay inside whole-stage codegen.
+  */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Whole-document 64-bit fingerprint: xxHash64 of the UTF-8 bytes. */
+case class Fingerprint64(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Hashing64.hashUtf8(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.XXH64" +
+        s".hashUTF8String($c, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD '03): rolling
+  * k-gram hashes over the character stream, minimum per window of w,
+  * deduplicated + sorted. The canonical local-fingerprint set for
+  * plagiarism/near-dup detection; emitted as array<long> so set overlap is
+  * a plain array_intersect.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = seed
+      var j = 0
+      while (j < k) { h = (h ^ bytes(i + j)) * 0x100000001b3L; j += 1 }
+      grams(i) = Hashing64.splitmix(h)
+      i += 1
+    }
+    // min per sliding window of w
+    val out = scala.collection.mutable.TreeSet.empty[Long]
+    var s = 0
+    val lastStart = math.max(0, m - w)
+    while (s <= lastStart) {
+      var best = Long.MaxValue
+      var j = s
+      val end = math.min(s + w, m)
+      while (j < end) { if (grams(j) < best) best = grams(j); j += 1 }
+      out += best
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column-API surface for graft's custom Catalyst expressions — the
+  * registry-shaped extension point the reference declared but never filled
+  * (`ScalarFunction{name, args, return_type}` with no registry,
+  * /root/reference/src/planner/logicalplan.rs:64-71).
+  */
+package object functions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(col)
+
+  /** Cosine similarity of two array<float|double> vectors (codegen'd). */
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** Dot product of two array<float|double> vectors (codegen'd). */
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+
+  /** k-slot MinHash signature over array<string> tokens. */
+  def minhash_sig(tokens: Column, k: Int, seed: Long = 42L): Column =
+    c(MinHashSignature(e(tokens), k, seed))
+
+  /** 64-bit SimHash over array<string> tokens. */
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    c(SimHash64(e(tokens), seed))
+
+  /** Hamming distance between two 64-bit hashes (codegen'd). */
+  def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
+
+  /** Whole-string 64-bit fingerprint (codegen'd). */
+  def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
+
+  /** Winnowing k-gram fingerprints (array<long>, sorted distinct). */
+  def winnow_fingerprints(s: Column, k: Int = 5, w: Int = 4, seed: Long = 42L): Column =
+    c(WinnowFingerprints(e(s), k, w, seed))
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for large-scale document corpora — north-star
+  * surface (no trace in the reference, whose algebra stops at
+  * scan/filter/project/sort/limit: /root/reference/src/planner/
+  * logicalplan.rs:207-273).
+  *
+  * Scale design: every path is shuffle-based group/join — no driver
+  * materialization. Exact dedup shuffles digests, not documents. Near-dedup
+  * is MinHash-LSH: candidates come from equi-joins on band hashes (shuffle
+  * on small keys), token sets are re-joined by id only for the final
+  * verification of the (few) candidate pairs, never carried through the
+  * banding explosion.
+  */
+object Dedup {
+
+  /** Whitespace tokens, lowercased — the default shingling for word-level
+    * Jaccard. Callers with other needs pass their own tokens column.
+    */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Set Jaccard over two token arrays (distinct semantics). Pure integer
+    * size arithmetic -> the division is bit-identical across engines.
+    */
+  def jaccard(ta: Column, tb: Column): Column = {
+    val inter = size(array_intersect(ta, tb))
+    val uni   = size(array_union(ta, tb))
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni)
+  }
+
+  /** Exact dedup by content digest: one row per distinct content with the
+    * smallest id kept ("first wins") and the copy count. Shuffles 32-byte
+    * digests + ids only — at 100 TB the documents themselves never move.
+    */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** All-pairs exact Jaccard >= threshold. O(n^2) verification baseline for
+    * the LSH path — correct at any size but only *runnable* at modest n;
+    * use [[minHashPairs]] beyond that.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, toksCol: Column,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), toksCol.as("toks_a"))
+    val b = df.select(col(idCol).as("id_b"), toksCol.as("toks_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Near-duplicate pairs via MinHash-LSH banding + exact verification.
+    *
+    * k minhash slots split into `bands` bands of r = k/bands rows; two
+    * documents land in the same bucket for band i iff their signatures
+    * agree on all r slots, so P(candidate) = 1-(1-j^r)^bands — with the
+    * default k=128, bands=64 (r=2), a pair at j=0.6 is missed with
+    * probability (1-0.36)^64 ~ 4e-13: the LSH+verify output equals the
+    * exact all-pairs answer with overwhelming probability, at shuffle cost
+    * O(n*bands) instead of O(n^2).
+    *
+    * Hot buckets (boilerplate shingles) are the skew risk at scale: AQE
+    * skew-join handles moderate cases; pathological corpora should raise
+    * `bands`' r or pre-filter stop-shingles.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, toksCol: Column,
+      threshold: Double, k: Int = 128, bands: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    val sig = base.select(col("id"), minhash_sig(col("toks"), k).as("sig"))
+    // band hash = xxhash64 over the band's slice of the signature, salted
+    // with the band index so bands hash independently.
+    val banded = sig.select(col("id"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
+      .as(Seq("band", "bh")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Near-duplicate pairs via 64-bit SimHash + chunk banding.
+    *
+    * The signature is split into `chunks` equal bit-chunks; by pigeonhole,
+    * any pair within Hamming distance < chunks shares at least one exact
+    * chunk, so equi-joining on (chunk index, chunk bits) finds all such
+    * pairs; candidates are then verified with the exact popcount. Default 8
+    * chunks of 8 bits guarantees recall for maxHamming <= 7.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, toksCol: Column,
+      maxHamming: Int = 7, chunks: Int = 8, seed: Long = 42L): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val base = df.select(col(idCol).as("id"), simhash64(toksCol, seed).as("sig"))
+    val banded = base.select(col("id"), col("sig"), posexplode(
+      expr(s"transform(sequence(0, ${chunks - 1}), " +
+        s"c -> shiftright(sig, c * $width) & ${mask}L)"))
+      .as(Seq("chunk", "bits")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate pairs by embedding cosine similarity — brute-force
+    * verification form (all pairs). The scale path buckets by random
+    * hyperplane LSH first (see [[Similarity.hyperplaneBuckets]]).
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
+}

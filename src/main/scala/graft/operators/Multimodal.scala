@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal payload plumbing: opaque binary content + typed metadata,
+  * with per-partition batched "decode" — the Spark-side shape of an
+  * image/audio feature-extraction stage. North-star surface.
+  *
+  * The decode itself is a STUB: this container has no codec libraries, so
+  * [[decodeFeatures]] computes deterministic byte-level statistics standing
+  * in for a real JPEG/PNG/audio decode. Everything around it — the binary
+  * column, metadata struct, partition-batched iteration, feature schema —
+  * is the real production plumbing: swap `fakeDecode` for a JNI/codec call
+  * and nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, content: Array[Byte], fmt: String, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
+      mean_byte: Double, n_segments: Int)
+
+  /** Pack a text column as a binary payload with a metadata struct —
+    * the storage shape for multimodal columns (content stays opaque bytes;
+    * metadata is queryable without touching the blob).
+    */
+  def packBinary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        lit("txt").as("fmt"),
+        octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decode: deterministic byte statistics per blob. Stands in for the
+    * real codec (not available in this container); batch shape (iterator of
+    * rows per partition, amortized setup at iterator head) is exactly where
+    * a real decoder handle would be opened once per partition.
+    */
+  def decodeFeatures(packed: DataFrame): Dataset[MediaFeatures] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val rows = packed.select(col("doc_id"), col("content"),
+      col("meta.fmt").as("fmt"), col("meta.n_bytes").as("n_bytes")).as[MediaRow]
+    rows.mapPartitions { it =>
+      // per-partition setup would go here (decoder handle, model weights...)
+      it.map { m =>
+        val bytes = m.content
+        var sum = 0L
+        var checksum = 1469598103934665603L // FNV-1a 64 offset basis
+        var segments = 1
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          sum += b
+          checksum = (checksum ^ b) * 1099511628211L
+          if (b == ' '.toInt) segments += 1
+          i += 1
+        }
+        MediaFeatures(m.doc_id, m.n_bytes, checksum,
+          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, segments)
+      }
+    }
+  }
+}

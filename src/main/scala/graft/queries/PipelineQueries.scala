@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators._
+
+/** LLM-data-pipeline operators (SURVEY.md §2.4-2.10 north-star surface):
+  * dedup (exact / MinHash-LSH / SimHash / embedding-cosine), similarity
+  * search (exact brute-force + LSH), text analysis, sessionization, as-of
+  * join, multimodal plumbing.
+  *
+  * Shingling note: this corpus shares one small vocabulary across all
+  * documents, so *word-set* Jaccard is degenerate (57% of all pairs above
+  * 0.6). Char-5-gram shingles separate cleanly (near-dups >= 0.9, background
+  * <= 0.5), which is also the realistic choice for web-scale near-dedup.
+  */
+object PipelineQueries {
+
+  /** Distinct char-5-gram shingles — same index set as the DuckDB oracle's
+    * `[substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))]`.
+    */
+  private val shingleSql =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+  private val duckShingles =
+    "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))])"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deduplication --------------------------------------------------
+
+    Q("q_dedup_exact",
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+      (s, d) =>
+        Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("keep_id")),
+
+    // MinHash-LSH near-dedup, verified with exact Jaccard: with k=128,
+    // bands=32 (r=4) a true pair at j>=0.9 is missed w.p. ~1e-15, so the
+    // output equals the exact all-pairs oracle.
+    Q("q_dedup_minhash",
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+              |SELECT id_a, id_b, jac FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      (s, d) =>
+        Dedup.minHashPairs(t(s, d, "documents"), "doc_id", expr(shingleSql),
+            threshold = 0.7, k = 128, bands = 32)
+          .orderBy("id_a", "id_b")),
+
+    // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
+    // band the LSH query's threshold excludes).
+    Q("q_dedup_jaccard",
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+              |SELECT id_a, id_b, jac FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin),
+      (s, d) =>
+        Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", expr(shingleSql), 0.3)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash near-dedup — engine-specific hash bits, rows-only check.
+    Q("q_dedup_simhash", None,
+      (s, d) =>
+        Dedup.simHashPairs(t(s, d, "documents"), "doc_id",
+            TextAnalysis.tokens(col("text")), maxHamming = 3)
+          .orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-dup pairs (threshold below this corpus's max
+    // pairwise cosine of ~0.51 so the answer is non-empty).
+    Q("q_embed_pairs",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) =>
+        Dedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+          .orderBy("id_a", "id_b")),
+
+    // ---- similarity search ---------------------------------------------
+
+    // Exact brute-force top-10 cosine neighbors for 5 query vectors.
+    // Rank + ids only (sim values computed identically but float-formatting
+    // differences across engines are not worth hashing).
+    Q("q_embed_knn",
+      Some("""SELECT q_id, c_id, rn FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |    CAST(row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+             |               c.vec_id) AS BIGINT) AS rn
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+             |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // LSH-bucketed ANN — recall < 1 by construction, rows-only check.
+    Q("q_embed_knn_lsh", None,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshKnn(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nPlanes = 6, dim = 64, nProbes = 7)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // ---- text analysis --------------------------------------------------
+
+    Q("q_text_stats",
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+             |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_unique_tokens,
+             |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS tok_est
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.stats(t(s, d, "documents"), "text")
+          .select("doc_id", "n_chars2", "n_tokens", "n_unique_tokens", "tok_est")
+          .orderBy("doc_id")),
+
+    // Language id + quality score — heuristic internals, rows-only.
+    Q("q_text_quality", None,
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(toks).as("pred_lang"),
+            TextAnalysis.qualityScore(col("text"), toks).as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    // Document fingerprints: whole-doc xxhash64 + winnowing set size.
+    Q("q_fingerprint", None,
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.fingerprint64(col("text")).as("fp"),
+            size(graft.functions.winnow_fingerprints(col("text"), 5, 4)).cast("long").as("n_winnow"))
+          .orderBy("doc_id")),
+
+    // ---- sessionization / time -----------------------------------------
+
+    Q("q_events_session",
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) =>
+        Sessionize.aggByGap(t(s, d, "events"), "user_id", "ts", "event_id", 1800)
+          .orderBy("user_id", "session_id")),
+
+    // Spark's native session_window (batch form) against first-principles
+    // gap-merge SQL; window end = last event + gap.
+    Q("q_session_window",
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |                      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS w_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS w_end,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, w_start""".stripMargin),
+      (s, d) =>
+        Sessionize.bySessionWindow(t(s, d, "events"), "user_id", "ts", "30 minutes")
+          .orderBy("user_id", "w_start")),
+
+    // As-of join: latest error at-or-before each event, per user — vs
+    // DuckDB's native ASOF JOIN.
+    Q("q_asof_join",
+      Some("""SELECT e.event_id, err.event_id AS last_error_id
+             |FROM (SELECT * FROM events WHERE user_id < 20) e
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) err
+             |  ON e.user_id = err.user_id AND e.ts >= err.ts
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("last_error_id"))
+        AsOfJoin.backward(ev, errs, "user_id", "ts", "ts", Seq("last_error_id"))
+          .select("event_id", "last_error_id")
+          .orderBy("event_id")
+      }),
+
+    // ---- multimodal plumbing (stubbed decode) ---------------------------
+
+    Q("q_multimodal", None,
+      (s, d) =>
+        Multimodal.decodeFeatures(
+            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
+          .toDF()
+          .orderBy("doc_id"))
+  )
+}
