@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface. The reference declares Parquet-only reads via
+  * `CREATE EXTERNAL TABLE ... STORED AS PARQUET`
+  * (/root/reference/src/parser/mod.rs:21-28, queryplanner.rs:83-86) and has
+  * no writer at all; we expose the full Spark format matrix with
+  * scale-sensible defaults.
+  *
+  * Scale notes: parquet reads are vectorized + predicate/projection
+  * pushdown; writers partition by caller-chosen columns so downstream scans
+  * prune; maxRecordsPerFile guards against giant output files.
+  */
+object GraftSources {
+
+  def readParquet(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def readJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+
+  /** Partitioned parquet write — the default sink for pipeline output. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

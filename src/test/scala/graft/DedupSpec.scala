@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.t(spark, sf, "documents")
+  private val shingles =
+    expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+
+  test("exact dedup keeps min id and counts copies") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", "doc_id")
+    val twice = Dedup.exact(
+      once.withColumnRenamed("keep_id", "doc_id").withColumn("text", col("doc_id").cast("string")),
+      "text", "doc_id")
+    assert(once.count() == twice.count())
+  }
+
+  test("minhash-LSH pairs == exact all-pairs at threshold 0.7") {
+    val lsh = Dedup.minHashPairs(docs, "doc_id", shingles, 0.7, k = 128, bands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", shingles, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // corpus does contain near-dups
+  }
+
+  test("minhash signature estimates jaccard (statistical, fixed seed)") {
+    import spark.implicits._
+    // two token sets with known jaccard 1/3 (2 shared of 6 union)
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("c", "d", "e", "f"))).toDF("id", "toks")
+    val sigs = df.select(graft.functions.minhash_sig(col("toks"), 512).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }
+    val est = agree.toDouble / 512
+    assert(math.abs(est - 1.0 / 3.0) < 0.08, s"estimate $est too far from 1/3")
+  }
+
+  test("simhash: identical docs collide, near docs within small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.simHashPairs(df, "id", TextAnalysis.tokens(col("text")), maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)          // identical => distance 0
+    assert(pairs.get((1L, 3L)).exists(_ <= 10)) // one-word edit => near
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10)
+  }
+
+  test("cosine pairs threshold filters correctly vs naive") {
+    val emb = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 50).cache()
+    val got = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive driver-side check
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    // note: iterate Seq, not Map — yielding (ia, ib) from a Map generator
+    // would collapse pairs sharing id_a into one Map entry
+    val want = (for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq
+      if ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sessionize}
+
+class SessionizeSpec extends SparkTestBase {
+
+  private lazy val events = Tables.t(spark, sf, "events").cache()
+
+  test("byGap and native session_window agree on session count per user") {
+    // same gap, same data: the number of sessions per user must match
+    val gapped = Sessionize.aggByGap(events, "user_id", "ts", "event_id", 1800)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sw = Sessionize.bySessionWindow(events, "user_id", "ts", "30 minutes")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gapped == sw)
+  }
+
+  test("session boundaries respect the gap") {
+    val sessions = Sessionize.aggByGap(events, "user_id", "ts", "event_id", 1800)
+      .orderBy("user_id", "session_id").collect()
+    // consecutive sessions of one user start > 30min after the prior ends
+    sessions.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getTimestamp(3).getTime - a.getTimestamp(4).getTime
+          assert(gap > 1800 * 1000L, s"gap $gap ms <= 30min between sessions")
+        case _ =>
+      }
+    }
+  }
+
+  test("as-of join: every match is the latest right row at-or-before") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "e1"), (1L, 200L, "e2"), (1L, 50L, "e0"), (2L, 100L, "f1")
+    ).toDF("k", "t", "name").withColumn("ts", timestamp_micros(col("t") * 1000000))
+    val right = Seq(
+      (1L, 90L, 900L), (1L, 150L, 950L), (2L, 400L, 999L)
+    ).toDF("k", "t", "payload").withColumn("rts", timestamp_micros(col("t") * 1000000))
+      .drop("t")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+      .select("name", "payload").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e0").isEmpty)              // nothing at-or-before t=50
+    assert(out("e1").contains(900L))       // 90 <= 100
+    assert(out("e2").contains(950L))       // latest of {90, 150}
+    assert(out("f1").isEmpty)              // right row is in the future
+  }
+
+  test("as-of join ties: equal timestamp right row matches (inclusive)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000))
+    val right = Seq((1L, 100L, 7L)).toDF("k", "t", "payload")
+      .withColumn("rts", timestamp_micros(col("t") * 1000000)).drop("t")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+      .select("payload").collect()(0).getLong(0)
+    assert(out == 7L)
+  }
+}

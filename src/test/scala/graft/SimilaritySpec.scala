@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+
+  private lazy val emb = Tables.t(spark, sf, "embeddings").cache()
+
+  test("cosine_sim expression matches driver-side computation") {
+    val row = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")))
+      .collect()(0).getDouble(0)
+    val vecs = emb.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- vecs(0).indices) {
+      dot += vecs(0)(i).toDouble * vecs(1)(i)
+      na += vecs(0)(i).toDouble * vecs(0)(i)
+      nb += vecs(1)(i).toDouble * vecs(1)(i)
+    }
+    assert(math.abs(row - dot / math.sqrt(na * nb)) < 1e-12)
+  }
+
+  test("bruteForceKnn returns exactly k deterministic neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 7)
+    val counts = out.groupBy("q_id").count().collect().map(_.getLong(1)).toSeq
+    assert(counts == Seq(7L, 7L, 7L))
+    // rerun => identical (determinism under ties)
+    val a = out.orderBy("q_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 7)
+      .orderBy("q_id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("bruteForceKnn top-1 agrees with naive argmax") {
+    val queries = emb.filter(col("vec_id") === 0)
+    val top1 = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 1)
+      .collect()(0).getLong(1)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val q = vecs(0L)
+    val want = vecs.view.filterKeys(_ != 0L).toSeq
+      .maxBy { case (id, v) => (cos(q, v), -id.toDouble) }._1
+    assert(top1 == want)
+  }
+
+  test("lshKnn achieves nontrivial recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, queries, "vec_id", "embedding",
+        k = 10, nPlanes = 6, dim = 64, nProbes = 7)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // this corpus is near-uniform random: "neighbors" sit at ~60-70deg, so
+    // sign-LSH collision rates are inherently modest; the check is that the
+    // bucketing finds substantially more than chance (random 10-of-499
+    // candidates would give recall ~0.02)
+    assert(recall > 0.05, s"recall $recall not better than chance")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("stats: counts line up with manual tokenization") {
+    import spark.implicits._
+    val df = Seq((1L, "a bb a ccc")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "text").collect()(0)
+    assert(r.getAs[Long]("n_chars2") == 10)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_unique_tokens") == 3)
+    assert(r.getAs[Long]("tok_est") == 4)
+  }
+
+  test("token estimate splits punctuation like a subword tokenizer would") {
+    import spark.implicits._
+    val df = Seq((1L, "hello, world! (it works)")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.tokenEstimate(col("text")).as("n")).collect()(0).getInt(0)
+    // hello , world ! ( it works ) => 8 pieces
+    assert(n == 8)
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der Hund und die Katze in dem Haus"),
+      (3L, "el perro y la casa es grande para todos"),
+      (4L, "xyzzy qwerty plugh")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "und")
+  }
+
+  test("quality score is within [0,1] and favors normal text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away home"),
+      (2L, "$$$ ### !!! @@@ %%% ^^^ &&& *** ((( )))")).toDF("id", "text")
+    val q = df.select(col("id"),
+        TextAnalysis.qualityScore(col("text"), TextAnalysis.tokens(col("text"))).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("fingerprint64 is deterministic and content-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "abd")).toDF("id", "text")
+    val fps = df.select(graft.functions.fingerprint64(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("winnow fingerprints overlap heavily for near-identical docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog many many times today"
+    val df = Seq((1L, base), (2L, base + " extra"), (3L, "totally unrelated content"))
+      .toDF("id", "text")
+    val sets = df.select(graft.functions.winnow_fingerprints(col("text"), 5, 4).as("w"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val j12 = (sets(0) intersect sets(1)).size.toDouble / (sets(0) union sets(1)).size
+    val j13 = (sets(0) intersect sets(2)).size.toDouble / (sets(0) union sets(2)).size
+    assert(j12 > 0.7, s"near-identical winnow jaccard $j12")
+    assert(j13 < 0.2, s"unrelated winnow jaccard $j13")
+  }
+
+  test("multimodal pack/decode: metadata consistent with payload") {
+    val docs = Tables.t(spark, sf, "documents").limit(20)
+    val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
+    val joined = out.toDF().join(docs, "doc_id")
+      .select(col("n_bytes"), length(col("text")).cast("long").as("len"), col("n_segments"),
+        size(split(col("text"), " ")).as("n_words"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))      // ascii corpus: bytes == chars
+      assert(r.getInt(2) == r.getInt(3))        // segments == space-separated words
+    }
+  }
+}
