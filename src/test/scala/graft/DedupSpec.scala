@@ -27,7 +27,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("minhash-LSH pairs == exact all-pairs at threshold 0.7") {
-    val lsh = Dedup.minHashPairs(docs, "doc_id", shingles, 0.7, k = 128, bands = 32)
+    val lsh = Dedup.minHashPairs(docs, "doc_id", shingles, 0.7, k = 126, bands = 21)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.exactJaccardPairs(docs, "doc_id", shingles, 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
