@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * (pushdown, pruning, broadcast, top-k lowering, partial aggregation)
+  * asserted so a refactor can't silently regress them. These are the
+  * properties that decide whether a query survives a 100x scale-up.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def physical(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Untruncated pushed-filter metadata of every parquet scan in the plan
+    * (descending through the AQE wrapper, which collect() treats as a leaf).
+    */
+  private def pushedFilters(q: String): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f.metadata.getOrElse("PushedFilters", ""))
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    scans(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan).mkString(";")
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val pf = pushedFilters("q_filter_compare")
+    assert(pf.contains("IsNotNull"), "no pushed filters in scan")
+    assert(pf.contains("GreaterThanOrEqual(l_quantity,10.0)"), s"comparison not pushed: $pf")
+    assert(pf.contains("EqualTo(l_returnflag,A)"), s"equality not pushed: $pf")
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val p = physical("q_projection")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>"),
+      s"customer scan reads more than the 3 projected columns:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    assert(physical("q_join_inner").contains("BroadcastHashJoin"))
+    val multi = physical("q_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(multi).size == 3,
+      "star join should be three chained broadcast hash joins")
+    assert(!multi.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("sort+limit lowers to TakeOrderedAndProject (no global sort)") {
+    val p = physical("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "top-k did a full sort")
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val p = physical("q_agg_groupby")
+    assert(p.contains("partial_sum"), "no partial aggregation below exchange")
+    assert(p.contains("partial_count"))
+  }
+
+  test("events scan still prunes columns through the ns-timestamp rewrite") {
+    val p = physical("q_json_fns")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
+      s"events scan reads more than needed:\n$p")
+  }
+
+  test("cosine knn broadcasts the query side, not the corpus") {
+    val p = physical("q_embed_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LessThan(vec_id,5)"), "query-side filter not pushed")
+  }
+}
