@@ -17,6 +17,10 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")

@@ -39,4 +39,33 @@ object AsOfJoin {
     }
     carried.filter(col("__side") === 1).drop("__ts", "__side")
   }
+
+  /** The same semantics through the custom-operator path: a Catalyst
+    * logical node ([[graft.plans.AsOfJoinNode]]) lowered by a planner
+    * strategy to a merge-based physical operator. Registered lazily on the
+    * session's extraStrategies.
+    */
+  def native(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias every right column: when both sides derive from the same
+    // base DataFrame they share exprIds, and an ambiguous key attribute
+    // would survive analyzer dedup still pointing at the left side. Fresh
+    // aliases give the right child its own ids before the node is built.
+    val rPlan = right.toDF(right.columns.toIndexedSeq: _*).queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
+      payloadCols.map(attr(rPlan, _)))
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, node)
+  }
 }

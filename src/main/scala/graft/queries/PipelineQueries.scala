@@ -219,6 +219,25 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // Same as-of semantics through the custom Catalyst operator path
+    // (AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec merge): one oracle,
+    // two independent implementations.
+    Q("q_asof_native",
+      Some("""SELECT e.event_id, err.event_id AS last_error_id
+             |FROM (SELECT * FROM events WHERE user_id < 20) e
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) err
+             |  ON e.user_id = err.user_id AND e.ts >= err.ts
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("last_error_id"))
+        AsOfJoin.native(ev, errs, "user_id", "ts", "err_ts", Seq("last_error_id"))
+          .select("event_id", "last_error_id")
+          .orderBy("event_id")
+      }),
+
     // ---- multimodal plumbing (stubbed decode) ---------------------------
 
     Q("q_multimodal", None,

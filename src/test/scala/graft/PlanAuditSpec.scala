@@ -7,8 +7,12 @@ package graft
   */
 class PlanAuditSpec extends SparkTestBase {
 
-  private def physical(q: String): String =
+  private def physical(q: String): String = {
+    // other suites cache these tables; cached plans replace FileSourceScan
+    // with InMemoryTableScan and would hide the scan-level assertions
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   /** Untruncated pushed-filter metadata of every parquet scan in the plan
     * (descending through the AQE wrapper, which collect() treats as a leaf).
@@ -17,6 +21,7 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    spark.catalog.clearCache()
     def scans(p: SparkPlan): Seq[String] = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case f: FileSourceScanExec => Seq(f.metadata.getOrElse("PushedFilters", ""))

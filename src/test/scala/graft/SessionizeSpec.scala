@@ -49,6 +49,23 @@ class SessionizeSpec extends SparkTestBase {
     assert(out("f1").isEmpty)              // right row is in the future
   }
 
+  test("native (custom Catalyst operator) as-of join == union-trick implementation") {
+    val ev = events.filter(col("user_id") < 30)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("last_error_id"))
+    val viaWindow = graft.operators.AsOfJoin.backward(
+        ev, errs.withColumnRenamed("err_ts", "ts2").withColumnRenamed("ts2", "ts"),
+        "user_id", "ts", "ts", Seq("last_error_id"))
+      .select("event_id", "last_error_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val viaNative = graft.operators.AsOfJoin.native(
+        ev, errs, "user_id", "ts", "err_ts", Seq("last_error_id"))
+      .select("event_id", "last_error_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaNative == viaWindow)
+    assert(viaNative.values.exists(_.nonEmpty))
+  }
+
   test("as-of join ties: equal timestamp right row matches (inclusive)") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
