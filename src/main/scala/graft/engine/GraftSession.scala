@@ -21,6 +21,7 @@ object GraftSession {
   def local(appName: String = "graft", cores: String = "*"): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")

@@ -5,9 +5,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingSessions
 
-class StreamingSpec extends SparkTestBase {
+/** Top-level so Catalyst can instantiate it from generated deserializers
+  * (inner classes need an outer scope the encoder can't capture). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
-  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+class StreamingSpec extends SparkTestBase {
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
@@ -48,6 +50,35 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.table("windows_out").orderBy("w_start", "event_type")
         .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
       assert(rows.toSeq == Seq(("click", 2L, 400L), ("view", 1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("custom state via flatMapGroupsWithState: running count per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + evs.size
+          state.update(now)
+          Iterator((user, now))
+        })
+      .toDF("user_id", "running_n")
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData(Ev(ts(0), 1, "a", 1.0), Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 2, "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 1, "a", 1.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("state_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: user1 -> 2, user2 -> 1; batch 2 resumes state: user1 -> 3
+      assert(byBatch == Set((1L, 2L), (2L, 1L), (1L, 3L)))
     } finally q.stop()
   }
 
