@@ -32,6 +32,34 @@ object Multimodal {
         lit("txt").as("fmt"),
         octet_length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long, checksum: Long)
+
+  /** Frame sampling: split each blob into fixed-size frames and keep every
+    * `stride`-th one — the video/audio frame-sample shape (seek + decode
+    * per kept frame in production; deterministic byte stats here). One
+    * input row fans out to ~n_bytes/(frameSize*stride) small rows, which
+    * is why this runs as a flatMap *after* partitioning, never on the
+    * driver.
+    */
+  def sampleFrames(packed: DataFrame, frameSize: Int = 64, stride: Int = 2): Dataset[Frame] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val rows = packed.select(col("doc_id"), col("content"),
+      col("meta.fmt").as("fmt"), col("meta.n_bytes").as("n_bytes")).as[MediaRow]
+    rows.flatMap { m =>
+      val bytes = m.content
+      val nFrames = math.max(1, (bytes.length + frameSize - 1) / frameSize)
+      (0 until nFrames by stride).map { f =>
+        val start = f * frameSize
+        val end = math.min(start + frameSize, bytes.length)
+        var checksum = 1469598103934665603L
+        var i = start
+        while (i < end) { checksum = (checksum ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
+        Frame(m.doc_id, f, (end - start).toLong, checksum)
+      }
+    }
+  }
+
   /** STUB decode: deterministic byte statistics per blob. Stands in for the
     * real codec (not available in this container); batch shape (iterator of
     * rows per partition, amortized setup at iterator head) is exactly where

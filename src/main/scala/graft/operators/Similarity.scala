@@ -87,6 +87,43 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (first nCentroids corpus
+    * vectors standing in for offline k-means centroids — deterministic, no
+    * training pass) partitions the corpus into cells; queries probe their
+    * nProbe nearest cells and rank exactly within them. The classic
+    * inverted-file trade: assignment cost nCentroids*dim per row once,
+    * query cost limited to probed cells instead of the full corpus.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    val cents: Array[(Int, Seq[Float])] = corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("int"), col(vecCol))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    require(cents.nonEmpty, "no centroid rows (idCol < nCentroids is empty)")
+    def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosine_sim(vec, typedLit(cv)).as("sim"), lit(cid).as("cell"))
+    }: _*)
+    // corpus side: argmax cell (array_max on (sim, cell) structs)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
+    // query side: top-nProbe cells, exploded
+    val qq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        cellScores(col(vecCol)).as("cells"))
+      .select(col("q_id"), col("q_vec"),
+        explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cell)")).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    c.join(qq, "cell")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "c_id", "rn", "sim")
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket, then exact
     * cosine + top-k among candidates. Recall < 1 by construction; raise
     * nProbes (hamming-1 bucket expansion) to trade cost for recall.

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Additional scalar/array/regex/window-analytic function coverage —
+  * deepening the registry surface the reference left empty
+  * (/root/reference/src/planner/logicalplan.rs:64-71). Array-typed results
+  * are projected to scalars (joined strings, sizes, elements) so the
+  * oracle hash-compare stays on plain columns.
+  */
+object FunctionQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_array_fns",
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5,
+             |  list_sort(list_distinct(string_split(text, ' ')))[1] AS min_tok,
+             |  list_contains(string_split(text, ' '), 'data') AS has_data
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n"),
+            array_join(slice(sort_array(array_distinct(toks)), 1, 5), ",").as("first5"),
+            element_at(sort_array(array_distinct(toks)), 1).as("min_tok"),
+            array_contains(toks, "data").as("has_data"))
+          .orderBy("doc_id")
+      }),
+
+    Q("q_regex_fns",
+      Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |  regexp_matches(c_name, '^Customer#0+[0-9]+$') AS well_formed,
+             |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+            col("c_name").rlike("^Customer#0+[0-9]+$").as("well_formed"),
+            regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+          .orderBy("c_custkey")),
+
+    // ntile / percent_rank / cume_dist: rank-arithmetic doubles are exact
+    // rational divisions -> bit-identical across engines.
+    Q("q_window_analytics",
+      Some("""SELECT c_custkey,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_custkey")
+      }),
+
+    // Exact interpolated percentile (both engines: lower + frac*(upper-lower)
+    // at rank p*(n-1)) over integral doubles.
+    Q("q_percentile",
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.9) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.9)").as("p90"))
+          .orderBy("l_returnflag")),
+
+    // Approximate quantile sketch — rows-only (sketch-specific results).
+    Q("q_approx_quantile", None,
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"))
+          .orderBy("l_returnflag"))
+  )
+}

@@ -122,6 +122,16 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // IVF-style ANN (fixed coarse quantizer; recall < 1) — rows-only.
+    Q("q_embed_knn_ivf", None,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
     // ---- text analysis --------------------------------------------------
 
     Q("q_text_stats",
@@ -245,6 +255,15 @@ object PipelineQueries {
         Multimodal.decodeFeatures(
             Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
           .toDF()
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Frame sampling over binary payloads (every 2nd 64-byte frame).
+    Q("q_frames", None,
+      (s, d) =>
+        Multimodal.sampleFrames(
+            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
+            frameSize = 64, stride = 2)
+          .toDF()
+          .orderBy("doc_id", "frame_idx"))
   )
 }

@@ -52,6 +52,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(top1 == want)
   }
 
+  test("ivfKnn achieves nontrivial recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4-of-16 cells probed over a near-uniform corpus: expected candidate
+    // fraction ~25%, so recall well above the ~2% chance floor
+    assert(recall > 0.1, s"ivf recall $recall not better than chance")
+  }
+
   test("lshKnn achieves nontrivial recall vs exact") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)

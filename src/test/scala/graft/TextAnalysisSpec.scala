@@ -72,6 +72,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(j13 < 0.2, s"unrelated winnow jaccard $j13")
   }
 
+  test("frame sampling: frame count and sizes follow frameSize/stride") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.packBinary(df, "doc_id", "text"), frameSize = 64, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // 200 bytes -> 4 frames (64,64,64,8), stride 2 keeps idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.map(_.frame_bytes).toSeq == Seq(64L, 64L))
+    // identical content -> identical checksums
+    assert(frames(0).checksum == frames(1).checksum)
+  }
+
   test("multimodal pack/decode: metadata consistent with payload") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
