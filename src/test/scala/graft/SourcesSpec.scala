@@ -44,6 +44,58 @@ class SourcesSpec extends SparkTestBase {
       s"no partition filter in:\n$scanned")
   }
 
+  test("orc round-trip preserves rows") {
+    val df = Tables.t(spark, sf, "nation")
+    val path = tmp("orc")
+    GraftSources.writeOrc(df, path)
+    val back = GraftSources.readOrc(spark, path)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val orders = Tables.t(spark, sf, "orders")
+    val li = Tables.t(spark, sf, "lineitem")
+    // a prior JVM's orphaned warehouse dirs block saveAsTable(Overwrite)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) { import scala.reflect.io.Directory; new Directory(dir).deleteRecursively() }
+    }
+    GraftSources.writeBucketed(orders, "orders_b", "o_orderkey", 4, Some("o_orderkey"))
+    GraftSources.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4, Some("o_orderkey"))
+    // bucketed joins shortcut broadcast selection only above the threshold;
+    // disable auto-broadcast so the shuffle-avoidance is what's under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderstatus").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles on the key:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // skewed: key 1 owns 90% of the big side
+    val big = ((1 to 900).map(_ => 1L) ++ (1 to 100).map(i => (i % 7 + 2).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val small = (1L to 9L).map(k => (k, s"name$$k")).toDF("k", "name")
+    val plain = big.join(small, "k").count()
+    val saltedN = graft.operators.SkewJoin.saltedJoin(big, small, "k", saltFactor = 8).count()
+    assert(plain == saltedN)
+    // and the salt actually spreads the hot key
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === 1).groupBy("__salt").count().count()
+    assert(spread > 4, "hot key not spread across salt buckets")
+  }
+
   test("schema'd csv read applies declared types") {
     val path = tmp("csv2")
     GraftSources.writeCsv(Tables.t(spark, sf, "supplier"), path)
