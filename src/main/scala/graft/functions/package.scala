@@ -32,6 +32,10 @@ package object functions {
   /** Hamming distance between two 64-bit hashes (codegen'd). */
   def hamming64(a: Column, b: Column): Column = c(HammingDistance64(e(a), e(b)))
 
+  /** Intersection size of two sorted array<long> columns (codegen'd merge). */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    c(SortedIntersectSize(e(a), e(b)))
+
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 

@@ -28,7 +28,18 @@ object Dedup {
     * probability at realistic shingle cardinalities (<1e6 distinct) is
     * ~1e-8 — far below the scale of any threshold decision.
     */
-  private def hashedToks(c: Column): Column = transform(c, t => xxhash64(t))
+  private def hashedToks(c: Column): Column =
+    sort_array(array_distinct(transform(c, t => xxhash64(t))))
+
+  /** Jaccard over pre-sorted hashed token arrays: codegen'd two-pointer
+    * intersection, sizes-only union arithmetic. Same value as [[jaccard]]
+    * on the corresponding sets.
+    */
+  private def fastJaccard(ta: Column, tb: Column): Column = {
+    val inter = sorted_intersect_size(ta, tb)
+    val uni = size(ta) + size(tb) - inter
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni)
+  }
 
   /** Set Jaccard over two token arrays (distinct semantics). Pure integer
     * size arithmetic -> the division is bit-identical across engines.
@@ -61,7 +72,7 @@ object Dedup {
     val a = df.select(col(idCol).as("id_a"), hashedToks(toksCol).as("toks_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), hashedToks(toksCol).as("toks_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
@@ -104,7 +115,7 @@ object Dedup {
     cand
       .join(verif.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(verif.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
