@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private lazy val registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

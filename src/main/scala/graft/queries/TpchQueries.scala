@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** TPC-H-shaped headline queries (Q1/Q3/Q5/Q6 adapted to this star
+  * schema's columns and 1995-2001 date range) — the canonical OLAP
+  * workload shapes: wide aggregation, join + top-k, 6-way star join,
+  * selective scan-aggregate. Money aggregates run in exact integer cents
+  * (order-independent; derived averages divide the exact sums), per the
+  * determinism rules in FIXTURES.md §5.
+  */
+object TpchQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    // Q1: pricing summary report.
+    Q("q_tpch_q1",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+            avg(col("l_quantity").cast("long")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3: shipping-priority — join + aggregate + top-10.
+    Q("q_tpch_q3",
+      Some("""SELECT o.o_orderkey,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  o.o_orderdate
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |  AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+             |  AND l.l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+             |GROUP BY o.o_orderkey, o.o_orderdate
+             |ORDER BY revenue_cents DESC, o.o_orderkey LIMIT 10""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("2000-03-15 00:00:00").cast("timestamp"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") < lit("2000-03-15 00:00:00").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .select("o_orderkey", "revenue_cents", "o_orderdate")
+          .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+          .limit(10)),
+
+    // Q5: local-supplier volume — 6-way star join, customer and supplier
+    // in the same nation, region-filtered.
+    Q("q_tpch_q5",
+      Some("""SELECT n.n_name,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN supplier sp ON l.l_suppkey = sp.s_suppkey AND c.c_nationkey = sp.s_nationkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy("n_name")),
+
+    // Q6: revenue-change forecast — selective scan-aggregate, fully
+    // pushdown-able predicates.
+    Q("q_tpch_q6",
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents")))
+  )
+}
