@@ -37,7 +37,7 @@ private[graft] object Hashing64 {
   * no functions exist, logicalplan.rs:64-71).
   */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -65,6 +65,35 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
       j += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val g = ctx.freshName("g")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($j), ${seed}L);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $g = $asRef[$i] * $h + $bsRef[$i];
+         |      if ($g < $mins[$i]) $mins[$i] = $g;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
