@@ -96,7 +96,6 @@ object Similarity {
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Column
     val cents: Array[(Int, Seq[Float])] = corpus
       .filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("int"), col(vecCol))
