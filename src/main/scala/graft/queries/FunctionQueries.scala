@@ -78,6 +78,32 @@ object FunctionQueries {
             expr("percentile(l_quantity, 0.9)").as("p90"))
           .orderBy("l_returnflag")),
 
+    // Word-bigram generation (n-gram shingling at the word level) —
+    // projected to scalars for the hash compare.
+    Q("q_ngrams",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+             |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+             |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+             |  bg[1] AS first_bg, bg[len(bg)] AS last_bg
+             |FROM b WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bg = expr(
+          "CASE WHEN size(split(text, ' ')) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1))) END")
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .withColumn("bg", bg)
+          .select(col("doc_id"),
+            size(col("bg")).cast("long").as("n_bigrams"),
+            size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+            element_at(col("bg"), 1).as("first_bg"),
+            element_at(col("bg"), size(col("bg"))).as("last_bg"))
+          .orderBy("doc_id")
+      }),
+
     // Approximate quantile sketch — rows-only (sketch-specific results).
     Q("q_approx_quantile", None,
       (s, d) =>
