@@ -104,6 +104,45 @@ object FunctionQueries {
           .orderBy("doc_id")
       }),
 
+    Q("q_window_values",
+      Some("""SELECT user_id, event_id,
+             |  first_value(event_id) OVER w AS first_id,
+             |  last_value(event_id)  OVER w AS last_id,
+             |  nth_value(event_id, 2) OVER w AS second_id
+             |FROM events WHERE user_id < 5
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "events").filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"),
+            first(col("event_id")).over(w).as("first_id"),
+            last(col("event_id")).over(w).as("last_id"),
+            nth_value(col("event_id"), 2).over(w).as("second_id"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    Q("q_str_fns2",
+      Some("""SELECT p_partkey, lpad(p_brand, 10, '*') AS padded,
+             |  split_part(p_brand, '#', 2) AS brand_num,
+             |  translate(p_type, 'AEIOU', 'aeiou') AS vowelized,
+             |  repeat('-', p_size % 5) AS dashes,
+             |  reverse(p_name) AS rev,
+             |  CAST(strpos(p_name, ' ') AS BIGINT) AS space_at
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            lpad(col("p_brand"), 10, "*").as("padded"),
+            expr("split_part(p_brand, '#', 2)").as("brand_num"),
+            translate(col("p_type"), "AEIOU", "aeiou").as("vowelized"),
+            expr("repeat('-', CAST(p_size % 5 AS INT))").as("dashes"),
+            reverse(col("p_name")).as("rev"),
+            expr("instr(p_name, ' ')").cast("long").as("space_at"))
+          .orderBy("p_partkey")),
+
     // Approximate quantile sketch — rows-only (sketch-specific results).
     Q("q_approx_quantile", None,
       (s, d) =>
