@@ -82,6 +82,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-sink streaming with checkpoint: exactly-once across restarts") {
+    import org.apache.spark.sql.types._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sin").toFile.getAbsolutePath
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sout").toFile.getAbsolutePath + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$inDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Tables.t(spark, sf, "events").schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    def startQuery() = {
+      val in = spark.readStream.schema(rawSchema).parquet(inDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamingSessions
+        .dedupWithinWatermark(in, "ts", "1 hour", Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == 1000, s"expected all 1000 events, got $n1")
+    // restart from the checkpoint: same input files already committed ->
+    // nothing reprocessed (exactly-once file tracking)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == n1)
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
