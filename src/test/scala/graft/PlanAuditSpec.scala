@@ -69,6 +69,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"events scan reads more than needed:\n$p")
   }
 
+  test("TPC-H Q5 star: lineitem never shuffles; all dims broadcast") {
+    val p = physical("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected >=4 broadcast joins in Q5:\n$p")
+    assert(!p.contains("SortMergeJoin"), "Q5 fell back to a shuffle join")
+    assert(p.contains("partial_sum"), "Q5 aggregation not partial")
+  }
+
+  test("TPC-H Q6 pushes every predicate into the scan") {
+    val pf = pushedFilters("q_tpch_q6")
+    assert(pf.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate lower bound not pushed: $pf")
+    assert(pf.contains("LessThan(l_quantity,24.0)"), s"quantity bound not pushed: $pf")
+  }
+
   test("cosine knn broadcasts the query side, not the corpus") {
     val p = physical("q_embed_knn")
     assert(p.contains("BroadcastNestedLoopJoin"))
