@@ -60,6 +60,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-level downsample (every `factor`-th
+    * byte of the payload) standing in for an image-resize / audio-resample
+    * kernel. Output keeps the multimodal shape: smaller binary payload +
+    * metadata that follows it (n_bytes updated, fmt tagged) — swap the
+    * byte loop for a codec call and nothing else changes.
+    */
+  def resizeStub(packed: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val rows = packed.select(col("doc_id"), col("content"),
+      col("meta.fmt").as("fmt"), col("meta.n_bytes").as("n_bytes")).as[MediaRow]
+    rows.map { m =>
+      val out = Array.range(0, m.content.length, factor).map(m.content(_))
+      MediaRow(m.doc_id, out, s"${m.fmt}/resized", out.length.toLong)
+    }.toDF()
+      .select(col("doc_id"), col("content"),
+        struct(col("fmt"), col("n_bytes")).as("meta"))
+  }
+
   /** STUB decode: deterministic byte statistics per blob. Stands in for the
     * real codec (not available in this container); batch shape (iterator of
     * rows per partition, amortized setup at iterator head) is exactly where

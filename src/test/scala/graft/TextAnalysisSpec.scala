@@ -85,6 +85,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(frames(0).checksum == frames(1).checksum)
   }
 
+  test("resize stub shrinks payload by the factor and keeps meta truthful") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")  // 10 bytes
+    val out = Multimodal.resizeStub(Multimodal.packBinary(df, "doc_id", "text"), factor = 4)
+      .select(col("doc_id"), col("content"), col("meta.n_bytes").as("n"), col("meta.fmt").as("fmt"))
+      .collect()(0)
+    assert(new String(out.getAs[Array[Byte]]("content"), "UTF-8") == "aei") // bytes 0,4,8
+    assert(out.getAs[Long]("n") == 3)
+    assert(out.getAs[String]("fmt") == "txt/resized")
+  }
+
   test("multimodal pack/decode: metadata consistent with payload") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
