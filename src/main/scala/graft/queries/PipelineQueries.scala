@@ -257,6 +257,29 @@ object PipelineQueries {
           .toDF()
           .orderBy("doc_id")),
 
+    // Stratified sampling by class — the training-data downsampling shape
+    // (per-stratum fractions). Seeded => deterministic within a Spark
+    // version; no cross-engine oracle.
+    Q("q_sample_stratified", None,
+      (s, d) =>
+        t(s, d, "lineitem")
+          .stat.sampleBy("l_returnflag",
+            Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.10), 42L)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("l_returnflag")),
+
+    // Seeded train/validation/test split — per-split counts.
+    Q("q_train_test_split", None,
+      (s, d) => {
+        val splits = t(s, d, "documents")
+          .randomSplit(Array(0.8, 0.1, 0.1), seed = 42L)
+        val tagged = splits.zip(Seq("train", "valid", "test")).map {
+          case (df, name) => df.select(lit(name).as("split"), col("doc_id"))
+        }.reduce(_ union _)
+        tagged.groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      }),
+
     // Frame sampling over binary payloads (every 2nd 64-byte frame).
     Q("q_frames", None,
       (s, d) =>
