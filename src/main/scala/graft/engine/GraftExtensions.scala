@@ -40,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash64(tokens) - 64-bit simhash over a token array",
       exprs => SimHash64(exprs(0), 42L)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

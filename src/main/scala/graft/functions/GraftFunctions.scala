@@ -21,6 +21,10 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")

@@ -53,6 +53,10 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    }
     val lPlan = left.queryExecution.analyzed
     // Re-alias every right column: when both sides derive from the same
     // base DataFrame they share exprIds, and an ambiguous key attribute

@@ -127,3 +127,25 @@ object AsOfJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Optimizer rule: push a Filter through [[AsOfJoinNode]] when it touches
+  * only left-side columns. Catalyst's own PushDownPredicates cannot see
+  * through an unknown node, so without this rule a filter above the as-of
+  * join scans both sides in full. The rewrite is sound because the as-of
+  * join is row-preserving on the left (each left row yields exactly one
+  * output row, its left columns untouched; the carried payload depends
+  * only on that row's own key/timestamp).
+  *
+  * Registered via extraOptimizations / injectOptimizerRule
+  * ([[graft.engine.GraftExtensions]]).
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinNode)
+        if cond.references.subsetOf(aj.left.outputSet) =>
+      aj.copy(left = Filter(cond, aj.left))
+  }
+}

@@ -66,6 +66,32 @@ class SessionizeSpec extends SparkTestBase {
     assert(viaNative.values.exists(_.nonEmpty))
   }
 
+  test("optimizer rule pushes left-only filters through the as-of node") {
+    val ev = events
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("last_error_id"))
+    val joined = graft.operators.AsOfJoin.native(
+      ev, errs, "user_id", "ts", "err_ts", Seq("last_error_id"))
+    val filtered = joined.filter(col("event_type") === "purchase")
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must sit BELOW AsOfJoinNode after optimization
+    val nodeChildFiltered = optimized.collect {
+      case aj: graft.plans.AsOfJoinNode =>
+        aj.left.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("purchase") => f
+        }.isDefined
+    }
+    assert(nodeChildFiltered == Seq(true),
+      s"filter not pushed below AsOfJoinNode:\n${optimized.treeString}")
+    // and semantics are unchanged vs filtering after the fact
+    val viaTop = joined.collect().filter(_.getAs[String]("event_type") == "purchase")
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("last_error_id"))).toMap
+    val viaPushed = filtered.collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("last_error_id"))).toMap
+    assert(viaPushed == viaTop)
+  }
+
   test("as-of join ties: equal timestamp right row matches (inclusive)") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
