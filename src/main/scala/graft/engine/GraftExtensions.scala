@@ -32,7 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => DotProduct(exprs(0), exprs(1))))
     e.injectFunction(fn("hamming64",
       "hamming64(a, b) - hamming distance of two 64-bit hashes",
-      exprs => HammingDistance64(exprs(0), exprs(1))))
+      exprs => HammingDistance64(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType))))
     e.injectFunction(fn("fingerprint64",
       "fingerprint64(s) - 64-bit content fingerprint",
       exprs => Fingerprint64(exprs(0), 42L)))

@@ -31,7 +31,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
-      exprs => HammingDistance64(exprs(0), exprs(1)), "built-in")
+      exprs => HammingDistance64(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType)), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs(0), 42L), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
