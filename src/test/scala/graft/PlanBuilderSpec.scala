@@ -46,6 +46,26 @@ class PlanBuilderSpec extends SparkTestBase {
     assert(rows == Seq(1, 3))
   }
 
+  test("golden plan string: exact tree shape (exprIds normalized)") {
+    // The reference's assertion style (logicalplan.rs:481-485): compare the
+    // pretty-printed plan against a golden literal. Spark embeds exprIds
+    // (#12) and a LocalRelation leaf; normalize both.
+    val tree = PlanBuilder.scan(employee, projection = Some(Seq(0, 3)))
+      .filter(GExpr.eq(GCol("state"), GLit("CO")))
+      .project(GExpr.c("id"))
+      .explainTree
+    val normalized = tree
+      .replaceAll("#\\d+", "")
+      .replaceAll("(?s)\\+- LocalRelation.*", "+- LocalRelation [...]")
+      .trim
+    val golden =
+      """'Project ['id]
+        |+- Filter (state = CO)
+        |   +- Project [id, state]
+        |      +- LocalRelation [...]""".stripMargin.trim
+    assert(normalized == golden, s"plan drifted:\n$tree")
+  }
+
   test("ordinal projection resolves by input position (logicalplan.rs:31)") {
     val df = PlanBuilder.scan(employee)
       .project(GExpr.cIdx(0), GExpr.cIdx(3))

@@ -92,6 +92,15 @@ class SessionizeSpec extends SparkTestBase {
     assert(viaPushed == viaTop)
   }
 
+  test("native as-of join rejects unknown columns with a clear error") {
+    val ev = events.limit(10)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.native(ev, ev.select(col("user_id"), col("ts").as("rts")),
+        "nope", "ts", "rts", Seq())
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("as-of join ties: equal timestamp right row matches (inclusive)") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
