@@ -145,6 +145,27 @@ object PipelineQueries {
           .select("doc_id", "n_chars2", "n_tokens", "n_unique_tokens", "tok_est")
           .orderBy("doc_id")),
 
+    // Vocabulary extraction: corpus-wide term frequencies, exact top-20.
+    // The explode -> groupBy shape is the canonical vocab-building pass;
+    // partial aggregation keeps the shuffle at distinct-token cardinality.
+    Q("q_top_terms",
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(20)),
+
+    // Heavy hitters via the single-pass frequent-items sketch — rows-only
+    // (sketch guarantees containment, not exact counts).
+    Q("q_freq_items", None,
+      (s, d) =>
+        t(s, d, "lineitem")
+          .stat.freqItems(Array("l_returnflag", "l_linenumber"), 0.3)),
+
     // Language id + quality score — heuristic internals, rows-only.
     Q("q_text_quality", None,
       (s, d) => {
