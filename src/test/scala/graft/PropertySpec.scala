@@ -53,6 +53,24 @@ class PropertySpec extends SparkTestBase {
     assert(keys.union(keys).distinct().count() == keys.distinct().count())
   }
 
+  test("BottomK aggregator matches sort+limit (merge-able top-k sketch)") {
+    import org.apache.spark.sql.functions.udaf
+    val bottom5 = udaf(new graft.functions.Aggregators.BottomK(5))
+    val got = li.agg(bottom5(col("l_extendedprice")).as("b5"))
+      .collect()(0).getSeq[Double](0).toSeq
+    val want = li.orderBy("l_extendedprice").limit(5)
+      .collect().map(_.getAs[Double]("l_extendedprice")).toSeq
+    assert(got == want)
+  }
+
+  test("GeoMean aggregator is invariant to partitioning (merge correctness)") {
+    import org.apache.spark.sql.functions.udaf
+    val geo = udaf(graft.functions.Aggregators.GeoMean)
+    val one = li.coalesce(1).agg(geo(col("l_quantity"))).collect()(0).getDouble(0)
+    val many = li.repartition(13).agg(geo(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(math.abs(one - many) < 1e-9, s"$one vs $many")
+  }
+
   test("minhash estimator is unbiased-ish across generated token sets") {
     import spark.implicits._
     forAllSeeds(Seq(0, 3, 9, 14, 19)) { sv =>
