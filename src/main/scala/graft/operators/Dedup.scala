@@ -148,9 +148,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Scale path for cosine near-dup: L independent sign-LSH tables
+    * (AND within a table's nPlanes bits, OR across tables — the classic
+    * LSH amplification), exact verification of candidates. Shuffle cost
+    * O(n * nTables) instead of O(n^2). Per-table collision for a pair at
+    * angle theta is (1 - theta/pi)^nPlanes, so overall recall is
+    * 1 - (1 - p^nPlanes)^nTables: ~1 for true near-dups (cos >= 0.9),
+    * deliberately lossy for weakly-similar pairs.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 6, nTables: Int = 16,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tables = array((0 until nTables).map { t =>
+      Similarity.hyperplaneBuckets(col(vecCol), nPlanes, dim, seed + t * 7919L)
+    }: _*)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(tables).as(Seq("tbl", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(cosine_sim(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Near-duplicate pairs by embedding cosine similarity — brute-force
-    * verification form (all pairs). The scale path buckets by random
-    * hyperplane LSH first (see [[Similarity.hyperplaneBuckets]]).
+    * verification form (all pairs). The scale path is [[cosinePairsLsh]].
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

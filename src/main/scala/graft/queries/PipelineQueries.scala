@@ -89,6 +89,14 @@ object PipelineQueries {
         Dedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
           .orderBy("id_a", "id_b")),
 
+    // Scale-path cosine near-dup (sign-LSH buckets + hamming-1 probes +
+    // exact verify) — recall < 1, rows-only.
+    Q("q_embed_pairs_lsh", None,
+      (s, d) =>
+        Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45, nPlanes = 6, nTables = 16, dim = 64)
+          .orderBy("id_a", "id_b")),
+
     // ---- similarity search ---------------------------------------------
 
     // Exact brute-force top-10 cosine neighbors for 5 query vectors.

@@ -63,6 +63,17 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10)
   }
 
+  test("LSH cosine pairs are a high-recall subset of exact pairs") {
+    val emb = Tables.t(spark, sf, "embeddings").cache()
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, nPlanes = 6, nTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair the exact path rejects")
+    assert(exact.isEmpty || (lsh.size.toDouble / exact.size) > 0.3,
+      s"recall ${lsh.size}/${exact.size} too low")
+  }
+
   test("cosine pairs threshold filters correctly vs naive") {
     val emb = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 50).cache()
     val got = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.3)
