@@ -1,7 +1,71 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Input/state/output rows for [[GapSessionProcessor]]. Top-level so Catalyst
+  * codegen can instantiate them from generated deserializers.
+  */
+case class SessionEvent(user_id: Long, ts: Timestamp)
+case class OpenSession(start_ms: Long, last_ms: Long, n: Long)
+case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+/** Gap-based sessionization on the Spark 4 arbitrary-state API
+  * (`transformWithState`): one `ValueState[OpenSession]` per user plus one
+  * event-time timer at `last_ms + gapMs`. Sessions closed by an in-batch gap
+  * emit immediately; the trailing open session emits when the watermark
+  * passes its gap timer — so output is incremental (Append), not a
+  * whole-result recomputation like the `session_window` aggregate form.
+  *
+  * State lives in the RocksDB state store (required by this operator), which
+  * is what bounds memory at scale: state is keyed and partitioned by
+  * `user_id`, so a 1000-executor cluster shards it horizontally.
+  */
+class GapSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState("open_session",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+      timers: TimerValues): Iterator[ClosedSession] = {
+    val sorted = rows.map(_.ts.getTime).toArray.sorted
+    var out = List.empty[ClosedSession]
+    var cur = if (open.exists()) Option(open.get()) else None
+    for (t <- sorted) cur match {
+      case Some(s) if t - s.last_ms <= gapMs =>
+        cur = Some(OpenSession(s.start_ms, math.max(s.last_ms, t), s.n + 1))
+      case Some(s) =>
+        out ::= ClosedSession(user, s.start_ms, s.last_ms + gapMs, s.n)
+        cur = Some(OpenSession(t, t, 1))
+      case None =>
+        cur = Some(OpenSession(t, t, 1))
+    }
+    cur.foreach { s =>
+      open.update(s)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.last_ms + gapMs)
+    }
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (open.exists()) {
+      val s = open.get()
+      if (expired.getExpiryTimeInMs >= s.last_ms + gapMs) {
+        open.clear()
+        return Iterator.single(ClosedSession(user, s.start_ms, s.last_ms + gapMs, s.n))
+      }
+    }
+    Iterator.empty
+  }
+}
 
 /** Structured-Streaming forms of the event-time operators. The reference is
   * batch-only (a REPL'd compiler, /root/reference/src/main.rs:31-59);
@@ -43,6 +107,27 @@ object StreamingSessions {
         col("session_window.start").as("w_start"),
         col("session_window.end").as("w_end"),
         col("n_events"))
+
+  /** Incremental gap sessionization via `transformWithState` (Spark 4
+    * arbitrary state + event-time timers). Same semantics as
+    * [[sessionCounts]] but emits each session exactly once, when it closes.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def sessionizeTws(events: DataFrame, tsCol: String, userCol: String,
+      watermark: String, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMs),
+        TimeMode.EventTime, OutputMode.Append)
+      .toDF()
+  }
 
   /** Exactly-once-ish event dedup within the watermark horizon — the
     * streaming analog of Dedup.exact for at-least-once upstreams.

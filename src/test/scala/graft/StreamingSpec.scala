@@ -113,6 +113,47 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == n1)
   }
 
+  test("transformWithState sessionizer emits each session once, on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.StreamingSessions.sessionizeTws(
+      mem.toDF(), "ts", "user_id", "0 seconds", gapMs = 10 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("tws_out").start()
+    try {
+      // batch 1: two sessions open (user1 merges 10:00+10:05, user2 at 10:00)
+      mem.addData(Ev(ts(0), 1, "a", 1.0), Ev(ts(5), 1, "a", 1.0), Ev(ts(0), 2, "b", 1.0))
+      q.processAllAvailable()
+      // batch 2: user1 at 10:30 gaps out the first session -> inline emit;
+      // watermark then advances to 10:30, firing user2's 10:10 timer
+      mem.addData(Ev(ts(30), 1, "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: dummy event pushes the watermark past user1's 10:40 timer
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), 99, "z", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:30:00"), 99, "z", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def ms(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00").getTime
+      assert(got.contains((1L, ms("10:00"), ms("10:15"), 2L)), s"user1 s1 missing: $got")
+      assert(got.contains((2L, ms("10:00"), ms("10:10"), 1L)), s"user2 missing: $got")
+      assert(got.contains((1L, ms("10:30"), ms("10:40"), 1L)), s"user1 s2 missing: $got")
+      assert(!got.exists(_._1 == 99L && got.size > 4), s"unexpected rows: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
