@@ -149,6 +149,38 @@ object FunctionQueries {
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // Spark 4 VariantType: semi-structured payloads in a binary-encoded
+    // open type; typed path extraction without declaring a schema up front.
+    // Round-trips row data through to_json -> parse_json -> variant_get so
+    // the DuckDB oracle can check the extracted values against JSON ops.
+    Q("q_variant",
+      Some("""SELECT c_custkey,
+             |  CAST(json_extract(v, '$.id') AS BIGINT) AS id,
+             |  json_extract_string(v, '$.name') AS name,
+             |  json_extract_string(v, '$.seg') AS seg,
+             |  CAST(round(CAST(json_extract(v, '$.bal') AS DOUBLE) * 100, 0) AS BIGINT) AS bal_cents,
+             |  CAST(NULL AS VARCHAR) AS missing
+             |FROM (SELECT c_custkey,
+             |        to_json(struct_pack(id := c_custkey, name := c_name,
+             |                            bal := c_acctbal, seg := c_mktsegment)) AS v
+             |      FROM customer WHERE c_custkey <= 300)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val payload = to_json(struct(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg")))
+        t(s, d, "customer").filter(col("c_custkey") <= 300)
+          .select(col("c_custkey"), parse_json(payload).as("v"))
+          .select(col("c_custkey"),
+            variant_get(col("v"), "$.id", "bigint").as("id"),
+            variant_get(col("v"), "$.name", "string").as("name"),
+            variant_get(col("v"), "$.seg", "string").as("seg"),
+            round(variant_get(col("v"), "$.bal", "double") * 100, 0)
+              .cast("long").as("bal_cents"),
+            try_variant_get(col("v"), "$.missing", "string").as("missing"))
+          .orderBy("c_custkey")
+      })
   )
 }
