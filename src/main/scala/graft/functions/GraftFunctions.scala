@@ -34,6 +34,8 @@ object GraftFunctions {
       exprs => HammingDistance64(
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType)), "built-in")
+    reg.createOrReplaceTempFunction("unaccent",
+      exprs => Unaccent(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs(0), 42L), "built-in")
     reg.createOrReplaceTempFunction("simhash64",

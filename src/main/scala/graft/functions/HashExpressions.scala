@@ -213,6 +213,53 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** NFD-decompose + drop combining marks: 'Çafé' -> 'Cafe'. The standard
+  * accent-fold step of text normalization pipelines (DuckDB strip_accents,
+  * Postgres unaccent). Static so whole-stage codegen can call it directly.
+  */
+object TextNorm {
+  def unaccent(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (!java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFD)) {
+      strip(java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD))
+    } else if (hasMark(str)) strip(str)
+    else s // fast path: already mark-free ASCII-ish text, zero-copy
+  }
+  private def hasMark(str: String): Boolean = {
+    var i = 0
+    while (i < str.length) {
+      if (Character.getType(str.charAt(i)) == Character.NON_SPACING_MARK) return true
+      i += 1
+    }
+    false
+  }
+  private def strip(norm: String): UTF8String = {
+    val sb = new java.lang.StringBuilder(norm.length)
+    var i = 0
+    while (i < norm.length) {
+      val ch = norm.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Accent folding as a codegen'd unary expression over strings. */
+case class Unaccent(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    TextNorm.unaccent(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextNorm.unaccent($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Intersection size of two SORTED long arrays by linear merge — the hot
   * inner loop of Jaccard verification. Replaces array_intersect's
   * per-invocation hash-set build (one allocation + ~n hash probes per

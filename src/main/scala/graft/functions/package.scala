@@ -36,6 +36,9 @@ package object functions {
   def sorted_intersect_size(a: Column, b: Column): Column =
     c(SortedIntersectSize(e(a), e(b)))
 
+  /** Accent folding: NFD + strip combining marks (codegen'd). */
+  def unaccent(s: Column): Column = c(Unaccent(e(s)))
+
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 

@@ -52,6 +52,15 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Canonical text normalization for dedup keys and matching: accent-fold
+    * (codegen'd NFD strip), lowercase, non-alphanumerics to spaces, collapse
+    * runs, trim. Mirrors DuckDB lower(strip_accents(..)) + regexp cleanup.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.functions.unaccent(c)), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Heuristic quality score in [0,1]: blends token-length plausibility,
     * alphabetic ratio, lexical diversity, and stopword presence — the
     * standard cheap pre-filter shape for web-scale corpora. Deterministic

@@ -153,6 +153,25 @@ object PipelineQueries {
           .select("doc_id", "n_chars2", "n_tokens", "n_unique_tokens", "tok_est")
           .orderBy("doc_id")),
 
+    // Canonical text normalization: accent-fold (custom codegen'd Unaccent
+    // expression) + case/punct/whitespace cleanup. The accented prefix is
+    // synthesized (this corpus is ASCII) so the NFD path is actually hit.
+    Q("q_text_norm",
+      Some("""SELECT doc_id,
+             |  strip_accents('Çafé—Ñaïve ' || text) AS plain,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(strip_accents('Çafé—Ñaïve ' || text)),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val raw = concat(lit("Çafé—Ñaïve "), col("text"))
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.unaccent(raw).as("plain"),
+            TextAnalysis.normalize(raw).as("norm"))
+          .orderBy("doc_id")
+      }),
+
     // Vocabulary extraction: corpus-wide term frequencies, exact top-20.
     // The explode -> groupBy shape is the canonical vocab-building pass;
     // partial aggregation keeps the shuffle at distinct-token cardinality.

@@ -96,6 +96,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.getAs[String]("fmt") == "txt/resized")
   }
 
+  test("unaccent folds marks, is null-safe, and normalize canonicalizes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Çafé—Ñaïve  ZÜRICH"),
+      (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.unaccent(col("s")).as("plain"),
+        graft.operators.TextAnalysis.normalize(col("s")).as("norm"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "Cafe—Naive  ZURICH")
+    assert(got(0).getString(2) == "cafe naive zurich")
+    assert(got(1).getString(1) == "plain ascii") // fast path: untouched
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    // SQL registry surface
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT unaccent('über') AS u").collect()(0).getString(0) == "uber")
+  }
+
   test("multimodal pack/decode: metadata consistent with payload") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
