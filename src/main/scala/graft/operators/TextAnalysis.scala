@@ -66,7 +66,13 @@ object TextAnalysis {
     * standard cheap pre-filter shape for web-scale corpora. Deterministic
     * double arithmetic (same IEEE ops per row everywhere).
     */
-  def qualityScore(text: Column, toks: Column): Column = {
+  def qualityScore(text: Column, toks: Column): Column =
+    round(qualityScoreRaw(text, toks), 6)
+
+  /** Unrounded score — same IEEE double ops in the same order as the DuckDB
+    * oracle formulation, so threshold comparisons agree bit-for-bit.
+    */
+  def qualityScoreRaw(text: Column, toks: Column): Column = {
     val nChars  = length(text).cast("double")
     val nToks   = size(toks).cast("double")
     val nUniq   = size(array_distinct(toks)).cast("double")
@@ -78,7 +84,29 @@ object TextAnalysis {
       size(array_intersect(toks, typedLit(ws)))
     }.reduce(_ + _)
     val stopOk  = when(anyStop > 0, 1.0).otherwise(0.3)
-    round((alpha * 0.3 + lenOk * 0.2 + diverse * 0.2 + stopOk * 0.3), 6)
+    alpha * 0.3 + lenOk * 0.2 + diverse * 0.2 + stopOk * 0.3
+  }
+
+  /** The SAME score as [[qualityScoreRaw]] in DuckDB SQL (for oracles).
+    * Literals are cast to DOUBLE (DuckDB parses `0.3` as DECIMAL) and the
+    * add/multiply order mirrors the Column formulation exactly.
+    */
+  def qualityScoreSql(textCol: String): String = {
+    val toks = s"string_split_regex(lower($textCol), '\\s+')"
+    val nChars = s"CAST(length($textCol) AS DOUBLE)"
+    val nToks = s"CAST(len($toks) AS DOUBLE)"
+    val nUniq = s"CAST(len(list_distinct($toks)) AS DOUBLE)"
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val alpha = s"(($nChars - CAST(length(regexp_replace($textCol, '[a-zA-Z ]', '', 'g')) AS DOUBLE)) / ($nChars + ${d("1.0")}))"
+    val avgTok = s"($nChars / ($nToks + ${d("1.0")}))"
+    val lenOk = s"(CASE WHEN $avgTok BETWEEN ${d("3.0")} AND ${d("12.0")} THEN ${d("1.0")} ELSE ${d("0.5")} END)"
+    val diverse = s"($nUniq / ($nToks + ${d("1.0")}))"
+    val anyStop = stopwords.map { case (_, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($toks, $lst))"
+    }.mkString(" + ")
+    val stopOk = s"(CASE WHEN $anyStop > 0 THEN ${d("1.0")} ELSE ${d("0.3")} END)"
+    s"($alpha * ${d("0.3")} + $lenOk * ${d("0.2")} + $diverse * ${d("0.2")} + $stopOk * ${d("0.3")})"
   }
 
   /** Standard stats bundle over a text column. */

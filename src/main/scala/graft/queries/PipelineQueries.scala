@@ -204,6 +204,34 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Corpus-quantile quality filter: keep docs at/above the 25th-percentile
+    // quality score. The threshold is ONE tree-aggregated scalar broadcast
+    // into a map-side filter — no global sort, no single-partition window —
+    // so the shape survives a 1000-executor scale-up unchanged.
+    Q("q_quality_filter", {
+      val q = TextAnalysis.qualityScoreSql("text")
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+              |    $q AS q
+              |  FROM documents),
+              |thr AS (SELECT quantile_cont(q, 0.25) AS t FROM scored)
+              |SELECT s.doc_id, s.n_tokens FROM scored s, thr
+              |WHERE s.q >= thr.t ORDER BY s.doc_id""".stripMargin)
+    },
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            TextAnalysis.qualityScoreRaw(col("text"), toks).as("q"))
+        val thr = scored.agg(expr("percentile(q, 0.25)").as("t"))
+        scored.crossJoin(broadcast(thr))
+          .filter(col("q") >= col("t"))
+          .select("doc_id", "n_tokens")
+          .orderBy("doc_id")
+      }),
+
     // Document fingerprints: whole-doc xxhash64 + winnowing set size.
     Q("q_fingerprint", None,
       (s, d) =>

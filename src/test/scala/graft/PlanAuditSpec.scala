@@ -88,4 +88,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("LessThan(vec_id,5)"), "query-side filter not pushed")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective SMJ") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val confs = Seq(
+      // force a shuffle join (broadcast joins don't need the runtime filter)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // our test tables are tiny; drop the size gates so the rule fires
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.t(spark, sf, "lineitem")
+      val plan = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
