@@ -119,6 +119,78 @@ object TpchQueries {
           .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-          .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents")))
+          .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"))),
+
+    // Q4: order-priority checking — EXISTS lowers to a left-semi join with a
+    // mixed equi + range condition (this schema has no l_commitdate, so
+    // "shipped after the order date" stands in for late delivery).
+    Q("q_tpch_q4",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+             |FROM orders o
+             |WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND o.o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("2000-04-01 00:00:00").cast("timestamp"))
+          .join(t(s, d, "lineitem"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")),
+
+    // Q10: returned-item reporting — fact filter + three-way star, top 20.
+    Q("q_tpch_q10",
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE l.l_returnflag = 'R'
+             |  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND o.o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+             |GROUP BY c.c_custkey, c.c_name, n.n_name
+             |ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("2000-07-01 00:00:00").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
+          .limit(20)),
+
+    // Q14: promo-revenue share — fact/dim join over one shipdate month;
+    // this part table has no PROMO types, so ECONOMY stands in. Both sides
+    // of the would-be ratio emitted as exact cents (a double division would
+    // be summation-order-sensitive).
+    Q("q_tpch_q14",
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN p.p_type = 'ECONOMY' THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS economy_cents,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE l.l_shipdate >= TIMESTAMP '2000-09-01 00:00:00'
+             |  AND l.l_shipdate < TIMESTAMP '2000-10-01 00:00:00'""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-09-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("2000-10-01 00:00:00").cast("timestamp"))
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "ECONOMY",
+              cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(lit(0L))).as("economy_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("total_cents")))
   )
 }
