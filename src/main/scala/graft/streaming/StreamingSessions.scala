@@ -129,6 +129,21 @@ object StreamingSessions {
       .toDF()
   }
 
+  /** Stream-stream interval join: right-side events on the same key within
+    * `[l_ts, l_ts + within]` (attribution joins: impressions x clicks).
+    * Watermarks on BOTH inputs plus the interval condition let Spark expire
+    * join state — without them a stream-stream join buffers forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, watermark: String, within: String): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("rk"), col(tsCol).as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(s"k = rk AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+      .select(col("k"), col("l_ts"), col("r_ts"))
+  }
+
   /** Exactly-once-ish event dedup within the watermark horizon — the
     * streaming analog of Dedup.exact for at-least-once upstreams.
     */

@@ -96,6 +96,26 @@ class SourcesSpec extends SparkTestBase {
     assert(spread > 4, "hot key not spread across salt buckets")
   }
 
+  test("range-clustered write: files own disjoint key ranges (skippable)") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val path = tmp("rangeclust")
+    GraftSources.writeRangeClustered(
+      Tables.t(spark, sf, "lineitem"), path, "l_orderkey", nFiles = 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size == 4, s"expected 4 files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(fmin("l_orderkey"), fmax("l_orderkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("schema'd csv read applies declared types") {
     val path = tmp("csv2")
     GraftSources.writeCsv(Tables.t(spark, sf, "supplier"), path)

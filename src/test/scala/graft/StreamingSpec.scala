@@ -154,6 +154,28 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join matches within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val out = graft.streaming.StreamingSessions.intervalJoin(
+      imps.toDF(), clicks.toDF(), "user_id", "ts", "1 hour", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      imps.addData(Ev(ts(0), 1, "imp", 1.0), Ev(ts(0), 2, "imp", 1.0))
+      clicks.addData(
+        Ev(ts(5), 1, "click", 1.0),   // in window  -> match
+        Ev(ts(40), 1, "click", 1.0),  // past window -> no match
+        Ev(ts(5), 3, "click", 1.0))   // no impression -> no match
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts(0), ts(5))), s"unexpected join output: $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
