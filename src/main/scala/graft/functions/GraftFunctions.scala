@@ -30,6 +30,8 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("euclidean_dist",
+      exprs => EuclideanDistance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hamming64",
       exprs => HammingDistance64(
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.LongType),

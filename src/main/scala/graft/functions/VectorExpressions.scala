@@ -125,3 +125,62 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Euclidean (L2) distance between two numeric vectors — same fused-loop
+  * codegen shape as [[CosineSimilarity]]; sequential double accumulation in
+  * index order, matching DuckDB's list_distance for oracle comparison.
+  */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def getter(e: Expression): String =
+    if (e.dataType.asInstanceOf[ArrayType].elementType == FloatType) "getFloat"
+    else "getDouble"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"euclidean_dist expects array<float> or array<double>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xF = getter(left) == "getFloat"
+    val yF = getter(right) == "getFloat"
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (xF) x.getFloat(i).toDouble else x.getDouble(i)) -
+        (if (yF) y.getFloat(i).toDouble else y.getDouble(i))
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = ((double) $a.${getter(left)}($i)) - ((double) $b.${getter(right)}($i));
+         |  $acc += d * d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

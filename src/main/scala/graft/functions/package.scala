@@ -21,6 +21,9 @@ package object functions {
   /** Dot product of two array<float|double> vectors (codegen'd). */
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
 
+  /** Euclidean (L2) distance of two array<float|double> vectors (codegen'd). */
+  def euclidean_dist(a: Column, b: Column): Column = c(EuclideanDistance(e(a), e(b)))
+
   /** k-slot MinHash signature over array<string> tokens. */
   def minhash_sig(tokens: Column, k: Int, seed: Long = 42L): Column =
     c(MinHashSignature(e(tokens), k, seed))

@@ -89,6 +89,48 @@ object PipelineQueries {
         Dedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
           .orderBy("id_a", "id_b")),
 
+    // Pairwise L2 distance via the codegen'd EuclideanDistance expression.
+    // floor (not round) micros: floor is exact on identical double bits in
+    // both engines, where round's tie-breaking is engine-specific.
+    Q("q_embed_l2",
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  CAST(floor(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS dist_micros
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 25 AND b.vec_id < 25
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val e1 = t(s, d, "embeddings")
+          .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+          .filter(col("id_a") < 25)
+        val e2 = t(s, d, "embeddings")
+          .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+          .filter(col("id_b") < 25)
+        e1.join(e2, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            floor(graft.functions.euclidean_dist(col("ea"), col("eb")) * lit(1e6))
+              .as("dist_micros"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Per-label centroid accumulation (the reduce step of k-means / class
+    // prototypes): posexplode to (label, dim) and aggregate exact integer
+    // micros — order-independent, so the result is identical at any
+    // parallelism. The shuffle key (label, pos) has fixed small cardinality
+    // (10 x 64), so partial aggregation collapses the fact-side volume.
+    Q("q_embed_centroids",
+      Some("""SELECT label, CAST(r.range AS INT) AS pos,
+             |  CAST(sum(CAST(floor(CAST(embedding[CAST(r.range AS INT)+1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM embeddings CROSS JOIN range(0, 64) r
+             |GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(sum(floor(col("x").cast("double") * lit(1e6))).as("sum_micros"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos")),
+
     // Scale-path cosine near-dup (sign-LSH buckets + hamming-1 probes +
     // exact verify) — recall < 1, rows-only.
     Q("q_embed_pairs_lsh", None,

@@ -416,6 +416,31 @@ object RelationalQueries {
                 |ORDER BY c.c_custkey""".stripMargin)
       }),
 
+    // LATERAL correlated subquery: per-customer top-2 orders — the
+    // "top-N per group" shape as the planner feature (decorrelates to a
+    // ranked window under the hood), rejected wholesale by the reference
+    // (/root/reference/src/planner/queryplanner.rs:66).
+    Q("q_lateral",
+      Some("""SELECT c.c_custkey, t.o_orderkey,
+             |  CAST(round(t.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey < 50
+             |ORDER BY c_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        views(s, d, "orders", "customer")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey,
+                |  CAST(round(t.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+                |FROM customer c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders
+                |  WHERE o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c.c_custkey < 50
+                |ORDER BY c_custkey, o_orderkey""".stripMargin)
+      }),
+
     // Pivot: nation x market segment counts (missing combos coalesced to 0
     // to match conditional-aggregation SQL).
     Q("q_pivot",

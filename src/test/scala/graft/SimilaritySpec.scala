@@ -23,6 +23,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(row - dot / math.sqrt(na * nb)) < 1e-12)
   }
 
+  test("euclidean_dist: exact on a 3-4-5 triangle, zero on self") {
+    import spark.implicits._
+    val df = Seq((Array(0f, 0f), Array(3f, 4f))).toDF("a", "b")
+    val d = df.select(graft.functions.euclidean_dist(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(d == 5.0)
+    val self = emb.limit(5)
+      .select(graft.functions.euclidean_dist(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 0.0))
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT euclidean_dist(array(1.0D, 1.0D), array(1.0D, 2.0D)) AS d")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
   test("bruteForceKnn returns exactly k deterministic neighbors per query") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 7)
