@@ -115,6 +115,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(spark.sql("SELECT unaccent('über') AS u").collect()(0).getString(0) == "uber")
   }
 
+  test("observe metrics ride the job: row/null/distinct counters delivered") {
+    val (listener, sink) = graft.operators.Metrics.listen(spark)
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      graft.operators.Metrics.observeQuality(docs, "docs_quality", "lang", "text")
+        .write.format("noop").mode("overwrite").save()
+      // listener fires asynchronously after the action completes
+      val deadline = System.currentTimeMillis() + 10000
+      while (!sink.contains("docs_quality") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val m = sink.getOrElse("docs_quality", fail("no observation delivered"))
+      val expected = docs.count()
+      assert(m("n_rows") == expected)
+      assert(m("lang_nulls") == 0L)
+      val distinct = m("lang_approx_distinct").asInstanceOf[Long]
+      assert(distinct >= 4 && distinct <= 7, s"lang approx distinct off: $distinct")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("multimodal pack/decode: metadata consistent with payload") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
