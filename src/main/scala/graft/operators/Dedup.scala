@@ -59,6 +59,51 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** Incremental exact dedup — the ingestion shape: new-batch rows whose
+    * digest is not already in the corpus, within-batch ties kept at min id.
+    * The corpus reduces to distinct digests before the anti-join, so cost
+    * is O(new + corpus digests) and the corpus documents never move —
+    * re-running full-corpus dedup per ingest would be the scale mistake.
+    */
+  def exactIncremental(newDf: DataFrame, corpus: DataFrame,
+      contentCol: String, idCol: String): DataFrame = {
+    val newDig = newDf.select(col(idCol).as("new_id"),
+      sha2(col(contentCol), 256).as("content_hash"))
+    val seen = corpus.select(sha2(col(contentCol), 256).as("content_hash")).distinct()
+    newDig.join(seen, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("new_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+  }
+
+  /** Incremental near-dedup: new-batch ids that near-duplicate (Jaccard >=
+    * threshold) some corpus document. LSH banding on both sides, but
+    * candidates are only new x corpus bucket matches — corpus x corpus
+    * pairs are never generated, which is what makes per-batch ingestion
+    * dedup affordable against a 100 TB corpus.
+    */
+  def minHashIncremental(newDf: DataFrame, corpus: DataFrame, idCol: String,
+      toksCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), minhash_sig(toksCol, k).as("sig"))
+        .select(col(s"${side}_id"), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
+          .as(Seq("band", s"${side}_bh")))
+    val cand = banded(newDf, "new")
+      .join(banded(corpus, "old").withColumnRenamed("old_bh", "new_bh"),
+        Seq("band", "new_bh"))
+      .select("new_id", "old_id").distinct()
+    val newToks = newDf.select(col(idCol).as("new_id"), hashedToks(toksCol).as("toks_a"))
+    val oldToks = corpus.select(col(idCol).as("old_id"), hashedToks(toksCol).as("toks_b"))
+    cand.join(newToks, "new_id").join(oldToks, "old_id")
+      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jac"))
+  }
+
   /** All-pairs exact Jaccard >= threshold. O(n^2) verification baseline for
     * the LSH path — correct at any size but only *runnable* at modest n;
     * use [[minHashPairs]] beyond that.

@@ -36,6 +36,38 @@ object PipelineQueries {
       (s, d) =>
         Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("keep_id")),
 
+    // Incremental (ingestion-shaped) dedup: new batch = sources != src0,
+    // corpus = src0. Corpus reduces to distinct digests; anti-join keeps
+    // unseen content only.
+    Q("q_dedup_incr",
+      Some("""WITH seen AS (
+             |  SELECT DISTINCT sha256(text) AS content_hash FROM documents WHERE source = 'src0'),
+             |newd AS (
+             |  SELECT doc_id, sha256(text) AS content_hash FROM documents WHERE source <> 'src0')
+             |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM newd WHERE content_hash NOT IN (SELECT content_hash FROM seen)
+             |GROUP BY content_hash ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.exactIncremental(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id").orderBy("keep_id")
+      }),
+
+    // Incremental near-dedup: new-batch docs that near-duplicate a corpus
+    // doc (LSH candidates new x corpus only) — rows-only (LSH recall).
+    Q("q_dedup_incr_near", None,
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minHashIncremental(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", expr(shingleSql), threshold = 0.9)
+          .orderBy("new_id", "old_id")
+      }),
+
     // MinHash-LSH near-dedup, verified with exact Jaccard: with k=126,
     // bands=21 (r=6) a true pair at j>=0.9 is missed w.p. ~1e-7, so the
     // output equals the exact all-pairs oracle; background pairs (j~0.2)

@@ -35,6 +35,34 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // corpus does contain near-dups
   }
 
+  test("incremental exact dedup: only unseen content survives, min id kept") {
+    import spark.implicits._
+    val corpus = Seq((10L, "seen-one"), (11L, "seen-two")).toDF("id", "text")
+    val batch = Seq((20L, "seen-one"), (21L, "fresh"), (22L, "fresh"), (23L, "newer"))
+      .toDF("id", "text")
+    val out = Dedup.exactIncremental(batch, corpus, "text", "id")
+      .orderBy("keep_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((21L, 2L), (23L, 1L)))
+  }
+
+  test("incremental near-dedup finds exactly the cross-source near pairs") {
+    val newDocs = docs.filter(col("source") =!= "src0")
+    val corpus = docs.filter(col("source") === "src0")
+    val got = Dedup.minHashIncremental(newDocs, corpus, "doc_id", shingles, 0.9)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: all near pairs with one side in each source split
+    val allPairs = Dedup.exactJaccardPairs(docs, "doc_id", shingles, 0.9)
+      .join(docs.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .filter((col("src_a") === "src0") =!= (col("src_b") === "src0"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compare as unordered id pairs (incremental orients them new->corpus)
+    def unordered(s: Set[(Long, Long)]) = s.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(unordered(got) == unordered(allPairs), s"got=$got want=$allPairs")
+  }
+
   test("minhash signature estimates jaccard (statistical, fixed seed)") {
     import spark.implicits._
     // two token sets with known jaccard 1/3 (2 shared of 6 union)
