@@ -109,6 +109,26 @@ object TextAnalysis {
     s"($alpha * ${d("0.3")} + $lenOk * ${d("0.2")} + $diverse * ${d("0.2")} + $stopOk * ${d("0.3")})"
   }
 
+  /** Overlapping token-window chunking — the standard context-window prep
+    * for LLM training: windows of `chunkTokens` every `strideTokens`. A
+    * per-row explode over a bounded index sequence (no UDF, no shuffle);
+    * output rows carry (id, chunk_idx, chunk, n_toks). `maxChunks` bounds
+    * the generated sequence: ceil(max_doc_tokens / strideTokens).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int, maxChunks: Int): DataFrame = {
+    val tk = split(col(textCol), " ")
+    df.select(col(idCol), tk.as("tk"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0), lit(maxChunks - 1))).as("chunk_idx"))
+      .filter(col("chunk_idx") * strideTokens < size(col("tk")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("tk"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk"),
+        size(slice(col("tk"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens)))
+          .cast("long").as("n_toks"))
+  }
+
   /** Standard stats bundle over a text column. */
   def stats(df: DataFrame, textCol: String): DataFrame = {
     val toksC = tokens(col(textCol))

@@ -278,6 +278,21 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Context-window chunking: 50-token windows, stride 40 (10-token
+    // overlap). Pure per-row explode — parallelism-invariant, no shuffle.
+    Q("q_chunk",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+             |SELECT doc_id, CAST(r.range AS INT) AS chunk_idx,
+             |  array_to_string(list_slice(tk, CAST(r.range AS INT)*40+1, CAST(r.range AS INT)*40+50), ' ') AS chunk,
+             |  CAST(len(list_slice(tk, CAST(r.range AS INT)*40+1, CAST(r.range AS INT)*40+50)) AS BIGINT) AS n_toks
+             |FROM toks CROSS JOIN range(0, 8) r
+             |WHERE CAST(r.range AS INT)*40 < len(tk)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, d) =>
+        TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text",
+            chunkTokens = 50, strideTokens = 40, maxChunks = 8)
+          .orderBy("doc_id", "chunk_idx")),
+
     // Corpus-quantile quality filter: keep docs at/above the 25th-percentile
     // quality score. The threshold is ONE tree-aggregated scalar broadcast
     // into a map-side filter — no global sort, no single-partition window —
