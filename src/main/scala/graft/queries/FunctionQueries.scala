@@ -151,6 +151,39 @@ object FunctionQueries {
           .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"))
           .orderBy("l_returnflag")),
 
+    // Relational melt: wide -> long via Dataset.unpivot (ANSI UNPIVOT).
+    Q("q_unpivot",
+      Some("""SELECT c_custkey, k, v FROM (
+             |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+             |         CAST(c_nationkey AS DOUBLE) AS nationkey
+             |  FROM customer WHERE c_custkey < 100)
+             |UNPIVOT (v FOR k IN (acctbal, nationkey))
+             |ORDER BY c_custkey, k""".stripMargin),
+      (s, d) =>
+        t(s, d, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("acctbal"),
+            col("c_nationkey").cast("double").as("nationkey"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("acctbal"), col("nationkey")), "k", "v")
+          .orderBy("c_custkey", "k")),
+
+    // Higher-order array functions: transform / filter / aggregate lambdas
+    // (codegen'd, no UDF) — per-token computation without exploding rows.
+    Q("q_hof",
+      Some("""SELECT doc_id,
+             |  CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS BIGINT) AS tot_len,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("aggregate(transform(split(text, ' '), x -> length(x)), 0L, (acc, x) -> acc + x)")
+              .as("tot_len"),
+            expr("size(filter(split(text, ' '), x -> length(x) > 4))")
+              .cast("long").as("n_long"))
+          .orderBy("doc_id")),
+
     // Spark 4 VariantType: semi-structured payloads in a binary-encoded
     // open type; typed path extraction without declaring a schema up front.
     // Round-trips row data through to_json -> parse_json -> variant_get so
