@@ -246,6 +246,50 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Hourly resample of the event stream with LOCF gap filling: raw events
+    // collapse to per-bucket partials; the dense grid is generated
+    // per-series (sequence+explode, no driver loop); carry-forward window
+    // runs over grid-sized data only.
+    Q("q_resample",
+      Some("""WITH agg AS (
+             |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+             |grid AS (SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds)
+             |SELECT g.series, g.bucket, coalesce(a.n, 0) AS n,
+             |  last_value(a.v IGNORE NULLS) OVER (PARTITION BY g.series ORDER BY g.bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM grid g LEFT JOIN agg a USING (series, bucket)
+             |ORDER BY series, bucket""".stripMargin),
+      (s, d) =>
+        Resample.locf(t(s, d, "events"), "event_type", "ts",
+            sum(round(col("value") * 100, 0).cast("long")), "hour")
+          .orderBy("series", "bucket")),
+
+    // Corpus report card: per (source, lang) volume/length/quality stats —
+    // the first query every dataset owner runs. Pure partial-aggregable
+    // shapes; exact integer sums.
+    Q("q_corpus_report",
+      Some("""SELECT source, lang,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"),
+            min(col("n_chars")).cast("long").as("min_chars"),
+            max(col("n_chars")).cast("long").as("max_chars"))
+          .orderBy("source", "lang")),
+
     // Vocabulary extraction: corpus-wide term frequencies, exact top-20.
     // The explode -> groupBy shape is the canonical vocab-building pass;
     // partial aggregation keeps the shuffle at distinct-token cardinality.

@@ -163,6 +163,26 @@ object RelationalQueries {
           .select("c_custkey")
           .orderBy("c_custkey")),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys match
+    // each other instead of dropping out — the SQL semantics corner the
+    // reference's Eq operator never had to decide.
+    Q("q_join_nullsafe",
+      Some("""WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+             |          FROM customer WHERE c_custkey < 200),
+             |s AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg2 FROM customer)
+             |SELECT c.c_custkey, coalesce(s.seg2, 'NULLSEG') AS matched
+             |FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg2
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        val segs = t(s, d, "customer")
+          .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg2")).distinct()
+        c.join(segs, col("seg") <=> col("seg2"))
+          .select(col("c_custkey"), coalesce(col("seg2"), lit("NULLSEG")).as("matched"))
+          .orderBy("c_custkey")
+      }),
+
     // Star join: fact + three broadcast dims, aggregated in exact cents.
     Q("q_join_multi",
       Some("""SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
