@@ -246,6 +246,23 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Banded self-join: same-user event pairs within 60 s, via width-w cell
+    // quantization + neighbor explode -> hash equi-join (no nested loop).
+    Q("q_band_join",
+      Some("""SELECT a.user_id AS k, a.event_id AS id_a, b.event_id AS id_b
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+             |ORDER BY k, id_a, id_b""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        RangeJoin.bandJoinMicros(ev, ev, "user_id", "event_id", "event_id",
+            "ts", wMicros = 60L * 1000 * 1000)
+          .filter(col("id_a") < col("id_b"))
+          .select("k", "id_a", "id_b")
+          .orderBy("k", "id_a", "id_b")
+      }),
+
     // Hourly resample of the event stream with LOCF gap filling: raw events
     // collapse to per-bucket partials; the dense grid is generated
     // per-series (sequence+explode, no driver loop); carry-forward window

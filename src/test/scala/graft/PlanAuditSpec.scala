@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LessThan(vec_id,5)"), "query-side filter not pushed")
   }
 
+  test("band join is a hash equi-join on (key, cell), not a nested loop") {
+    val p = physical("q_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"band join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"band join is not an equi-join:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()
