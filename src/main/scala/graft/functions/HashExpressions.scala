@@ -104,7 +104,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   * distance are near-duplicates.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
 
   override def dataType: DataType = LongType
@@ -130,6 +130,31 @@ case class SimHash64(child: Expression, seed: Long)
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$c.isNullAt($j)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($j), ${seed}L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
