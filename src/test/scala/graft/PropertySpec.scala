@@ -71,6 +71,49 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(one - many) < 1e-9, s"$one vs $many")
   }
 
+  test("chunking with stride == chunk reconstructs the document exactly") {
+    val docs = Tables.t(spark, sf, "documents").limit(50)
+    val rebuilt = graft.operators.TextAnalysis
+      .chunk(docs, "doc_id", "text", 30, 30, 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).mkString(" ")).toMap
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    orig.foreach { case (id, text) =>
+      assert(rebuilt(id) == text, s"doc $id not reconstructed")
+    }
+  }
+
+  test("resample conserves event counts and starts/ends on observed buckets") {
+    val ev = Tables.t(spark, sf, "events")
+    val rs = graft.operators.Resample.locf(ev, "event_type", "ts",
+      count(lit(1)).as("c"), "hour")
+    val total = rs.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == ev.count(), "gap filling changed the event count")
+    // every series' first grid bucket has observations (grid starts at min)
+    val firsts = rs.orderBy("series", "bucket")
+      .groupBy("series").agg(first("n").as("n0"))
+      .collect().map(_.getLong(1))
+    assert(firsts.forall(_ > 0), "grid extends before first observation")
+  }
+
+  test("band join equals the naive non-equi join") {
+    val ev = Tables.t(spark, sf, "events").filter(col("event_id") < 300)
+    val fast = graft.operators.RangeJoin
+      .bandJoinMicros(ev, ev, "user_id", "event_id", "event_id", "ts", 120L * 1000000)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = ev.select(col("user_id").as("u"), col("event_id").as("id_a"),
+      unix_micros(col("ts")).as("ta"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("id_b"),
+      unix_micros(col("ts")).as("tb"))
+    val naive = a.join(b, col("u") === col("u2") && col("id_a") < col("id_b") &&
+        abs(col("ta") - col("tb")) <= 120L * 1000000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"band join mismatch: extra=${fast -- naive} missing=${naive -- fast}")
+  }
+
   test("minhash estimator is unbiased-ish across generated token sets") {
     import spark.implicits._
     forAllSeeds(Seq(0, 3, 9, 14, 19)) { sv =>
