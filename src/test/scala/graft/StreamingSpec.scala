@@ -154,6 +154,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming content dedup: fingerprint64 expression in a streaming plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // dedup on CONTENT (custom codegen'd fingerprint of the payload),
+    // not on an id column — retries with identical bodies collapse
+    val keyed = mem.toDF().withColumn("fp",
+      graft.functions.fingerprint64(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+    val out = graft.streaming.StreamingSessions.dedupWithinWatermark(
+      keyed, "ts", "1 hour", Seq("fp"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fpdedup_out").start()
+    try {
+      mem.addData(
+        Ev(ts(0), 1, "click", 1.0), Ev(ts(1), 1, "click", 1.0), // same content
+        Ev(ts(2), 1, "click", 2.0))                              // different value
+      q.processAllAvailable()
+      assert(spark.table("fpdedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
