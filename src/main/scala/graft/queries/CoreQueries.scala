@@ -14,6 +14,22 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
 
+    // DataSource V2 scan: the synthetic graftrange source with an id-range
+    // predicate pushed into partition planning (SourcesSpec asserts the
+    // pruning; here the driver checks the produced rows).
+    Q("q_dsv2_scan",
+      Some("""SELECT CAST(r.range AS BIGINT) AS id,
+             |  CAST(r.range AS DOUBLE) * CAST(0.5 AS DOUBLE) AS val,
+             |  'row-' || r.range AS payload
+             |FROM range(0, 500) r WHERE r.range >= 100 AND r.range < 200
+             |ORDER BY id""".stripMargin),
+      (s, _) =>
+        s.read.format("graftrange")
+          .option("rows", "500").option("parts", "4").load()
+          .filter(org.apache.spark.sql.functions.col("id") >= 100 &&
+            org.apache.spark.sql.functions.col("id") < 200)
+          .orderBy("id")),
+
     // Op 1 Scan (reference logicalplan.rs:233-245): full table scan.
     Q("q_scan",
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),

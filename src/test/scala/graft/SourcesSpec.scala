@@ -116,6 +116,31 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("DSv2 source: partition planning, filter pushdown prunes partitions") {
+    val df = spark.read.format("graftrange")
+      .option("rows", "1000").option("parts", "10").load()
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 10)
+    // id >= 950 intersects only the last slice -> 1 planned partition
+    val tail = df.filter(col("id") >= 950)
+    assert(tail.rdd.getNumPartitions == 1, "id-range filter did not prune partitions")
+    assert(tail.count() == 50)
+    val got = tail.orderBy("id").limit(1).collect()(0)
+    assert(got.getLong(0) == 950 && got.getDouble(1) == 475.0 &&
+      got.getString(2) == "row-950")
+    // residual (non-pushable) filters still evaluate correctly
+    assert(df.filter(col("payload") === "row-7").count() == 1)
+  }
+
+  test("DSv2 source: column pruning reaches the reader") {
+    val df = spark.read.format("graftrange")
+      .option("rows", "100").option("parts", "2").load()
+    val plan = df.select("payload").queryExecution.executedPlan.toString
+    assert(plan.contains("payload") && !plan.contains("val#"),
+      s"pruned scan still carries unrequested columns:\n$plan")
+    assert(df.select("payload").distinct().count() == 100)
+  }
+
   test("schema'd csv read applies declared types") {
     val path = tmp("csv2")
     GraftSources.writeCsv(Tables.t(spark, sf, "supplier"), path)
