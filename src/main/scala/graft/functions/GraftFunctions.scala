@@ -44,6 +44,8 @@ object GraftFunctions {
       exprs => SimHash64(exprs(0), 42L), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSignature(exprs(0), intArg(exprs(1), "k"), 42L), "built-in")
+    reg.createOrReplaceTempFunction("explode_shingles",
+      exprs => ExplodeShingles(exprs(0), intArg(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "w"), 42L), "built-in")

@@ -344,3 +344,50 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Character k-gram shingle generator — a custom Catalyst `Generator`
+  * (UDTF): one output row per shingle position, produced lazily instead of
+  * materializing a per-document array first. The last of the reference's
+  * implied extension points (scalar / aggregate / table function; its
+  * name-keyed function nodes never shipped any,
+  * /root/reference/src/planner/logicalplan.rs:64-80).
+  *
+  * Laziness is the scale point: `transform(sequence(...))` materializes
+  * every shingle of a document in memory before exploding; this iterator
+  * hands Spark one row at a time, so a 1 MB document never allocates its
+  * ~1M-element shingle array.
+  */
+case class ExplodeShingles(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  require(k > 0, "shingle length must be positive")
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("pos", IntegerType, nullable = false)
+      .add("shingle", StringType, nullable = false)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      scala.collection.IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val s = v.asInstanceOf[UTF8String].toString
+      val n = math.max(s.length - k + 1, 0)
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i < n
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val row = org.apache.spark.sql.catalyst.InternalRow(
+            i, UTF8String.fromString(s.substring(i, i + k)))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

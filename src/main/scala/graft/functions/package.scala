@@ -45,6 +45,9 @@ package object functions {
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 
+  /** Lazy char-k-gram shingle UDTF: one (pos, shingle) row per position. */
+  def explode_shingles(s: Column, k: Int): Column = c(ExplodeShingles(e(s), k))
+
   /** Winnowing k-gram fingerprints (array<long>, sorted distinct). */
   def winnow_fingerprints(s: Column, k: Int = 5, w: Int = 4, seed: Long = 42L): Column =
     c(WinnowFingerprints(e(s), k, w, seed))

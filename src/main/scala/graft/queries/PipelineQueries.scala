@@ -246,6 +246,24 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Custom Catalyst Generator (UDTF): lazy char-5-gram shingling — rows
+    // stream out one position at a time, no per-document array
+    // materialization (contrast transform(sequence(...)) which allocates
+    // every shingle before exploding).
+    Q("q_shingle_udtf",
+      Some("""SELECT doc_id,
+             |  CAST(len(list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))])) AS BIGINT) AS n_shingles,
+             |  CAST(greatest(length(text)-4, 0) AS BIGINT) AS n_positions
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            graft.functions.explode_shingles(col("text"), 5).as(Seq("pos", "shingle")))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("shingle")).as("n_shingles"),
+            count(lit(1)).as("n_positions"))
+          .orderBy("doc_id")),
+
     // Banded self-join: same-user event pairs within 60 s, via width-w cell
     // quantization + neighbor explode -> hash equi-join (no nested loop).
     Q("q_band_join",

@@ -115,6 +115,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(spark.sql("SELECT unaccent('über') AS u").collect()(0).getString(0) == "uber")
   }
 
+  test("shingle UDTF streams (pos, shingle) rows; SQL LATERAL VIEW works") {
+    import spark.implicits._
+    val out = Seq(("abcdef")).toDF("s")
+      .select(graft.functions.explode_shingles(col("s"), 3).as(Seq("pos", "shingle")))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((0, "abc"), (1, "bcd"), (2, "cde"), (3, "def")))
+    // short and null inputs yield no rows instead of erroring
+    assert(Seq(("ab")).toDF("s")
+      .select(graft.functions.explode_shingles(col("s"), 3)).count() == 0)
+    assert(Seq((null.asInstanceOf[String])).toDF("s")
+      .select(graft.functions.explode_shingles(col("s"), 3)).count() == 0)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT t.pos, t.shingle FROM (SELECT 'xyzw' AS s)
+        |LATERAL VIEW explode_shingles(s, 2) t AS pos, shingle""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(viaSql == Seq((0, "xy"), (1, "yz"), (2, "zw")))
+  }
+
   test("observe metrics ride the job: row/null/distinct counters delivered") {
     val (listener, sink) = graft.operators.Metrics.listen(spark)
     try {
