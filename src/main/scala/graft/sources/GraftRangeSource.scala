@@ -55,12 +55,14 @@ private[sources] class GraftRangeTable(rows: Long, parts: Int)
   override def name(): String = s"graftrange($rows,$parts)"
   override def schema(): StructType = GraftRangeSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(rows, parts)
+    new GraftRangeScanBuilder(rows, parts,
+      Option(options.get("rowsPerBatch")).map(_.toLong).getOrElse(100L))
 }
 
-private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int)
+private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int,
+    rowsPerBatch: Long = 100L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -112,6 +114,10 @@ private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int)
 
     override def createReaderFactory(): PartitionReaderFactory =
       new RangeReaderFactory(required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String):
+        org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GraftRangeMicroBatchStream(rows, parts, rowsPerBatch, required.fieldNames)
   }
 }
 
@@ -133,4 +139,42 @@ private[sources] class RangeReaderFactory(cols: Array[String])
       override def close(): Unit = ()
     }
   }
+}
+
+/** Streaming extension of the graftrange source: each micro-batch emits the
+  * next `rowsPerBatch` ids until `rows` are exhausted — a deterministic,
+  * replayable rate-style stream. Offsets are plain "last id emitted"
+  * watermarks, so restart-from-checkpoint replays exactly the uncommitted
+  * tail (the same contract a file/kafka source honors).
+  */
+private[sources] class GraftRangeMicroBatchStream(rows: Long, parts: Int,
+    rowsPerBatch: Long, cols: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private case class IdOffset(last: Long) extends SOffset {
+    override def json(): String = last.toString
+  }
+
+  @volatile private var emitted: Long = 0L
+
+  override def initialOffset(): SOffset = IdOffset(0L)
+  override def deserializeOffset(json: String): SOffset = IdOffset(json.toLong)
+  override def latestOffset(): SOffset = {
+    emitted = math.min(rows, emitted + rowsPerBatch)
+    IdOffset(emitted)
+  }
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IdOffset].last
+    val e = end.asInstanceOf[IdOffset].last
+    val per = math.max(1L, (e - s + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(p => RangePartition(s + p * per, math.min(s + (p + 1) * per, e)))
+      .filter(ip => ip.start < ip.end)
+      .toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(cols)
+  override def commit(offset: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -132,6 +132,23 @@ class SourcesSpec extends SparkTestBase {
     assert(df.filter(col("payload") === "row-7").count() == 1)
   }
 
+  test("DSv2 source streams micro-batches until the row budget is spent") {
+    val stream = spark.readStream.format("graftrange")
+      .option("rows", "250").option("parts", "3").option("rowsPerBatch", "100")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graftrange_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graftrange_out")
+      assert(got.count() == 250, "stream did not deliver all rows")
+      // deterministic content and no duplicates across batches
+      assert(got.select("id").distinct().count() == 250)
+      val r = got.filter(col("id") === 123).collect()(0)
+      assert(r.getDouble(1) == 61.5 && r.getString(2) == "row-123")
+    } finally q.stop()
+  }
+
   test("DSv2 source: column pruning reaches the reader") {
     val df = spark.read.format("graftrange")
       .option("rows", "100").option("parts", "2").load()
