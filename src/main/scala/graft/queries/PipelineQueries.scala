@@ -372,6 +372,61 @@ object PipelineQueries {
             chunkTokens = 50, strideTokens = 40, maxChunks = 8)
           .orderBy("doc_id", "chunk_idx")),
 
+    // PII redaction: email/phone/id-number patterns replaced with typed
+    // placeholder tokens — the standard scrub pass before training. The
+    // corpus is synthetic ASCII, so representative PII is injected
+    // deterministically per doc_id and must come back out redacted.
+    Q("q_redact",
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    'mail me at user' || doc_id || '@example.com or +1-555-000-' || doc_id || ' ssn 123-45-6789 ' || text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+             |    '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val injected = concat(
+          lit("mail me at user"), col("doc_id"), lit("@example.com or +1-555-000-"),
+          col("doc_id"), lit(" ssn 123-45-6789 "), col("text"))
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(injected,
+              lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+              lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"), lit("<ID>")),
+              lit("\\+?[0-9][0-9()\\s.-]{6,}[0-9]"), lit("<PHONE>")).as("redacted"))
+          .orderBy("doc_id")
+      }),
+
+    // Gopher-style document quality rules (Rae et al. '21 §A1.1): per-doc
+    // boolean gates on word count, mean word length, symbol ratio and
+    // lexical diversity — integer/flag outputs, exactly reproducible.
+    Q("q_gopher_rules",
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  (len(string_split(text, ' ')) BETWEEN 50 AND 100000) AS wc_ok,
+             |  (CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             |     BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)) AS mwl_ok,
+             |  (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             |     <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)) AS sym_ok,
+             |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |     >= CAST(0.2 AS DOUBLE) * CAST(len(string_split(text, ' ')) AS DOUBLE)) AS div_ok
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toksC = split(col("text"), " ")
+        val nW = size(toksC).cast("double")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(toksC).cast("long").as("n_words"),
+            size(toksC).between(50, 100000).as("wc_ok"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
+              .between(3.0, 10.0).as("mwl_ok"),
+            (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+              <= lit(0.1) * length(col("text")).cast("double")).as("sym_ok"),
+            (size(array_distinct(toksC)).cast("double")
+              >= lit(0.2) * size(toksC).cast("double")).as("div_ok"))
+          .orderBy("doc_id")
+      }),
+
     // Corpus-quantile quality filter: keep docs at/above the 25th-percentile
     // quality score. The threshold is ONE tree-aggregated scalar broadcast
     // into a map-side filter — no global sort, no single-partition window —
