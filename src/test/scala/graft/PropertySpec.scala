@@ -114,6 +114,45 @@ class PropertySpec extends SparkTestBase {
     assert(fast == naive, s"band join mismatch: extra=${fast -- naive} missing=${naive -- fast}")
   }
 
+  test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
+    import graft.functions._
+    val docs = Tables.t(spark, sf, "documents").limit(100)
+    val emb = Tables.t(spark, sf, "embeddings").limit(50)
+    val shingles = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+    def docsOut() = docs.select(col("doc_id"),
+        unaccent(concat(lit("Çafé "), col("text"))).as("u"),
+        fingerprint64(col("text")).as("fp"),
+        simhash64(split(col("text"), " ")).as("sh"),
+        minhash_sig(shingles, 32).as("mh"),
+        winnow_fingerprints(col("text")).as("wf"),
+        sorted_intersect_size(
+          minhash_sig(shingles, 16), minhash_sig(shingles, 16)).as("sis"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    def embOut() = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)
+      .select(col("a.vec_id"), col("b.vec_id"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("cos"),
+        dot_product(col("a.embedding"), col("b.embedding")).as("dot"),
+        euclidean_dist(col("a.embedding"), col("b.embedding")).as("l2"),
+        hamming64(fingerprint64(col("a.vec_id").cast("string")),
+          fingerprint64(col("b.vec_id").cast("string"))).as("ham"))
+      .orderBy("a.vec_id", "b.vec_id").collect().map(_.toString).toSeq
+    val mode = "spark.sql.codegen.factoryMode"
+    val saved = spark.conf.getOption(mode)
+    try {
+      spark.conf.set(mode, "CODEGEN_ONLY")
+      val (d1, e1) = (docsOut(), embOut())
+      spark.conf.set(mode, "NO_CODEGEN")
+      val (d2, e2) = (docsOut(), embOut())
+      assert(d1 == d2, "docs expressions diverge between codegen and interpreted")
+      assert(e1 == e2, "vector expressions diverge between codegen and interpreted")
+    } finally saved match {
+      case Some(v) => spark.conf.set(mode, v)
+      case None    => spark.conf.unset(mode)
+    }
+  }
+
   test("minhash estimator is unbiased-ish across generated token sets") {
     import spark.implicits._
     forAllSeeds(Seq(0, 3, 9, 14, 19)) { sv =>
