@@ -80,10 +80,12 @@ object TextAnalysis {
     val avgTok  = nChars / (nToks + lit(1.0))
     val lenOk   = when(avgTok.between(3.0, 12.0), 1.0).otherwise(0.5)
     val diverse = nUniq / (nToks + lit(1.0))
-    val anyStop = stopwords.map { case (_, ws) =>
-      size(array_intersect(toks, typedLit(ws)))
-    }.reduce(_ + _)
-    val stopOk  = when(anyStop > 0, 1.0).otherwise(0.3)
+    // any-stopword test: one overlap probe against the union vocabulary
+    // (equivalent to summing per-language intersections > 0, one pass,
+    // early exit) — the per-language intersects cost 5 hash-set builds/row
+    val anyStop = arrays_overlap(toks,
+      typedLit(stopwords.flatMap(_._2).distinct))
+    val stopOk  = when(anyStop, 1.0).otherwise(0.3)
     alpha * 0.3 + lenOk * 0.2 + diverse * 0.2 + stopOk * 0.3
   }
 
@@ -101,11 +103,9 @@ object TextAnalysis {
     val avgTok = s"($nChars / ($nToks + ${d("1.0")}))"
     val lenOk = s"(CASE WHEN $avgTok BETWEEN ${d("3.0")} AND ${d("12.0")} THEN ${d("1.0")} ELSE ${d("0.5")} END)"
     val diverse = s"($nUniq / ($nToks + ${d("1.0")}))"
-    val anyStop = stopwords.map { case (_, ws) =>
-      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_intersect($toks, $lst))"
-    }.mkString(" + ")
-    val stopOk = s"(CASE WHEN $anyStop > 0 THEN ${d("1.0")} ELSE ${d("0.3")} END)"
+    val unionVocab = stopwords.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopOk = s"(CASE WHEN list_has_any($toks, $unionVocab) THEN ${d("1.0")} ELSE ${d("0.3")} END)"
     s"($alpha * ${d("0.3")} + $lenOk * ${d("0.2")} + $diverse * ${d("0.2")} + $stopOk * ${d("0.3")})"
   }
 
