@@ -42,6 +42,14 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Input is either array<string> tokens (hashed here) or array<long>
+    * pre-hashed tokens (e.g. from [[HashedShingles]] — used as-is).
+    */
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
   private lazy val as: Array[Long] =
     Array.tabulate(k)(i => Hashing64.splitmix(seed + 2L * i) | 1L) // odd multiplier
   private lazy val bs: Array[Long] =
@@ -54,7 +62,8 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = Hashing64.hashUtf8(arr.getUTF8String(j), seed)
+        val h = if (preHashed) arr.getLong(j)
+          else Hashing64.hashUtf8(arr.getUTF8String(j), seed)
         var i = 0
         while (i < k) {
           val g = as(i) * h + bs(i)
@@ -72,6 +81,10 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
       org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
     val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    val hExpr = (c: String, j: String) =>
+      if (preHashed) s"$c.getLong($j)"
+      else s"org.apache.spark.sql.catalyst.expressions.XXH64" +
+        s".hashUTF8String($c.getUTF8String($j), ${seed}L)"
     nullSafeCodeGen(ctx, ev, c => {
       val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
       val j = ctx.freshName("j"); val i = ctx.freshName("i")
@@ -82,8 +95,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$c.isNullAt($j)) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUTF8String($c.getUTF8String($j), ${seed}L);
+         |    long $h = ${hExpr(c, j)};
          |    for (int $i = 0; $i < $k; $i++) {
          |      long $g = $asRef[$i] * $h + $bsRef[$i];
          |      if ($g < $mins[$i]) $mins[$i] = $g;
@@ -388,6 +400,64 @@ case class ExplodeShingles(child: Expression, k: Int)
       }
     }
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Byte-level rolling shingle hasher: xxhash64 of every k-byte window of
+  * the UTF-8 payload, sorted + deduplicated. Produces exactly the same
+  * hash set as `sort_array(array_distinct(transform(<substrings>,
+  * xxhash64)))` on ASCII text (XXH64 over the same byte slices, same
+  * seed), but allocates no substring objects and no intermediate arrays —
+  * one long[] per document. On a shingling-heavy near-dedup pass this is
+  * the difference between allocation-bound and hash-bound. Windows are
+  * BYTE windows: on multi-byte UTF-8 they may split code points (set
+  * semantics still consistent engine-side; char-exact oracles assume
+  * ASCII, which this corpus is).
+  */
+object ShingleHash {
+  def hashedShingles(s: UTF8String, k: Int, seed: Long): ArrayData = {
+    val n = s.numBytes() - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XXH64.hashUnsafeBytes(base, off + i, k, seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** Sorted distinct k-byte-window hashes of a string (codegen'd through a
+  * single static call). Drop-in replacement for the substring-based
+  * shingle chain wherever only hash-set identity matters (Jaccard,
+  * MinHash, winnowing-style overlap).
+  */
+case class HashedShingles(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(k > 0, "shingle length must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHash.hashedShingles(v.asInstanceOf[UTF8String], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.ShingleHash.hashedShingles($c, $k, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -45,6 +45,10 @@ package object functions {
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 
+  /** Sorted distinct k-byte-window hashes (allocation-free shingling). */
+  def hashed_shingles(s: Column, k: Int, seed: Long = 42L): Column =
+    c(HashedShingles(e(s), k, seed))
+
   /** Lazy char-k-gram shingle UDTF: one (pos, shingle) row per position. */
   def explode_shingles(s: Column, k: Int): Column = c(ExplodeShingles(e(s), k))
 

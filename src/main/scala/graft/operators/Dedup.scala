@@ -31,6 +31,14 @@ object Dedup {
   private def hashedToks(c: Column): Column =
     sort_array(array_distinct(transform(c, t => xxhash64(t))))
 
+  /** Byte-level hashed char-k shingles — same hash set as
+    * `hashedToks(<substring shingles>)` on ASCII text, with zero string
+    * allocation (one rolling-hash pass per document). The scale path for
+    * shingling-heavy dedup.
+    */
+  def shinglesHashed(text: Column, k: Int = 5): Column =
+    graft.functions.hashed_shingles(text, k)
+
   /** Jaccard over pre-sorted hashed token arrays: codegen'd two-pointer
     * intersection, sizes-only union arithmetic. Same value as [[jaccard]]
     * on the corresponding sets.
@@ -83,11 +91,23 @@ object Dedup {
     * dedup affordable against a 100 TB corpus.
     */
   def minHashIncremental(newDf: DataFrame, corpus: DataFrame, idCol: String,
-      toksCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame = {
+      toksCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+    minHashIncrementalCore(newDf, corpus, idCol, toksCol, hashedToks(toksCol),
+      threshold, k, bands)
+
+  /** [[minHashIncremental]] over pre-hashed shingles ([[shinglesHashed]]). */
+  def minHashIncrementalHashed(newDf: DataFrame, corpus: DataFrame, idCol: String,
+      hashedCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+    minHashIncrementalCore(newDf, corpus, idCol, hashedCol, hashedCol,
+      threshold, k, bands)
+
+  private def minHashIncrementalCore(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, sigInput: Column, verifToks: Column, threshold: Double,
+      k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     def banded(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"), minhash_sig(toksCol, k).as("sig"))
+      df.select(col(idCol).as(s"${side}_id"), minhash_sig(sigInput, k).as("sig"))
         .select(col(s"${side}_id"), posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), " +
             s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
@@ -96,8 +116,8 @@ object Dedup {
       .join(banded(corpus, "old").withColumnRenamed("old_bh", "new_bh"),
         Seq("band", "new_bh"))
       .select("new_id", "old_id").distinct()
-    val newToks = newDf.select(col(idCol).as("new_id"), hashedToks(toksCol).as("toks_a"))
-    val oldToks = corpus.select(col(idCol).as("old_id"), hashedToks(toksCol).as("toks_b"))
+    val newToks = newDf.select(col(idCol).as("new_id"), verifToks.as("toks_a"))
+    val oldToks = corpus.select(col(idCol).as("old_id"), verifToks.as("toks_b"))
     cand.join(newToks, "new_id").join(oldToks, "old_id")
       .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
@@ -109,13 +129,22 @@ object Dedup {
     * use [[minHashPairs]] beyond that.
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, toksCol: Column,
+      threshold: Double): DataFrame =
+    exactJaccardCore(df, idCol, hashedToks(toksCol), threshold)
+
+  /** [[exactJaccardPairs]] over pre-hashed shingles ([[shinglesHashed]]). */
+  def exactJaccardPairsHashed(df: DataFrame, idCol: String, hashedCol: Column,
+      threshold: Double): DataFrame =
+    exactJaccardCore(df, idCol, hashedCol, threshold)
+
+  private def exactJaccardCore(df: DataFrame, idCol: String, hashed: Column,
       threshold: Double): DataFrame = {
     // The id_a < id_b condition makes this a broadcast nested-loop join;
     // without an explicit repartition the streamed side of a small input
     // is a single partition and the O(n^2) verification runs serially.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(col(idCol).as("id_a"), hashedToks(toksCol).as("toks_a")).repartition(par)
-    val b = df.select(col(idCol).as("id_b"), hashedToks(toksCol).as("toks_b"))
+    val a = df.select(col(idCol).as("id_a"), hashed.as("toks_a")).repartition(par)
+    val b = df.select(col(idCol).as("id_b"), hashed.as("toks_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
@@ -140,12 +169,25 @@ object Dedup {
     * `bands`' r or pre-filter stop-shingles.
     */
   def minHashPairs(df: DataFrame, idCol: String, toksCol: Column,
-      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame = {
+      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+    minHashCore(df, idCol, toksCol, hashedToks(toksCol), threshold, k, bands)
+
+  /** [[minHashPairs]] over pre-hashed sorted-distinct shingles (see
+    * [[shinglesHashed]]): the signature reads the longs directly and the
+    * verification arrays need no re-hash/sort — one shingling pass per
+    * scan instead of a string-materializing chain.
+    */
+  def minHashPairsHashed(df: DataFrame, idCol: String, hashedCol: Column,
+      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+    minHashCore(df, idCol, hashedCol, hashedCol, threshold, k, bands)
+
+  private def minHashCore(df: DataFrame, idCol: String, sigInput: Column,
+      verifToks: Column, threshold: Double, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val base = df.select(col(idCol).as("id"), toksCol.as("toks"))
+    val base = df.select(col(idCol).as("id"), sigInput.as("toks"))
     val sig = base.select(col("id"), minhash_sig(col("toks"), k).as("sig"))
-    val verif = df.select(col(idCol).as("id"), hashedToks(toksCol).as("toks"))
+    val verif = df.select(col(idCol).as("id"), verifToks.as("toks"))
     // band hash = xxhash64 over the band's slice of the signature, salted
     // with the band index so bands hash independently.
     val banded = sig.select(col("id"), posexplode(

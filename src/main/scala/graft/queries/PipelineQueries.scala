@@ -61,10 +61,10 @@ object PipelineQueries {
     Q("q_dedup_incr_near", None,
       (s, d) => {
         val docs = t(s, d, "documents")
-        Dedup.minHashIncremental(
+        Dedup.minHashIncrementalHashed(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
-          "doc_id", expr(shingleSql), threshold = 0.9)
+          "doc_id", Dedup.shinglesHashed(col("text"), 5), threshold = 0.9)
           .orderBy("new_id", "old_id")
       }),
 
@@ -81,8 +81,8 @@ object PipelineQueries {
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.minHashPairs(t(s, d, "documents"), "doc_id", expr(shingleSql),
-            threshold = 0.7, k = 126, bands = 21)
+        Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+            Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
           .orderBy("id_a", "id_b")),
 
     // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
@@ -98,8 +98,8 @@ object PipelineQueries {
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.exactJaccardPairs(t(s, d, "documents").filter(col("doc_id") < 1000),
-            "doc_id", expr(shingleSql), 0.3)
+        Dedup.exactJaccardPairsHashed(t(s, d, "documents").filter(col("doc_id") < 1000),
+            "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dedup — engine-specific hash bits, rows-only check.

@@ -35,6 +35,20 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // corpus does contain near-dups
   }
 
+  test("hashed shingles == xxhash64 of substring shingles (ASCII)") {
+    val viaStrings = docs.select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"),
+          t => xxhash64(t)))).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val viaBytes = docs.select(col("doc_id"),
+        graft.operators.Dedup.shinglesHashed(col("text"), 5).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    viaStrings.zip(viaBytes).foreach { case (a, b) =>
+      assert(a == b, "byte-window hashes differ from substring hashes")
+    }
+  }
+
   test("incremental exact dedup: only unseen content survives, min id kept") {
     import spark.implicits._
     val corpus = Seq((10L, "seen-one"), (11L, "seen-two")).toDF("id", "text")
