@@ -249,7 +249,10 @@ object Dedup {
     val tables = array((0 until nTables).map { t =>
       Similarity.hyperplaneBuckets(col(vecCol), nPlanes, dim, seed + t * 7919L)
     }: _*)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // ids + bucket keys only: carrying the vector through the x nTables
+    // explode and self-join would multiply the shuffle payload by the
+    // vector width for no reason (vectors are re-joined for verification)
+    val banded = df.select(col(idCol).as("id"),
       posexplode(tables).as(Seq("tbl", "bucket")))
     val cand = banded.as("a")
       .join(banded.as("b"),
