@@ -121,6 +121,12 @@ case class SimHash64(child: Expression, seed: Long)
 
   override def dataType: DataType = LongType
 
+  /** array<string> tokens (hashed here) or array<long> pre-hashed tokens. */
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
@@ -128,7 +134,8 @@ case class SimHash64(child: Expression, seed: Long)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = Hashing64.hashUtf8(arr.getUTF8String(j), seed)
+        val h = if (preHashed) arr.getLong(j)
+          else Hashing64.hashUtf8(arr.getUTF8String(j), seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -143,7 +150,11 @@ case class SimHash64(child: Expression, seed: Long)
     out
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hExpr = (c: String, j: String) =>
+      if (preHashed) s"$c.getLong($j)"
+      else s"org.apache.spark.sql.catalyst.expressions.XXH64" +
+        s".hashUTF8String($c.getUTF8String($j), ${seed}L)"
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
       val j = ctx.freshName("j"); val b = ctx.freshName("b")
@@ -153,8 +164,7 @@ case class SimHash64(child: Expression, seed: Long)
          |int $n = $c.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$c.isNullAt($j)) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUTF8String($c.getUTF8String($j), ${seed}L);
+         |    long $h = ${hExpr(c, j)};
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |    }
@@ -167,6 +177,7 @@ case class SimHash64(child: Expression, seed: Long)
          |${ev.value} = $out;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -458,6 +469,60 @@ case class HashedShingles(child: Expression, k: Int, seed: Long)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
         s"graft.functions.ShingleHash.hashedShingles($c, $k, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Byte-level whitespace tokenizer + hasher: xxhash64 of each
+  * ASCII-lowercased whitespace-delimited token, in document order (NOT
+  * deduplicated — SimHash weights repeated tokens by their count). Produces
+  * exactly the hash values of `transform(split(lower(text), '\\s+'),
+  * xxhash64)` on ASCII text, with no string or array materialization.
+  */
+object WordHash {
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == '\f'
+
+  def hashedWords(s: UTF8String, seed: Long): ArrayData = {
+    val n = s.numBytes()
+    val buf = new Array[Byte](n)
+    org.apache.spark.unsafe.Platform.copyMemory(
+      s.getBaseObject, s.getBaseOffset, buf,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n)
+    var i = 0
+    while (i < n) { // ASCII lowercase in place
+      val b = buf(i)
+      if (b >= 'A' && b <= 'Z') buf(i) = (b + 32).toByte
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    i = 0
+    while (i < n) {
+      while (i < n && isSpace(buf(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(buf(i))) i += 1
+      if (i > start) {
+        out += XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, seed)
+      }
+    }
+    new GenericArrayData(out.result())
+  }
+}
+
+/** Hashed word tokens of a string (codegen'd; see [[WordHash]]). */
+case class HashedWords(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordHash.hashedWords(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.WordHash.hashedWords($c, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -45,6 +45,10 @@ package object functions {
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 
+  /** Hashed lowercased whitespace tokens, in order (allocation-free). */
+  def hashed_words(s: Column, seed: Long = 42L): Column =
+    c(HashedWords(e(s), seed))
+
   /** Sorted distinct k-byte-window hashes (allocation-free shingling). */
   def hashed_shingles(s: Column, k: Int, seed: Long = 42L): Column =
     c(HashedShingles(e(s), k, seed))

@@ -103,10 +103,12 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dedup — engine-specific hash bits, rows-only check.
+    // hashed_words produces the same per-token hashes as
+    // tokens() + per-string xxhash64, with no token-array materialization.
     Q("q_dedup_simhash", None,
       (s, d) =>
         Dedup.simHashPairs(t(s, d, "documents"), "doc_id",
-            TextAnalysis.tokens(col("text")), maxHamming = 3)
+            graft.functions.hashed_words(col("text")), maxHamming = 3)
           .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-dup pairs (threshold below this corpus's max

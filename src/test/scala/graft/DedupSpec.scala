@@ -35,6 +35,25 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // corpus does contain near-dups
   }
 
+  test("hashed words == xxhash64 of split tokens; simhash values unchanged") {
+    val viaStrings = docs.select(col("doc_id"),
+        transform(split(lower(col("text")), "\\s+"), t => xxhash64(t)).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val viaBytes = docs.select(col("doc_id"),
+        graft.functions.hashed_words(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    viaStrings.zip(viaBytes).foreach { case (a, b) =>
+      assert(a == b, "byte-path word hashes differ from string-path")
+    }
+    val simStr = docs.select(
+        graft.functions.simhash64(graft.operators.TextAnalysis.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    val simHashed = docs.select(
+        graft.functions.simhash64(graft.functions.hashed_words(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(simStr == simHashed, "simhash differs between token paths")
+  }
+
   test("hashed shingles == xxhash64 of substring shingles (ASCII)") {
     val viaStrings = docs.select(col("doc_id"),
         sort_array(array_distinct(transform(
