@@ -151,6 +151,29 @@ object FunctionQueries {
           .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"))
           .orderBy("l_returnflag")),
 
+    // Nested types: struct construction + field access, map construction +
+    // key lookup + cardinality (the Struct type the reference declared but
+    // panics on, /root/reference/src/planner/logicalplan.rs:181,200).
+    Q("q_struct_map",
+      Some("""SELECT c_custkey,
+             |  struct_pack(name := c_name, seg := c_mktsegment).name AS sname,
+             |  struct_pack(name := c_name, seg := c_mktsegment).seg AS sseg,
+             |  map(['bal'], [c_acctbal])['bal'][1] AS mbal,
+             |  CAST(cardinality(map(['a','b'], [1, 2])) AS BIGINT) AS msize
+             |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val st = struct(col("c_name").as("name"), col("c_mktsegment").as("seg"))
+        t(s, d, "customer").filter(col("c_custkey") < 300)
+          .select(col("c_custkey"),
+            st.getField("name").as("sname"),
+            st.getField("seg").as("sseg"),
+            element_at(map_from_arrays(array(lit("bal")), array(col("c_acctbal"))), "bal")
+              .as("mbal"),
+            size(map_from_arrays(array(lit("a"), lit("b")), array(lit(1), lit(2))))
+              .cast("long").as("msize"))
+          .orderBy("c_custkey")
+      }),
+
     // Relational melt: wide -> long via Dataset.unpivot (ANSI UNPIVOT).
     Q("q_unpivot",
       Some("""SELECT c_custkey, k, v FROM (
