@@ -224,13 +224,9 @@ case class Fingerprint64(child: Expression, seed: Long)
   * plagiarism/near-dup detection; emitted as array<long> so set overlap is
   * a plain array_intersect.
   */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+object WinnowHash {
+  def fingerprints(v: UTF8String, k: Int, w: Int, seed: Long): ArrayData = {
+    val bytes = v.getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
@@ -257,6 +253,20 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowHash.fingerprints(v.asInstanceOf[UTF8String], k, w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.WinnowHash.fingerprints($c, $k, $w, ${seed}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
