@@ -4,6 +4,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, views}
 
+/** Top-level so Catalyst-generated deserializers can instantiate them. */
+case class Cust(c_custkey: Long, c_name: String, c_acctbal: Double)
+case class CustSummary(id: Long, tier: String, bal_cents: Long)
+
 /** The declared-but-rejected reference surface (SURVEY.md §2.2, M2):
   * aggregates (reference AggregateFunction node, logicalplan.rs:73-80, is
   * hard-rejected at :88), scalar functions (ScalarFunction node with zero
@@ -258,6 +262,62 @@ object RelationalQueries {
           .except(t(s, d, "orders").filter(col("o_totalprice") > 300000)
             .select(col("o_custkey").as("id")))
           .orderBy("id")),
+
+    // Typed Dataset[T] pipeline: case-class encoders, typed filter + map.
+    // The relational filter stays BEFORE .as[T] so pushdown still reaches
+    // the scan; the typed map is an opaque lambda to Catalyst (that's the
+    // documented trade-off of the typed API — use it for logic that truly
+    // needs Scala, not for predicates).
+    Q("q_typed",
+      Some("""SELECT c_custkey AS id,
+             |  CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
+             |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+             |FROM customer WHERE c_acctbal > 0 ORDER BY id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .as[Cust]
+          .map(c => CustSummary(c.c_custkey,
+            if (c.c_acctbal > 5000) "high" else "low",
+            math.round(c.c_acctbal * 100)))
+          .toDF()
+          .orderBy("id")
+      }),
+
+    // Multiset (ALL) set-op semantics: duplicates preserved by count.
+    Q("q_setops_all",
+      Some("""SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT l_orderkey AS id FROM lineitem WHERE l_orderkey < 100
+             |  INTERSECT ALL
+             |  SELECT l_orderkey AS id FROM lineitem WHERE l_quantity > 10)
+             |GROUP BY id ORDER BY id""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        li.filter(col("l_orderkey") < 100).select(col("l_orderkey").as("id"))
+          .intersectAll(li.filter(col("l_quantity") > 10)
+            .select(col("l_orderkey").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("n"))
+          .orderBy("id")
+      }),
+
+    // Schema-evolution-tolerant union: align by column NAME, null-fill
+    // missing columns (the ingestion reality of batch v1 + batch v2).
+    Q("q_union_byname",
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer WHERE c_custkey < 50
+             |  UNION ALL BY NAME
+             |  SELECT s_name AS name, s_suppkey + 100000 AS id FROM supplier)
+             |ORDER BY id""".stripMargin),
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_custkey") < 50)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("bal"))
+        val b = t(s, d, "supplier")
+          .select(col("s_name").as("name"), (col("s_suppkey") + 100000).as("id"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("id")
+      }),
 
     // ---- window functions ----------------------------------------------
 
