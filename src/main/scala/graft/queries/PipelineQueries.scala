@@ -146,6 +146,33 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Scalar (min-max) int8 quantization of embeddings — the storage-side
+    // compression of a vector store (4x smaller, recall-neutral for
+    // re-ranked search). Emitted as exact integers: per-vector scale params
+    // in floored micros plus the code checksum, so the oracle comparison
+    // is bit-stable (floor, never round — FIXTURES.md §5).
+    Q("q_embed_quantize",
+      Some("""SELECT vec_id,
+             |  CAST(floor(CAST(list_min(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS lo_micros,
+             |  CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS hi_micros,
+             |  CAST(list_aggregate(list_transform(embedding,
+             |    x -> CAST(floor((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255
+             |         / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))) AS BIGINT)), 'sum') AS BIGINT) AS code_sum
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val lo = array_min(col("embedding")).cast("double")
+        val hi = array_max(col("embedding")).cast("double")
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            floor(lo * lit(1e6)).as("lo_micros"),
+            floor(hi * lit(1e6)).as("hi_micros"),
+            aggregate(
+              transform(col("embedding"),
+                x => floor((x.cast("double") - lo) * 255 / (hi - lo))),
+              lit(0L), (acc, x) => acc + x).as("code_sum"))
+          .orderBy("vec_id")
+      }),
+
     // Per-label centroid accumulation (the reduce step of k-means / class
     // prototypes): posexplode to (label, dim) and aggregate exact integer
     // micros — order-independent, so the result is identical at any
