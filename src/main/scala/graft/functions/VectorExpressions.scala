@@ -184,3 +184,117 @@ case class EuclideanDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** All sign-LSH bucket ids for a vector in ONE fused pass: `nTables`
+  * independent tables of `nPlanes` hyperplanes each, bucket bit p set iff
+  * dot(vec, plane_p) > 0. Returns array<long> of length nTables.
+  *
+  * Replaces nTables*nPlanes separate dot-product-vs-literal expressions —
+  * whose generated code re-reads the vector and boxes a literal array per
+  * plane — with a triple loop over one flat coefficient table
+  * (nTables*nPlanes*dim doubles, shipped once via a codegen reference).
+  * Plane values are identical to Similarity.hyperplanes(nPlanes, dim,
+  * tableSeed(t)) so bucket ids match the composed form bit-for-bit.
+  */
+case class SignLshBuckets(child: Expression, nPlanes: Int, nTables: Int,
+    dim: Int, seed: Long, tableSeedStride: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def getter: String =
+    if (child.dataType.asInstanceOf[ArrayType].elementType == FloatType) "getFloat"
+    else "getDouble"
+
+  /** Flat [t][p][i] coefficient table, matching Similarity.hyperplanes. */
+  private lazy val coef: Array[Double] = {
+    val out = new Array[Double](nTables * nPlanes * dim)
+    var t = 0
+    while (t < nTables) {
+      val s = seed + t * tableSeedStride
+      var p = 0
+      while (p < nPlanes) {
+        var i = 0
+        while (i < dim) {
+          val bits = graft.functions.Hashing64.splitmix(s + p.toLong * dim + i)
+          out((t * nPlanes + p) * dim + i) = bits.toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val isFloat = getter == "getFloat"
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        val base = (t * nPlanes + p) * dim
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          dot += x * coef(base + i)
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val coefRef = ctx.addReferenceObj("lshCoef", coef, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val bucket = ctx.freshName("bucket")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $dot = 0.0;
+         |    int $base = ($t * $nPlanes + $p) * $dim;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += ((double) $c.$getter($i)) * $coefRef[$base + $i];
+         |    }
+         |    if ($dot > 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

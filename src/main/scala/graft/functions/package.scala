@@ -45,6 +45,11 @@ package object functions {
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 
+  /** All sign-LSH table buckets of a vector in one fused pass. */
+  def sign_lsh_buckets(vec: Column, nPlanes: Int, nTables: Int, dim: Int,
+      seed: Long = 42L, tableSeedStride: Long = 7919L): Column =
+    c(SignLshBuckets(e(vec), nPlanes, nTables, dim, seed, tableSeedStride))
+
   /** Hashed lowercased whitespace tokens, in order (allocation-free). */
   def hashed_words(s: Column, seed: Long = 42L): Column =
     c(HashedWords(e(s), seed))

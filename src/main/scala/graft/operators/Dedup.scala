@@ -246,9 +246,10 @@ object Dedup {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 6, nTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = array((0 until nTables).map { t =>
-      Similarity.hyperplaneBuckets(col(vecCol), nPlanes, dim, seed + t * 7919L)
-    }: _*)
+    // one fused expression for all tables' buckets (identical ids to the
+    // composed per-plane dot-product form, ~100x less generated code)
+    val tables = graft.functions.sign_lsh_buckets(
+      col(vecCol), nPlanes, nTables, dim, seed)
     // ids + bucket keys only: carrying the vector through the x nTables
     // explode and self-join would multiply the shuffle payload by the
     // vector width for no reason (vectors are re-joined for verification)

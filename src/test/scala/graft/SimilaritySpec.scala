@@ -38,6 +38,21 @@ class SimilaritySpec extends SparkTestBase {
       .collect()(0).getDouble(0) == 1.0)
   }
 
+  test("fused sign_lsh_buckets == composed per-plane hyperplane buckets") {
+    val composed = emb.select(col("vec_id"),
+        array((0 until 4).map { t =>
+          graft.operators.Similarity.hyperplaneBuckets(
+            col("embedding"), 6, 64, 42L + t * 7919L)
+        }: _*).as("b"))
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1))
+    val fused = emb.select(col("vec_id"),
+        graft.functions.sign_lsh_buckets(col("embedding"), 6, 4, 64).as("b"))
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1))
+    composed.zip(fused).foreach { case (a, b) =>
+      assert(a == b, "fused LSH buckets differ from composed form")
+    }
+  }
+
   test("bruteForceKnn returns exactly k deterministic neighbors per query") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 7)
