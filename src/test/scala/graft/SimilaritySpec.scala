@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkTestBase {
       .collect()(0).getDouble(0) == 1.0)
   }
 
+  test("vector expressions reject non-vector inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "not a vector")).toDF("id", "s")
+    def analysisFails(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](f.collect())
+      assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
+    }
+    analysisFails(df.select(graft.functions.cosine_sim(col("s"), col("s"))))
+    analysisFails(df.select(graft.functions.euclidean_dist(col("s"), col("s"))))
+    analysisFails(df.select(graft.functions.sign_lsh_buckets(col("s"), 6, 4, 64)))
+    analysisFails(df.select(graft.functions.sorted_intersect_size(col("s"), col("s"))))
+  }
+
   test("fused sign_lsh_buckets == composed per-plane hyperplane buckets") {
     val composed = emb.select(col("vec_id"),
         array((0 until 4).map { t =>
