@@ -40,6 +40,64 @@ object AsOfJoin {
     carried.filter(col("__side") === 1).drop("__ts", "__side")
   }
 
+  /** Forward as-of: each left row matches the EARLIEST right row with
+    * rightTs >= leftTs (inclusive) — the other half of pandas
+    * merge_asof(direction=). Identical union-tag shape, scanned in
+    * descending time order so last(ignoreNulls) carries the next right
+    * row backward.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((keyCol +: rightTsCol +: payloadCols).map(col): _*)
+      .withColumnRenamed(rightTsCol, "__rts")
+      .withColumn("__ts", col("__rts"))
+      .drop("__rts")
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Backward as-of with a staleness bound: matches older than
+    * `toleranceSec` before the left timestamp are nulled out (pandas
+    * merge_asof(tolerance=)). The match timestamp rides the same window
+    * pass, so tolerance costs no extra shuffle.
+    */
+  def backwardTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payloadCols: Seq[String],
+      toleranceSec: Long): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((keyCol +: rightTsCol +: payloadCols).map(col): _*)
+      .withColumnRenamed(rightTsCol, "__rts")
+      .withColumn("__ts", col("__rts"))
+      .drop("__rts")
+      .withColumn("__mts", col("__ts"))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (payloadCols :+ "__mts").foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    val fresh = col("__mts") >= col("__ts") - expr(s"INTERVAL $toleranceSec SECONDS")
+    val bounded = payloadCols.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }
+    bounded.filter(col("__side") === 1).drop("__ts", "__mts", "__side")
+  }
+
   /** The same semantics through the custom-operator path: a Catalyst
     * logical node ([[graft.plans.AsOfJoinNode]]) lowered by a planner
     * strategy to a merge-based physical operator. Registered lazily on the

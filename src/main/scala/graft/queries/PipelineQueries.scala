@@ -557,6 +557,42 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // Forward as-of: earliest error at-or-after each event.
+    Q("q_asof_forward",
+      Some("""SELECT e.event_id, err.event_id AS next_error_id
+             |FROM (SELECT * FROM events WHERE user_id < 20) e
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) err
+             |  ON e.user_id = err.user_id AND e.ts <= err.ts
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("next_error_id"))
+        AsOfJoin.forward(ev, errs, "user_id", "ts", "ts", Seq("next_error_id"))
+          .select("event_id", "next_error_id")
+          .orderBy("event_id")
+      }),
+
+    // Backward as-of with staleness bound: matches older than 1 h are null.
+    Q("q_asof_tolerance",
+      Some("""SELECT e.event_id,
+             |  CASE WHEN err.ts >= e.ts - INTERVAL 1 HOUR THEN err.event_id END AS recent_error_id
+             |FROM (SELECT * FROM events WHERE user_id < 20) e
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) err
+             |  ON e.user_id = err.user_id AND e.ts >= err.ts
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("recent_error_id"))
+        AsOfJoin.backwardTolerance(ev, errs, "user_id", "ts", "ts",
+            Seq("recent_error_id"), toleranceSec = 3600)
+          .select("event_id", "recent_error_id")
+          .orderBy("event_id")
+      }),
+
     // Same as-of semantics through the custom Catalyst operator path
     // (AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec merge): one oracle,
     // two independent implementations.
