@@ -89,6 +89,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LessThan(vec_id,5)"), "query-side filter not pushed")
   }
 
+  test("native as-of join lowers to the custom merge exec, no nested loop") {
+    val p = physical("q_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom operator missing from plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "as-of fell back to a nested loop")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"more than one exchange per side:\n$p")
+  }
+
   test("band join is a hash equi-join on (key, cell), not a nested loop") {
     val p = physical("q_band_join")
     assert(!p.contains("BroadcastNestedLoopJoin"),
