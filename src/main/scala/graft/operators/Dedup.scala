@@ -145,7 +145,13 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), hashed.as("toks_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), hashed.as("toks_b"))
+    // size-ratio prefilter: |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
+    // jac <= min/max — pairs failing the cheap ratio bound skip the
+    // two-pointer merge entirely. Exact results unchanged.
+    val na = size(col("toks_a")).cast("double")
+    val nb = size(col("toks_b")).cast("double")
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(least(na, nb) >= lit(threshold) * greatest(na, nb))
       .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
