@@ -129,10 +129,14 @@ object Similarity {
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nPlanes: Int = 12, dim: Int = 64, nProbes: Int = 1, seed: Long = 42L): DataFrame = {
+    // fused single-table bucket expression (identical ids to the composed
+    // per-plane form; see SimilaritySpec's identity test)
+    def bucket1(vec: org.apache.spark.sql.Column) =
+      element_at(graft.functions.sign_lsh_buckets(vec, nPlanes, 1, dim, seed), 1)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      hyperplaneBuckets(col(vecCol), nPlanes, dim, seed).as("bucket"))
+      bucket1(col(vecCol)).as("bucket"))
     val qBase = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      hyperplaneBuckets(col(vecCol), nPlanes, dim, seed).as("b0"))
+      bucket1(col(vecCol)).as("b0"))
     // multiprobe: the home bucket plus single-bit flips (hamming-1 probes)
     val probes = math.max(1, math.min(nProbes, nPlanes + 1))
     val q = qBase.select(col("q_id"), col("q_vec"), explode(
