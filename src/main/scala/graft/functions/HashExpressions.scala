@@ -39,8 +39,20 @@ private[graft] object Hashing64 {
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
 
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Reachable from SQL via the registered minhash_sig — reject non-token
+  // inputs at analysis time, not with an executor ClassCastException.
+  // array<bigint> is the documented pre-hashed-token form, not an accident.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string> tokens or array<bigint> " +
+            s"pre-hashed tokens, got ${other.simpleString}")
+    }
 
   /** Input is either array<string> tokens (hashed here) or array<long>
     * pre-hashed tokens (e.g. from [[HashedShingles]] — used as-is).
@@ -118,8 +130,19 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 case class SimHash64(child: Expression, seed: Long)
     extends UnaryExpression {
 
-
   override def dataType: DataType = LongType
+
+  // Same analysis-time guard as MinHashSignature (SQL-reachable via
+  // simhash64); array<bigint> means pre-hashed tokens by contract.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string> tokens or array<bigint> " +
+            s"pre-hashed tokens, got ${other.simpleString}")
+    }
 
   /** array<string> tokens (hashed here) or array<long> pre-hashed tokens. */
   private lazy val preHashed: Boolean = child.dataType match {
@@ -371,6 +394,81 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  else { $c++; $i++; $j++; }
          |}
          |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PPJoin-style prefix filter over SORTED long arrays (Xiao et al.,
+  * WWW '08; Chaudhuri et al., ICDE '06 SSJoin): for Jaccard >= t the
+  * required overlap is alpha_a = ceil(t*|A|) (since |A∪B| >= |A|), and any
+  * pair with |A∩B| >= alpha must share its SMALLEST common element within
+  * the first |A|-alpha_a+1 elements of A and |B|-alpha_b+1 of B. Disjoint
+  * prefixes therefore prove jac < t — an O(prefix) reject (~(1-t) of a
+  * full merge) that never drops a true pair. Used between the cheap
+  * size-ratio bound and the full two-pointer merge in all-pairs Jaccard.
+  */
+case class PrefixOverlap(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"prefix_overlap expects sorted array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    if (n == 0 || m == 0) n == 0 && m == 0
+    else {
+      val pa = n - math.ceil(threshold * n).toInt + 1
+      val pb = m - math.ceil(threshold * m).toInt + 1
+      var i = 0; var j = 0; var found = false
+      while (!found && i < pa && j < pb) {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi < yj) i += 1
+        else if (xi > yj) j += 1
+        else found = true
+      }
+      found
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val pa = ctx.freshName("pa"); val pb = ctx.freshName("pb")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |boolean $found;
+         |if ($n == 0 || $m == 0) {
+         |  $found = ($n == 0 && $m == 0);
+         |} else {
+         |  int $pa = $n - (int) Math.ceil($threshold * $n) + 1;
+         |  int $pb = $m - (int) Math.ceil($threshold * $m) + 1;
+         |  $found = false;
+         |  int $i = 0, $j = 0;
+         |  while (!$found && $i < $pa && $j < $pb) {
+         |    long xv = $a.getLong($i); long yv = $b.getLong($j);
+         |    if (xv < yv) $i++;
+         |    else if (xv > yv) $j++;
+         |    else $found = true;
+         |  }
+         |}
+         |${ev.value} = $found;
        """.stripMargin
     })
 

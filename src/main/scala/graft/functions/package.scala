@@ -39,6 +39,12 @@ package object functions {
   def sorted_intersect_size(a: Column, b: Column): Column =
     c(SortedIntersectSize(e(a), e(b)))
 
+  /** PPJoin prefix filter: false proves Jaccard(a, b) < threshold for
+    * sorted array<long> inputs (codegen'd; never drops a true pair).
+    */
+  def prefix_overlap(a: Column, b: Column, threshold: Double): Column =
+    c(PrefixOverlap(e(a), e(b), threshold))
+
   /** Accent folding: NFD + strip combining marks (codegen'd). */
   def unaccent(s: Column): Column = c(Unaccent(e(s)))
 

@@ -145,13 +145,19 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), hashed.as("toks_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), hashed.as("toks_b"))
-    // size-ratio prefilter: |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
-    // jac <= min/max — pairs failing the cheap ratio bound skip the
-    // two-pointer merge entirely. Exact results unchanged.
+    // Two exact-safe prefilters before the full merge:
+    //  1. size ratio: |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
+    //     jac <= min/max — an O(1) reject;
+    //  2. PPJoin prefix filter: a pair at jac >= t must share its smallest
+    //     common hash within the first ~(1-t)·n elements of each sorted
+    //     array — an O((1-t)·n) reject that kills almost all background
+    //     pairs at ~10% of a full merge's cost (t = 0.9).
+    // Both are provably lossless: exact results unchanged.
     val na = size(col("toks_a")).cast("double")
     val nb = size(col("toks_b")).cast("double")
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(least(na, nb) >= lit(threshold) * greatest(na, nb))
+      .filter(prefix_overlap(col("toks_a"), col("toks_b"), threshold))
       .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")

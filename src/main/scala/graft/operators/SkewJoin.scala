@@ -19,6 +19,12 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched small-side row saltFactor
+    // times (one per exploded salt copy) — silently wrong; only join types
+    // where the small side never surfaces unmatched rows are sound here.
+    require(Set("inner", "left", "leftouter").contains(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     // deterministic salt: stable hash of the whole row spread over buckets
     // (xxhash64 over all columns — not the key, which would put the hot
     // key's rows all in one bucket again)

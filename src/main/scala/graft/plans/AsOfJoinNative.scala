@@ -57,9 +57,23 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  /** Null-safe wrapper over the interpreted ordering: nulls first, null ==
+    * null. This is exactly the window path's comparison semantics (Window
+    * partitionBy groups nulls as one key; Ascending sorts nulls first), so
+    * the two as-of implementations stay identical on null keys/timestamps
+    * instead of this one crashing (getInterpretedOrdering NPEs on null).
+    */
+  private def nullSafe(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+    override def compare(x: Any, y: Any): Int =
+      if (x == null && y == null) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else ord.compare(x, y)
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val keyOrd = nullSafe(TypeUtils.getInterpretedOrdering(leftKey.dataType))
+    val tsOrd = nullSafe(TypeUtils.getInterpretedOrdering(leftTs.dataType))
     val payloadSchema = rightPayload
     val leftOutput = left.output
     val rightOutput = right.output
@@ -70,15 +84,23 @@ case class AsOfJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadSchema.map(a => a: Expression), rightOutput)
+      // The output projection must treat payload fields as nullable even
+      // when the right child's attributes are not: an unmatched left row
+      // carries nullPayload, and a non-nullable BoundReference would read
+      // garbage (0/false) instead of null.
+      val payloadOut = payloadSchema.map(_.withNullability(true))
       val resultProj = UnsafeProjection.create(
-        (leftOutput ++ payloadSchema).map(a => a: Expression),
-        leftOutput ++ payloadSchema)
+        (leftOutput ++ payloadOut).map(a => a: Expression),
+        leftOutput ++ payloadOut)
       val nullPayload = InternalRow.fromSeq(Seq.fill(payloadSchema.size)(null))
       val joined = new JoinedRow
 
       // One forward pass, O(1) state: the latest matching payload so far.
+      // lastKey may legitimately be null (null-safe: null groups with
+      // null), so "have we matched" is tracked separately.
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastKey: Any = null
+      var hasLast: Boolean = false
       var lastPayload: InternalRow = null
 
       lIter.map { lRow =>
@@ -97,6 +119,7 @@ case class AsOfJoinExec(
               case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
               case other => other
             }
+            hasLast = true
             lastPayload = payloadProj(rRow).copy()
             rRow = if (rIter.hasNext) rIter.next() else null
           } else {
@@ -104,8 +127,7 @@ case class AsOfJoinExec(
           }
         }
         val payload =
-          if (lastPayload != null && lastKey != null && keyOrd.compare(lastKey, lkey) == 0)
-            lastPayload
+          if (hasLast && keyOrd.compare(lastKey, lkey) == 0) lastPayload
           else nullPayload
         resultProj(joined(lRow, payload))
       }

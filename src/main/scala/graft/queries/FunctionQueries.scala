@@ -144,12 +144,20 @@ object FunctionQueries {
           .orderBy("p_partkey")),
 
     // Approximate quantile sketch — rows-only (sketch-specific results).
+    // Output is reshaped to scalar (flag, quantile, value) rows so the
+    // driver's row-count/pandas check can consume it (array cells are
+    // unhashable there).
     Q("q_approx_quantile", None,
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 1000)").as("approx"))
-          .orderBy("l_returnflag")),
+          .select(col("l_returnflag"),
+            posexplode(col("approx")).as(Seq("q_idx", "q_value")))
+          .select(col("l_returnflag"),
+            when(col("q_idx") === 0, lit(0.5)).otherwise(lit(0.99)).as("quantile"),
+            col("q_value"))
+          .orderBy("l_returnflag", "quantile")),
 
     // Nested types: struct construction + field access, map construction +
     // key lookup + cardinality (the Struct type the reference declared but

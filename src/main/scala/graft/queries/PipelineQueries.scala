@@ -369,11 +369,19 @@ object PipelineQueries {
           .limit(20)),
 
     // Heavy hitters via the single-pass frequent-items sketch — rows-only
-    // (sketch guarantees containment, not exact counts).
+    // (sketch guarantees containment, not exact counts). The sketch's array
+    // outputs are exploded to sorted (column, item) scalar rows so the
+    // driver harness can hash them.
     Q("q_freq_items", None,
-      (s, d) =>
-        t(s, d, "lineitem")
-          .stat.freqItems(Array("l_returnflag", "l_linenumber"), 0.3)),
+      (s, d) => {
+        val fi = t(s, d, "lineitem")
+          .stat.freqItems(Array("l_returnflag", "l_linenumber"), 0.3)
+        val flags = fi.select(explode(col("l_returnflag_freqItems")).as("raw"))
+          .select(lit("l_returnflag").as("column"), col("raw").cast("string").as("item"))
+        val lines = fi.select(explode(col("l_linenumber_freqItems")).as("raw"))
+          .select(lit("l_linenumber").as("column"), col("raw").cast("string").as("item"))
+        flags.unionAll(lines).orderBy("column", "item")
+      }),
 
     // Language id + quality score — heuristic internals, rows-only.
     Q("q_text_quality", None,
@@ -459,7 +467,10 @@ object PipelineQueries {
     // Corpus-quantile quality filter: keep docs at/above the 25th-percentile
     // quality score. The threshold is ONE tree-aggregated scalar broadcast
     // into a map-side filter — no global sort, no single-partition window —
-    // so the shape survives a 1000-executor scale-up unchanged.
+    // so the shape survives a 1000-executor scale-up unchanged. The scored
+    // projection (3 narrow columns) is persisted across its two consumers
+    // (threshold aggregate + filter) so the regex-heavy scoring pass runs
+    // once; at 100 TB this intermediate is ~1% of input and spills to disk.
     Q("q_quality_filter", {
       val q = TextAnalysis.qualityScoreSql("text")
       Some(s"""WITH scored AS (
@@ -477,6 +488,7 @@ object PipelineQueries {
           .select(col("doc_id"),
             size(toks).cast("long").as("n_tokens"),
             TextAnalysis.qualityScoreRaw(col("text"), toks).as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val thr = scored.agg(expr("percentile(q, 0.25)").as("t"))
         scored.crossJoin(broadcast(thr))
           .filter(col("q") >= col("t"))

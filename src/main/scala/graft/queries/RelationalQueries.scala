@@ -561,6 +561,58 @@ object RelationalQueries {
         t(s, d, "events").filter(col("event_id") < 100)
           .select(col("event_id"),
             get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id"))
+          .orderBy("event_id")),
+
+    // Salted skew join: same rows as the plain equi-join (the oracle), but
+    // the hot key's rows are spread over saltFactor tasks. The remedy for
+    // a pathological key (a default id owning 30% of a 100 TB fact table)
+    // that AQE's split can't fully absorb.
+    Q("q_skew_join",
+      Some("""SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY o.o_orderkey, o.o_custkey, segment""".stripMargin),
+      (s, d) => {
+        val big = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        val small = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+        graft.operators.SkewJoin.saltedJoin(big, small, "o_custkey", saltFactor = 8)
+          .select("o_orderkey", "o_custkey", "segment")
+          .orderBy("o_orderkey", "o_custkey", "segment")
+      }),
+
+    // Observability: CollectMetrics counters ride the existing pass (no
+    // second scan). The data is unchanged by observe, so the result stays
+    // oracle-checkable while the plan carries the metrics node.
+    Q("q_observe",
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_acctbal > 1000 ORDER BY c_custkey""".stripMargin),
+      (s, d) =>
+        graft.operators.Metrics.observeQuality(
+            t(s, d, "customer").filter(col("c_acctbal") > 1000),
+            "q_observe_quality", "c_mktsegment", "c_acctbal")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")),
+
+    // Writer surface: partitioned parquet output + bounded file sizes, then
+    // a read-back aggregate (the oracle sees the original table — the
+    // round-trip must be lossless). partitionBy(lang) is the 100 TB output
+    // contract: consumers prune by partition directory; maxRecordsPerFile
+    // bounds file sizes without an extra repartition pass.
+    Q("q_write_partitioned",
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_write_").toString
+        t(s, d, "documents")
+          .write.mode("overwrite")
+          .partitionBy("lang")
+          .option("maxRecordsPerFile", 200)
+          .parquet(out)
+        s.read.parquet(out)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "source")
+      })
   )
 }

@@ -191,6 +191,57 @@ object TpchQueries {
               cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
               .otherwise(lit(0L))).as("economy_cents"),
             sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-              .as("total_cents")))
+              .as("total_cents"))),
+
+    // Q13: customer order-count distribution — LEFT OUTER join with a
+    // join-side predicate (customers with zero qualifying orders must
+    // survive with c_count = 0), then a re-aggregation on the outer side.
+    // This schema has no o_comment, so the priority anti-filter stands in
+    // for TPC-H's NOT LIKE '%special%requests%'. At scale: one shuffle for
+    // the outer join + per-customer count, then a tiny re-agg on c_count
+    // (cardinality <= max orders per customer) — no broadcast needed on
+    // the fact side, and the second aggregate is effectively free.
+    Q("q_tpch_q13",
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+             |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer c LEFT OUTER JOIN orders o
+             |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+             |  GROUP BY c.c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, d) =>
+        t(s, d, "customer").select("c_custkey")
+          .join(t(s, d, "orders")
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select("o_custkey", "o_orderkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q17: small-quantity-order revenue — correlated scalar subquery
+    // (per-part average quantity threshold). Written as SQL so Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery) produces the plan a
+    // user's query would get: the subquery becomes an aggregate joined
+    // back on p_partkey, not a per-row re-scan. Exact cents for the sum.
+    Q("q_tpch_q17",
+      Some("""SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_size <= 5
+             |  AND l.l_quantity < (
+             |    SELECT CAST(0.5 AS DOUBLE) * avg(l2.l_quantity)
+             |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin),
+      (s, d) => {
+        graft.Tables.views(s, d, "lineitem", "part")
+        s.sql("""SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                |  CAST(count(*) AS BIGINT) AS n_items
+                |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_size <= 5
+                |  AND l.l_quantity < (
+                |    SELECT CAST(0.5 AS DOUBLE) * avg(l2.l_quantity)
+                |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+      })
   )
 }

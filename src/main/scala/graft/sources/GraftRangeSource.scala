@@ -159,7 +159,15 @@ private[sources] class GraftRangeMicroBatchStream(rows: Long, parts: Int,
   @volatile private var emitted: Long = 0L
 
   override def initialOffset(): SOffset = IdOffset(0L)
-  override def deserializeOffset(json: String): SOffset = IdOffset(json.toLong)
+  override def deserializeOffset(json: String): SOffset = {
+    // Checkpoint recovery: a fresh stream instance starts with emitted = 0,
+    // so latestOffset() would regress below the committed start offset and
+    // emit a run of empty batches. Seed progress from every restored offset
+    // (deserializeOffset is how the engine hands us checkpointed state).
+    val restored = json.toLong
+    if (restored > emitted) emitted = restored
+    IdOffset(restored)
+  }
   override def latestOffset(): SOffset = {
     emitted = math.min(rows, emitted + rowsPerBatch)
     IdOffset(emitted)

@@ -35,6 +35,26 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // corpus does contain near-dups
   }
 
+  test("prefix filter is lossless: filtered all-pairs == naive jaccard pairs") {
+    // naive: array_intersect/union jaccard with no prefilters at a loose
+    // threshold (0.3, same as q_dedup_jaccard) where the prefix is shortest
+    // and a filtering bug would show first
+    val subset = docs.filter(col("doc_id") < 300)
+    val filtered = Dedup.exactJaccardPairsHashed(subset, "doc_id",
+        Dedup.shinglesHashed(col("text"), 5), 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = subset.select(col("doc_id"), shingles.as("s"))
+    val naive = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", Dedup.jaccard(col("a.s"), col("b.s")))
+      .filter(col("jac") >= 0.3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == naive,
+      s"extra=${filtered -- naive} missing=${naive -- filtered}")
+    assert(naive.nonEmpty)
+  }
+
   test("hashed words == xxhash64 of split tokens; simhash values unchanged") {
     val viaStrings = docs.select(col("doc_id"),
         transform(split(lower(col("text")), "\\s+"), t => xxhash64(t)).as("h"))

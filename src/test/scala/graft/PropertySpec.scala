@@ -72,7 +72,9 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("chunking with stride == chunk reconstructs the document exactly") {
-    val docs = Tables.t(spark, sf, "documents").limit(50)
+    // deterministic subset: limit(n)'s row pick is plan-dependent, and this
+    // test evaluates the subset twice (chunked + original)
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 50)
     val rebuilt = graft.operators.TextAnalysis
       .chunk(docs, "doc_id", "text", 30, 30, 8)
       .orderBy("doc_id", "chunk_idx").collect()
@@ -116,8 +118,10 @@ class PropertySpec extends SparkTestBase {
 
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
     import graft.functions._
-    val docs = Tables.t(spark, sf, "documents").limit(100)
-    val emb = Tables.t(spark, sf, "embeddings").limit(50)
+    // deterministic subsets: these are evaluated once per codegen mode, and
+    // limit(n) may pick different rows per plan — filter on id instead
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 100)
+    val emb = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 50)
     val shingles = expr(
       "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
     def docsOut() = docs.select(col("doc_id"),
@@ -127,7 +131,9 @@ class PropertySpec extends SparkTestBase {
         minhash_sig(shingles, 32).as("mh"),
         winnow_fingerprints(col("text")).as("wf"),
         sorted_intersect_size(
-          minhash_sig(shingles, 16), minhash_sig(shingles, 16)).as("sis"))
+          minhash_sig(shingles, 16), minhash_sig(shingles, 16)).as("sis"),
+        prefix_overlap(hashed_shingles(col("text"), 5),
+          winnow_fingerprints(col("text")), 0.3).as("po"))
       .orderBy("doc_id").collect().map(_.toString).toSeq
     def embOut() = emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)

@@ -101,6 +101,37 @@ class SessionizeSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("native as-of join handles null keys/timestamps like the window path") {
+    import spark.implicits._
+    // null keys and null timestamps on both sides: the window path groups
+    // nulls as one key (Window partitionBy) and sorts nulls first; the
+    // native merge must agree instead of NPE-ing in the key ordering.
+    val left = Seq(
+      (1L, 100L, "a"), (0L, 150L, "b"), (2L, 100L, "c"), (1L, 0L, "d")
+    ).toDF("k0", "t0", "name")
+      .select(
+        when(col("k0") =!= 0L, col("k0")).as("k"), // k0=0 -> null key
+        when(col("t0") =!= 0L, timestamp_micros(col("t0") * 1000000)).as("ts"),
+        col("name"))
+    val right = Seq(
+      (1L, 90L, 900L), (0L, 120L, 111L), (0L, 140L, 222L), (2L, 0L, 333L)
+    ).toDF("k0", "t0", "payload")
+      .select(
+        when(col("k0") =!= 0L, col("k0")).as("k"),
+        when(col("t0") =!= 0L, timestamp_micros(col("t0") * 1000000)).as("rts"),
+        col("payload"))
+    val viaWindow = AsOfJoin.backward(
+        left, right.withColumnRenamed("rts", "ts"), "k", "ts", "ts", Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val viaNative = AsOfJoin.native(left, right, "k", "ts", "rts", Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(viaNative == viaWindow, s"native $viaNative vs window $viaWindow")
+    assert(viaNative("a").contains(900L)) // plain backward match still works
+    assert(viaNative("b").contains(222L)) // null key matches latest null-key right
+  }
+
   test("as-of join ties: equal timestamp right row matches (inclusive)") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
