@@ -401,6 +401,87 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused thresholded Jaccard over SORTED long arrays: ONE two-pointer merge
+  * per pair computing jac = |A∩B| / |A∪B| exactly, with a positional
+  * early-exit (Xiao et al., WWW '08 PPJoin's suffix bound): once
+  * c + min(remaining_a, remaining_b) can no longer reach
+  * ceil(t·(n+m)/(1+t)) — the overlap a pair needs for jac >= t — the merge
+  * aborts and returns -1. Composing size/intersect/divide as separate
+  * expressions evaluates the merge more than once per pair (no common
+  * subexpression elimination across a BNL join's filter + project);
+  * fusing makes the all-pairs verification a single bounded scan.
+  * Completed merges return the same double division as the composed form,
+  * so threshold comparisons are bit-identical to the oracle's.
+  */
+case class BoundedJaccard(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bounded_jaccard expects sorted array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    if (n == 0 && m == 0) 1.0
+    else {
+      // floor underestimates the true requirement -> abort is conservative
+      val cmin = math.floor(threshold * (n + m) / (1.0 + threshold)).toInt
+      var i = 0; var j = 0; var c = 0
+      var jac = -1.0
+      var done = false
+      while (!done && i < n && j < m) {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi < yj) i += 1
+        else if (xi > yj) j += 1
+        else { c += 1; i += 1; j += 1 }
+        if (c + math.min(n - i, m - j) < cmin) done = true
+      }
+      if (!done) jac = c.toDouble / (n + m - c)
+      jac
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val cmin = ctx.freshName("cmin")
+      val done = ctx.freshName("done")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |if ($n == 0 && $m == 0) {
+         |  ${ev.value} = 1.0;
+         |} else {
+         |  int $cmin = (int) Math.floor($threshold * ($n + $m) / (1.0 + $threshold));
+         |  int $i = 0, $j = 0, $c = 0;
+         |  boolean $done = false;
+         |  while (!$done && $i < $n && $j < $m) {
+         |    long xv = $a.getLong($i); long yv = $b.getLong($j);
+         |    if (xv < yv) $i++;
+         |    else if (xv > yv) $j++;
+         |    else { $c++; $i++; $j++; }
+         |    if ($c + Math.min($n - $i, $m - $j) < $cmin) $done = true;
+         |  }
+         |  ${ev.value} = $done ? -1.0 : ((double) $c) / ($n + $m - $c);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** PPJoin-style prefix filter over SORTED long arrays (Xiao et al.,
   * WWW '08; Chaudhuri et al., ICDE '06 SSJoin): for Jaccard >= t the
   * required overlap is alpha_a = ceil(t*|A|) (since |A∪B| >= |A|), and any

@@ -45,6 +45,13 @@ package object functions {
   def prefix_overlap(a: Column, b: Column, threshold: Double): Column =
     c(PrefixOverlap(e(a), e(b), threshold))
 
+  /** Fused thresholded Jaccard over sorted array<long>: exact jac when
+    * >= threshold is still reachable, -1 on early-exit (codegen'd single
+    * merge pass).
+    */
+  def bounded_jaccard(a: Column, b: Column, threshold: Double): Column =
+    c(BoundedJaccard(e(a), e(b), threshold))
+
   /** Accent folding: NFD + strip combining marks (codegen'd). */
   def unaccent(s: Column): Column = c(Unaccent(e(s)))
 

@@ -39,16 +39,6 @@ object Dedup {
   def shinglesHashed(text: Column, k: Int = 5): Column =
     graft.functions.hashed_shingles(text, k)
 
-  /** Jaccard over pre-sorted hashed token arrays: codegen'd two-pointer
-    * intersection, sizes-only union arithmetic. Same value as [[jaccard]]
-    * on the corresponding sets.
-    */
-  private def fastJaccard(ta: Column, tb: Column): Column = {
-    val inter = sorted_intersect_size(ta, tb)
-    val uni = size(ta) + size(tb) - inter
-    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni)
-  }
-
   /** Set Jaccard over two token arrays (distinct semantics). Pure integer
     * size arithmetic -> the division is bit-identical across engines.
     */
@@ -119,7 +109,7 @@ object Dedup {
     val newToks = newDf.select(col(idCol).as("new_id"), verifToks.as("toks_a"))
     val oldToks = corpus.select(col(idCol).as("old_id"), verifToks.as("toks_b"))
     cand.join(newToks, "new_id").join(oldToks, "old_id")
-      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", bounded_jaccard(col("toks_a"), col("toks_b"), threshold))
       .filter(col("jac") >= threshold)
       .select(col("new_id"), col("old_id"), col("jac"))
   }
@@ -145,20 +135,20 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), hashed.as("toks_a")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), hashed.as("toks_b"))
-    // Two exact-safe prefilters before the full merge:
-    //  1. size ratio: |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
-    //     jac <= min/max — an O(1) reject;
-    //  2. PPJoin prefix filter: a pair at jac >= t must share its smallest
-    //     common hash within the first ~(1-t)·n elements of each sorted
-    //     array — an O((1-t)·n) reject that kills almost all background
-    //     pairs at ~10% of a full merge's cost (t = 0.9).
-    // Both are provably lossless: exact results unchanged.
+    // Exact-safe pruning around ONE bounded merge per pair:
+    //  1. size ratio (O(1)): |A∩B| <= min(|A|,|B|) and |A∪B| >= max, so
+    //     jac <= min/max — rejects before any array access;
+    //  2. bounded_jaccard: a single fused two-pointer merge with PPJoin's
+    //     positional early-exit — the composed sorted_intersect_size +
+    //     size-arithmetic form evaluates the merge more than once per pair
+    //     (no CSE across the BNL join's filter), which dominated this
+    //     operator's cost. Completed merges divide exactly as before, so
+    //     results are unchanged.
     val na = size(col("toks_a")).cast("double")
     val nb = size(col("toks_b")).cast("double")
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(least(na, nb) >= lit(threshold) * greatest(na, nb))
-      .filter(prefix_overlap(col("toks_a"), col("toks_b"), threshold))
-      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", bounded_jaccard(col("toks_a"), col("toks_b"), threshold))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
@@ -214,7 +204,7 @@ object Dedup {
     cand
       .join(verif.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(verif.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jac", fastJaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac", bounded_jaccard(col("toks_a"), col("toks_b"), threshold))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }

@@ -155,6 +155,30 @@ class DedupSpec extends SparkTestBase {
       s"recall ${lsh.size}/${exact.size} too low")
   }
 
+  test("cosine LSH recall >= 0.95 on planted near-duplicates") {
+    // This corpus is uniform random (max pairwise cos ~0.51), so recall at
+    // a 0.45 threshold measures the corpus, not the operator. The
+    // operator's contract is *near-dup* recall: plant perturbed copies
+    // (cos >= 0.99) and require the LSH path to find >= 95% of them —
+    // the analytic recall at cos 0.99 with 6 planes x 16 tables is
+    // 1-(1-p^6)^16 with p = 1-acos(0.99)/pi ~ 0.955, i.e. ~1 - 3e-9.
+    val emb = Tables.t(spark, sf, "embeddings").cache()
+    val planted = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+    val found = Dedup.cosinePairsLsh(corpus, "vec_id", "embedding", 0.9,
+        nPlanes = 6, nTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L).map(i => (i, i + 100000)).toSet
+    // sanity: the perturbation keeps planted pairs above the threshold
+    val exactHits = Dedup.cosinePairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(exactHits), "perturbation pushed pairs below 0.9")
+    val recall = (found intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.95, s"planted near-dup recall $recall < 0.95")
+  }
+
   test("cosine pairs threshold filters correctly vs naive") {
     val emb = Tables.t(spark, sf, "embeddings").filter(col("vec_id") < 50).cache()
     val got = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.3)

@@ -133,7 +133,9 @@ class PropertySpec extends SparkTestBase {
         sorted_intersect_size(
           minhash_sig(shingles, 16), minhash_sig(shingles, 16)).as("sis"),
         prefix_overlap(hashed_shingles(col("text"), 5),
-          winnow_fingerprints(col("text")), 0.3).as("po"))
+          winnow_fingerprints(col("text")), 0.3).as("po"),
+        bounded_jaccard(hashed_shingles(col("text"), 5),
+          winnow_fingerprints(col("text")), 0.3).as("bj"))
       .orderBy("doc_id").collect().map(_.toString).toSeq
     def embOut() = emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)

@@ -108,6 +108,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"ivf recall $recall not better than chance")
   }
 
+  test("lshKnn recall >= 0.95 for planted near-duplicate queries") {
+    // quantitative gate on the operator's contract: a query that IS a
+    // near-duplicate of a corpus vector (cos >= 0.99) must surface that
+    // vector in its top-k. Uniform-corpus recall is measured separately.
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.005f)).as("embedding"))
+    val out = Similarity.lshKnn(emb, queries, "vec_id", "embedding",
+        k = 5, nPlanes = 6, dim = 64, nProbes = 7)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 20L).count(i => out.contains((i + 100000, i)))
+    assert(hits >= 19, s"only $hits/20 planted queries found their source vector")
+  }
+
   test("lshKnn achieves nontrivial recall vs exact") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)

@@ -96,6 +96,43 @@ class SourcesSpec extends SparkTestBase {
     assert(spread > 4, "hot key not spread across salt buckets")
   }
 
+  test("salted join rejects outer types that would duplicate small-side rows") {
+    import spark.implicits._
+    val big = Seq((1L, 1L)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(big, small, "k", joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("inner/left"))
+    // left works and keeps unmatched BIG-side rows exactly once
+    val big2 = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    val left = graft.operators.SkewJoin.saltedJoin(big2, small, "k", joinType = "left")
+    assert(left.count() == 2 && left.filter(col("name").isNull).count() == 1)
+  }
+
+  test("partitioned write honors layout and maxRecordsPerFile") {
+    val docs = Tables.t(spark, sf, "documents")
+    val path = tmp("partwrite")
+    docs.write.mode("overwrite").partitionBy("lang")
+      .option("maxRecordsPerFile", 20).parquet(path)
+    val langDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    val langs = docs.select("lang").distinct()
+      .collect().map(r => s"lang=${r.getString(0)}").sorted
+    assert(langDirs.toSeq == langs.toSeq, s"partition dirs $langDirs != $langs")
+    // every file respects the record cap (small-file/large-file control)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("lang="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 20, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+    // round-trip is lossless
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
+
   test("range-clustered write: files own disjoint key ranges (skippable)") {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val path = tmp("rangeclust")
