@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("simhash64",
       "simhash64(tokens) - 64-bit simhash over a token array",
       exprs => SimHash64(exprs(0), 42L)))
+    e.injectFunction(fn("char_entropy",
+      "char_entropy(s) - Shannon entropy (bits) of the code-point distribution",
+      exprs => CharEntropy(exprs(0))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

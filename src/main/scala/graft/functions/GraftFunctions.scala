@@ -49,5 +49,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0),
         intArg(exprs(1), "k"), intArg(exprs(2), "w"), 42L), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy",
+      exprs => CharEntropy(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -401,6 +401,60 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shannon entropy (bits/char) over a string's code-point distribution —
+  * a cheap, language-agnostic quality signal (low entropy = repetitive /
+  * boilerplate text; the complement of the Gopher repetition rules). One
+  * pass to count code points, one deterministic pass over the sorted
+  * frequency map, all inside codegen — no explode/groupBy per document.
+  */
+object CharEntropyImpl {
+  def entropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) 0.0
+    else {
+      val counts = new java.util.TreeMap[Integer, Integer]()
+      var i = 0; var total = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        val old = counts.get(cp)
+        counts.put(cp, if (old == null) 1 else old + 1)
+        total += 1
+        i += Character.charCount(cp)
+      }
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / total
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      h
+    }
+  }
+}
+
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyImpl.entropy(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropyImpl.entropy($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused thresholded Jaccard over SORTED long arrays: ONE two-pointer merge
   * per pair computing jac = |A∩B| / |A∪B| exactly, with a positional
   * early-exit (Xiao et al., WWW '08 PPJoin's suffix bound): once

@@ -55,6 +55,9 @@ package object functions {
   /** Accent folding: NFD + strip combining marks (codegen'd). */
   def unaccent(s: Column): Column = c(Unaccent(e(s)))
 
+  /** Shannon entropy in bits over the string's code-point distribution. */
+  def char_entropy(s: Column): Column = c(CharEntropy(e(s)))
+
   /** Whole-string 64-bit fingerprint (codegen'd). */
   def fingerprint64(s: Column, seed: Long = 42L): Column = c(Fingerprint64(e(s), seed))
 

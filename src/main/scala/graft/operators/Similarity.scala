@@ -94,14 +94,34 @@ object Similarity {
     * inverted-file trade: assignment cost nCentroids*dim per row once,
     * query cost limited to probed cells instead of the full corpus.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Seq[Float])] = corpus
-      .filter(col(idCol) < nCentroids)
-      .select(col(idCol).cast("int"), col(vecCol))
+  /** Collect a (tiny) trained-centroid table to the driver: the IVF coarse
+    * quantizer is nCentroids x dim doubles — a few KB — and becomes literal
+    * expressions broadcast inside the scan. This is the legitimate driver
+    * round-trip: at 100 TB the centroid table is the OUTPUT of a training
+    * pass ([[kmeansStep]] iterations), not a corpus scan.
+    */
+  def centroidRows(centroids: DataFrame, cellCol: String, vecCol: String): Array[(Int, Seq[Float])] =
+    centroids.select(col(cellCol).cast("int"), col(vecCol))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1))
-    require(cents.nonEmpty, "no centroid rows (idCol < nCentroids is empty)")
+
+  /** [[ivfKnn]] with an explicit trained-centroid table (the scale path). */
+  def ivfKnnWithCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: DataFrame, cellCol: String,
+      centVecCol: String, nProbe: Int = 4): DataFrame =
+    ivfKnnCore(corpus, queries, idCol, vecCol, k,
+      centroidRows(centroids, cellCol, centVecCol), nProbe)
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    // fixed coarse quantizer: first nCentroids corpus vectors stand in for
+    // an offline-trained table (deterministic, no training pass)
+    ivfKnnCore(corpus, queries, idCol, vecCol, k,
+      centroidRows(corpus.filter(col(idCol) < nCentroids), idCol, vecCol), nProbe)
+
+  private def ivfKnnCore(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "no centroid rows")
     def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
       struct(cosine_sim(vec, typedLit(cv)).as("sim"), lit(cid).as("cell"))
     }: _*)
@@ -121,6 +141,43 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "rn", "sim")
+  }
+
+  /** One Lloyd (k-means) iteration over an embedding column: assign every
+    * vector to its max-cosine centroid (ties -> larger cell id, matching
+    * array_max struct ordering), then re-accumulate each cell's centroid
+    * numerators exactly.
+    *
+    * Scale shape: the centroid set is literal expressions broadcast into
+    * the scan (no join); the recompute is ONE shuffle keyed by (cell, dim)
+    * carrying exact integer micros, so the reduction is order-invariant
+    * and deterministic at any parallelism — iterate this at 100 TB and
+    * every pass is a single map + aggregate.
+    *
+    * Output: (cell, n_assigned, centroid array<double> of per-dim means).
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Seq[Float])]): DataFrame = {
+    require(cents.nonEmpty, "no centroid rows")
+    def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosine_sim(vec, typedLit(cv)).as("sim"), lit(cid).as("cell"))
+    }: _*)
+    val assigned = corpus.select(
+      array_max(cellScores(col(vecCol))).getField("cell").as("cell"),
+      col(vecCol).as("vec"))
+    val dims = assigned.select(col("cell"),
+      posexplode(col("vec")).as(Seq("dim", "v")))
+    // exact integer micros: floor is bit-stable on identical doubles across
+    // engines, and the integer sum is order-invariant
+    val sums = dims.groupBy("cell", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val means = sums.select(col("cell"), col("dim"), col("n"),
+      (col("s").cast("double") / lit(1e6) / col("n").cast("double")).as("m"))
+    means.groupBy("cell")
+      .agg(first(col("n")).as("n_assigned"),
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("centroid"))
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket, then exact

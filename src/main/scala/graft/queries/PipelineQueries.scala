@@ -496,6 +496,79 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Benchmark decontamination: drop corpus docs sharing any word 13-gram
+    // with the benchmark set (src0 stands in for an eval suite) — the
+    // GPT-3/PaLM decontamination rule. Spark joins on xxhash64(gram)
+    // (8-byte shuffle keys); the oracle joins on gram text — identical
+    // results absent a 2^-64 hash collision.
+    Q("q_decontaminate",
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id, source,
+             |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+             |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+             |  FROM toks WHERE len(t) >= 13),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+             |bad AS (SELECT DISTINCT doc_id FROM grams
+             |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+             |SELECT d.doc_id FROM documents d
+             |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Decontaminate.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", n = 13)
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // One k-means (Lloyd) iteration: broadcast-quantizer assignment + ONE
+    // (cell, dim)-keyed shuffle in exact integer micros. This is the
+    // training pass that produces ivfKnn's centroid table; oracled on
+    // assignment counts and the dim-0 centroid component.
+    Q("q_kmeans_step",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+             |scored AS (SELECT e.vec_id, e.v, c.cell,
+             |    list_cosine_similarity(e.v, c.cv) AS sim FROM e CROSS JOIN c),
+             |assign AS (SELECT vec_id, v, cell FROM (
+             |  SELECT vec_id, v, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+             |  FROM scored) WHERE rn = 1)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_assigned,
+             |  (CAST(sum(CAST(floor(v[1] * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+             |    / CAST(count(*) AS DOUBLE) AS c0
+             |FROM assign GROUP BY cell ORDER BY cell""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.centroidRows(
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding")
+        Similarity.kmeansStep(emb, "vec_id", "embedding", cents)
+          .select(col("cell"), col("n_assigned"),
+            element_at(col("centroid"), 1).as("c0"))
+          .orderBy("cell")
+      }),
+
+    // Code-point Shannon entropy — repetition/boilerplate quality signal
+    // via the codegen'd CharEntropy expression (one pass per doc, no
+    // explode). Oracle recomputes via explode+groupBy; 6dp rounding
+    // absorbs the engines' different summation orders.
+    Q("q_char_entropy",
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY doc_id, c),
+             |t AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS tot FROM f GROUP BY doc_id)
+             |SELECT f.doc_id, round(-sum((n/tot) * log2(n/tot)), 6) AS entropy
+             |FROM f JOIN t USING (doc_id) GROUP BY f.doc_id
+             |ORDER BY f.doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            round(graft.functions.char_entropy(col("text")), 6).as("entropy"))
+          .orderBy("doc_id")),
+
     // Document fingerprints: whole-doc xxhash64 + winnowing set size.
     Q("q_fingerprint", None,
       (s, d) =>

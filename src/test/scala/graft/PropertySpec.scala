@@ -135,7 +135,8 @@ class PropertySpec extends SparkTestBase {
         prefix_overlap(hashed_shingles(col("text"), 5),
           winnow_fingerprints(col("text")), 0.3).as("po"),
         bounded_jaccard(hashed_shingles(col("text"), 5),
-          winnow_fingerprints(col("text")), 0.3).as("bj"))
+          winnow_fingerprints(col("text")), 0.3).as("bj"),
+        char_entropy(concat(lit("中é "), col("text"))).as("ce"))
       .orderBy("doc_id").collect().map(_.toString).toSeq
     def embOut() = emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)

@@ -153,6 +153,76 @@ class TextAnalysisSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("char_entropy: uniform/constant/multibyte cases exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),          // constant -> 0 bits
+      (2L, "abab"),          // two equiprobable symbols -> 1 bit
+      (3L, "abcd"),          // four equiprobable -> 2 bits
+      (4L, "中中文文"),       // multibyte, two equiprobable code points -> 1 bit
+      (5L, "")               // empty -> 0 by convention
+    ).toDF("id", "s")
+    val got = df.select(col("id"), graft.functions.char_entropy(col("s")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(5L) == 0.0)
+    assert(math.abs(got(2L) - 1.0) < 1e-12 && math.abs(got(4L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) - 2.0) < 1e-12)
+    // SQL registration path
+    df.createOrReplaceTempView("ce_in")
+    val viaSql = spark.sql("SELECT char_entropy(s) FROM ce_in WHERE id = 3")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 2.0) < 1e-12)
+  }
+
+  test("decontaminate drops exactly the docs sharing a benchmark n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon suffix words"), // contains the 5-gram
+      (2L, "alpha beta gamma delta DIFFERENT epsilon zeta"),            // no shared 5-gram
+      (3L, "totally unrelated text with other content here")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Decontaminate
+      .decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // short docs (< n tokens) are never dropped and never crash
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(graft.operators.Decontaminate
+      .decontaminate(tiny, bench, "doc_id", "text", n = 5).count() == 1)
+  }
+
+  test("kmeansStep: counts conserve rows; assignment is argmax-cosine; centroid is the mean") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sf, "embeddings")
+    val cents = graft.operators.Similarity.centroidRows(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .kmeansStep(emb, "vec_id", "embedding", cents).cache()
+    assert(out.agg(sum("n_assigned")).collect()(0).getLong(0) == emb.count())
+    // every centroid has the full dimensionality and finite components
+    val dims = out.select(size(col("centroid"))).collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64), s"centroid dims $dims")
+    // spot-check one vector's assignment against a driver-side argmax
+    val v = emb.filter(col("vec_id") === 100)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val want = cents.maxBy { case (cid, cv) => (cos(v, cv), cid) }._1
+    val assignedCell = emb.select(col("vec_id"),
+        org.apache.spark.sql.functions.array_max(org.apache.spark.sql.functions.array(
+          cents.map { case (cid, cv) =>
+            struct(graft.functions.cosine_sim(col("embedding"), typedLit(cv)).as("sim"),
+              lit(cid).as("cell"))
+          }: _*)).getField("cell").as("cell"))
+      .filter(col("vec_id") === 100).collect()(0).getInt(1)
+    assert(assignedCell == want)
+  }
+
   test("multimodal pack/decode: metadata consistent with payload") {
     val docs = Tables.t(spark, sf, "documents").limit(20)
     val out = Multimodal.decodeFeatures(Multimodal.packBinary(docs, "doc_id", "text"))
