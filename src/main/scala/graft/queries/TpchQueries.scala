@@ -220,6 +220,58 @@ object TpchQueries {
           .agg(count(lit(1)).as("custdist"))
           .orderBy(col("custdist").desc, col("c_count").desc)),
 
+    // Q18: large-volume customers — HAVING on a grouped fact, then joins
+    // back to orders/customer. The aggregate-then-join order is the scale
+    // point: the HAVING filter reduces the fact side to ~1% before any
+    // join, so the join input is tiny instead of the full lineitem.
+    Q("q_tpch_q18",
+      Some("""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             |  CAST(big.sum_qty AS BIGINT) AS sum_qty
+             |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
+             |JOIN orders o ON o.o_orderkey = big.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+          .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("c_custkey") === col("o_custkey"))
+          .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))),
+
+    // Q22: global-sales-opportunity — scalar AVG subquery threshold +
+    // NOT EXISTS anti-join, grouped on the outer side (nationkey stands in
+    // for Q22's phone country code; "no urgent orders" for "no orders",
+    // which this synthetic data never has). Anti-join + broadcast scalar:
+    // the customer side shuffles once, orders reduce to distinct urgent
+    // custkeys.
+    Q("q_tpch_q22",
+      Some("""WITH a AS (SELECT avg(c_acctbal) AS thr FROM customer WHERE c_acctbal > 0)
+             |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+             |  CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+             |FROM customer c, a
+             |WHERE c.c_acctbal > a.thr
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin),
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("thr"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(cents(col("c_acctbal"))).as("totacctbal_cents"))
+          .orderBy("c_nationkey")
+      }),
+
     // Q17: small-quantity-order revenue — correlated scalar subquery
     // (per-part average quantity threshold). Written as SQL so Catalyst's
     // decorrelation (RewriteCorrelatedScalarSubquery) produces the plan a
