@@ -106,6 +106,51 @@ class PlanAuditSpec extends SparkTestBase {
       s"band join is not an equi-join:\n$p")
   }
 
+  test("Q17 decorrelates: per-part aggregate joined back, no per-row re-scan") {
+    val p = physical("q_tpch_q17")
+    // the correlated scalar subquery must lower to an aggregate + join
+    assert(p.contains("HashAggregate"), s"no aggregate for the subquery:\n$p")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"scalar subquery survived to the physical plan (not decorrelated):\n$p")
+    // lineitem is scanned a bounded number of times (outer + subquery),
+    // not once per part
+    assert("Scan parquet".r.findAllIn(p).size <= 3, s"too many scans:\n$p")
+  }
+
+  test("Q18 aggregates the fact side BEFORE joining (having-then-join)") {
+    val p = physical("q_tpch_q18")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    // in Spark's plan string the deepest operators print last; the
+    // grouped-lineitem aggregate must sit below (after) the joins
+    assert(p.lastIndexOf("HashAggregate") > joinIdx,
+      s"lineitem aggregate does not feed the join:\n$p")
+  }
+
+  test("Q22 anti-join: broadcast threshold, no cartesian") {
+    val p = physical("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not lower to anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar-threshold crossJoin became a cartesian product:\n$p")
+  }
+
+  test("decontamination joins on hashed grams, documents never shuffle") {
+    val p = physical("q_decontaminate")
+    // the gram join and the id anti-join are equi-joins (hash/SMJ), never
+    // a nested loop over documents
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decontamination fell back to a nested loop:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join in decontamination plan:\n$p")
+  }
+
+  test("kmeans step: partial aggregation below the (cell, dim) exchange") {
+    val p = physical("q_kmeans_step")
+    assert(p.contains("partial_sum"), s"no map-side combine in kmeans step:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"assignment should be broadcast literals, not a join:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()
