@@ -237,8 +237,17 @@ object PipelineQueries {
     Q("q_embed_knn_ivf", None,
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+        // full IVF path: seed the quantizer with the first 16 vectors,
+        // refine with one Lloyd iteration (kmeansStep), probe the trained
+        // cells — centroids come from a (tiny) trained table, not a
+        // corpus scan at query time
+        val seed = Similarity.centroidRows(
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding")
+        val trained = Similarity.kmeansStep(emb, "vec_id", "embedding", seed)
+          .select(col("cell"),
+            expr("transform(centroid, x -> cast(x as float))").as("centroid"))
+        Similarity.ivfKnnWithCentroids(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, trained, "cell", "centroid", nProbe = 4)
           .select("q_id", "c_id", "rn")
           .orderBy("q_id", "rn")
       }),

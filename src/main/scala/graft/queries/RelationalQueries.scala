@@ -613,6 +613,33 @@ object RelationalQueries {
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
           .orderBy("lang", "source")
+      }),
+
+    // Bucketed writer: the co-location contract for repeated joins/aggs on
+    // one key at 100 TB — pay the shuffle once at write time, then every
+    // bucketed join/agg on o_custkey skips its exchange. Oracled on a
+    // read-back aggregate (bucketing must be transparent to results);
+    // SourcesSpec asserts the exchange-free join plan.
+    Q("q_write_bucketed",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val table = "graft_orders_bucketed"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // a prior JVM's orphaned warehouse dir blocks saveAsTable(Overwrite)
+        val dir = new java.io.File(s"/tmp/graft-warehouse/$table")
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
+        graft.sources.GraftSources.writeBucketed(
+          t(s, d, "orders"), table, "o_custkey", 8, Some("o_custkey"))
+        s.table(table)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"))
+          .orderBy("o_orderpriority")
       })
   )
 }
