@@ -9,8 +9,19 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune projections/orderings and time a different (smaller)
   * plan than the one users run. One warmup query amortizes JVM/codegen
   * startup out of the first measurement.
+  *
+  * Output-size contract: the driver retains only the last ~2000 chars of
+  * stdout and parses the JSON from there, and sbt appends its own
+  * "[success] ..." line after ours. So the line is kept under BudgetChars:
+  * every query still runs and counts toward "value" (the total), but the
+  * per-query map keeps the SLOWEST queries and collapses the cheap tail
+  * into omitted/omitted_sec. Ascending order inside the map so the
+  * heaviest entries sit nearest the end of the line (survive any further
+  * truncation).
   */
 object Bench {
+  private val BudgetChars = 1800
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,28 +31,53 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      // Queries that persist() intermediates (documented single-pass
+      // shapes) must not leak cached RDDs into later measurements.
+      spark.catalog.clearCache()
+      sec
     }
 
     runOnce("q_scan") // warmup
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+
+    def fmt(v: Double): String = "%.3f".format(v)
+    // Keep the slowest entries; drop from the cheap end until it fits.
+    val asc = results.sortBy(_._2)
+    def line(kept: Seq[(String, Double)], omitted: Seq[(String, Double)]): String = {
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om =
+        if (omitted.isEmpty) ""
+        else s""","omitted":${omitted.size},"omitted_sec":${fmt(omitted.map(_._2).sum)}"""
+      val fl =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+    }
+    var drop = 0
+    while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)
+      drop += 1
+    println(line(asc.drop(drop), asc.take(drop)))
     spark.stop()
   }
 }

@@ -548,6 +548,11 @@ case class BoundedJaccard(left: Expression, right: Expression, threshold: Double
 case class PrefixOverlap(left: Expression, right: Expression, threshold: Double)
     extends BinaryExpression {
 
+  // threshold <= 0 would make the prefix bound n+1 and read past the array
+  // (UnsafeArrayData does no bounds check — silent garbage reads).
+  require(threshold > 0.0 && threshold <= 1.0,
+    s"prefix_overlap threshold must be in (0, 1], got $threshold")
+
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -567,8 +572,13 @@ case class PrefixOverlap(left: Expression, right: Expression, threshold: Double)
     val n = x.numElements(); val m = y.numElements()
     if (n == 0 || m == 0) n == 0 && m == 0
     else {
-      val pa = n - math.ceil(threshold * n).toInt + 1
-      val pb = m - math.ceil(threshold * m).toInt + 1
+      // Epsilon-guarded ceil: double rounding can push an exact integer
+      // product (e.g. 0.9*10) infinitesimally above its true value, which
+      // would shorten the prefix by 1 and drop pairs whose Jaccard equals
+      // the threshold exactly. Clamp keeps the bound within the array even
+      // if the arithmetic still surprises.
+      val pa = math.min(n, n - math.ceil(threshold * n - 1e-9).toInt + 1)
+      val pb = math.min(m, m - math.ceil(threshold * m - 1e-9).toInt + 1)
       var i = 0; var j = 0; var found = false
       while (!found && i < pa && j < pb) {
         val xi = x.getLong(i); val yj = y.getLong(j)
@@ -592,8 +602,8 @@ case class PrefixOverlap(left: Expression, right: Expression, threshold: Double)
          |if ($n == 0 || $m == 0) {
          |  $found = ($n == 0 && $m == 0);
          |} else {
-         |  int $pa = $n - (int) Math.ceil($threshold * $n) + 1;
-         |  int $pb = $m - (int) Math.ceil($threshold * $m) + 1;
+         |  int $pa = Math.min($n, $n - (int) Math.ceil($threshold * $n - 1e-9) + 1);
+         |  int $pb = Math.min($m, $m - (int) Math.ceil($threshold * $m - 1e-9) + 1);
          |  $found = false;
          |  int $i = 0, $j = 0;
          |  while (!$found && $i < $pa && $j < $pb) {

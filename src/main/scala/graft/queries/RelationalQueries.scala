@@ -603,7 +603,10 @@ object RelationalQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin),
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft_write_").toString
+        // Fixed per-JVM dir + overwrite mode: reruns replace instead of
+        // leaking a fresh temp directory per invocation (plan-only callers
+        // like ExplainDump included).
+        val out = sys.props("java.io.tmpdir") + "/graft_write_partitioned"
         t(s, d, "documents")
           .write.mode("overwrite")
           .partitionBy("lang")
@@ -627,8 +630,11 @@ object RelationalQueries {
       (s, d) => {
         val table = "graft_orders_bucketed"
         s.sql(s"DROP TABLE IF EXISTS $table")
-        // a prior JVM's orphaned warehouse dir blocks saveAsTable(Overwrite)
-        val dir = new java.io.File(s"/tmp/graft-warehouse/$table")
+        // A prior JVM's orphaned warehouse dir blocks saveAsTable(Overwrite).
+        // The warehouse location is session-dependent — derive it from conf
+        // rather than assuming any fixed path.
+        val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val dir = new java.io.File(warehouse, table)
         if (dir.exists()) {
           import scala.reflect.io.Directory
           new Directory(dir).deleteRecursively()

@@ -272,6 +272,247 @@ object TpchQueries {
           .orderBy("c_nationkey")
       }),
 
+    // Q7: volume shipping between two nations — the canonical
+    // "dims-broadcast, one fact shuffle" star shape with a symmetric
+    // cross-filter (either trade direction) and a year rollup. The nation
+    // pair filter lands on the two broadcast dims, so the fact scan is
+    // reduced before its single aggregate shuffle — the plan survives
+    // 1000 executors unchanged.
+    Q("q_tpch_q7",
+      Some("""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem l
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+             |JOIN nation ns ON ns.n_nationkey = sp.s_nationkey
+             |JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+             |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+             |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+             |GROUP BY ns.n_name, nc.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      (s, d) => {
+        val nations = broadcast(t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2")))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(nations.select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("ns_key"))
+          .join(nations.select(col("n_nationkey").as("nc_key"), col("n_name").as("cust_nation")),
+            col("c_nationkey") === col("nc_key"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // Q8: national market share — conditional aggregation over a 7-way
+    // star (the widest join in the corpus). Share numerator/denominator
+    // emitted as exact cents, not a double ratio (summation-order rule).
+    // The region/part filters ride the broadcast dims.
+    Q("q_tpch_q8",
+      Some("""SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(sum(CASE WHEN ns.n_name = 'NATION_5' THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+             |JOIN nation ns ON ns.n_nationkey = sp.s_nationkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+             |JOIN region r ON r.r_regionkey = nc.n_regionkey
+             |WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+             |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY CAST(year(o.o_orderdate) AS INTEGER) ORDER BY o_year""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("ns_key"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))),
+            col("c_nationkey") === col("nc_key"))
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")
+            .select("r_regionkey")), col("nc_region") === col("r_regionkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5",
+              cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(lit(0L))).as("nation_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("total_cents"))
+          .orderBy("o_year")),
+
+    // Q12: shipping-mode late-line counts — join + dual conditional
+    // counts. This schema has no l_shipmode/l_receiptdate, so the return
+    // flag stands in for ship mode and "shipped >60 days after the order
+    // date" for late receipt; the shape (fact-fact join, CASE-sum pivoted
+    // on a priority class) is Q12's.
+    Q("q_tpch_q12",
+      Some("""SELECT l.l_returnflag,
+             |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+             |  AND l.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+             |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Q15: top supplier — an aggregate view consumed twice (revenue per
+    // supplier, then the max of that), the filter-by-scalar-max shape.
+    // The scalar max is broadcast into the filter, so there is exactly one
+    // fact aggregate and no global sort; re-aggregating the tiny grouped
+    // result for the max is free at any scale.
+    Q("q_tpch_q15",
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s.s_suppkey, s.s_name, r.total_cents
+             |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+             |WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+             |ORDER BY s.s_suppkey""".stripMargin),
+      (s, d) => {
+        val revenue = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_cents"))
+        val top = revenue.agg(max(col("total_cents")).as("m"))
+        revenue.crossJoin(broadcast(top))
+          .filter(col("total_cents") === col("m"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("supplier_no") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_cents")
+          .orderBy("s_suppkey")
+      }),
+
+    // Q19: discounted revenue — disjunctive (OR-of-ANDs) brand/size/
+    // quantity predicates. The per-clause conjuncts can only be evaluated
+    // post-join, but their union bound (l_quantity <= 30, p_size <= 35)
+    // is added explicitly on each scan — the pushdown a user would expect
+    // from OR-factoring, done by hand since Catalyst does not factor
+    // disjunctions across tables.
+    Q("q_tpch_q19",
+      Some("""SELECT
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  CAST(count(*) AS BIGINT) AS n_lines
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+             |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+             |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      (s, d) => {
+        val clause =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30))
+        t(s, d, "lineitem")
+          .filter(col("l_quantity").between(1, 30)) // union bound → parquet scan
+          .join(broadcast(t(s, d, "part")
+            .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_size").between(1, 35))),
+            col("l_partkey") === col("p_partkey"))
+          .filter(clause)
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"),
+            count(lit(1)).as("n_lines"))
+      }),
+
+    // Q21: suppliers who kept waiting — the EXISTS / NOT-EXISTS double
+    // correlation, rewritten join-first: a line "kept the order waiting"
+    // iff its order is finished, the line shipped >60 days late, the order
+    // has another supplier, and NO other supplier shipped late. The two
+    // correlated subqueries become two grouped counts on l_orderkey
+    // (distinct suppliers; distinct LATE suppliers) joined semi-style —
+    // one extra shuffle each over ids only, instead of per-row re-scans.
+    // The oracle keeps the literal EXISTS form (DuckDB decorrelates it).
+    Q("q_tpch_q21",
+      Some("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM supplier s
+             |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             |WHERE o.o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        val late = li
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val multiSupp = li.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+          .filter(col("n_supp") > 1)
+          .select(col("l_orderkey").as("ms_key"))
+        val oneLate = late.groupBy(col("l_orderkey").as("lk"))
+          .agg(countDistinct(col("l_suppkey")).as("n_late"))
+          .filter(col("n_late") === 1)
+          .select(col("lk").as("ol_key"))
+        late
+          .join(multiSupp, col("l_orderkey") === col("ms_key"), "left_semi")
+          .join(oneLate, col("l_orderkey") === col("ol_key"), "left_semi")
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      }),
+
     // Q17: small-quantity-order revenue — correlated scalar subquery
     // (per-part average quantity threshold). Written as SQL so Catalyst's
     // decorrelation (RewriteCorrelatedScalarSubquery) produces the plan a

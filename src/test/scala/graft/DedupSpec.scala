@@ -55,6 +55,26 @@ class DedupSpec extends SparkTestBase {
     assert(naive.nonEmpty)
   }
 
+  test("prefix_overlap boundary: exact-threshold pairs kept, bad threshold rejected") {
+    import graft.functions.prefix_overlap
+    // jac(A,B) == 0.9 exactly with the smallest common element at B's
+    // SECOND position: a naive ceil(0.9*10) = ceil(9.000000000000002) = 10
+    // shortens B's prefix to 1 and drops the pair. The epsilon-guarded
+    // ceil must keep it.
+    val a = typedLit((2L to 10L).toSeq)
+    val b = typedLit(Seq(0L) ++ (2L to 10L))
+    val row = spark.range(1)
+      .select(prefix_overlap(a, b, 0.9).as("po"),
+        prefix_overlap(a, b, 1.0).as("po1"))
+      .head()
+    assert(row.getBoolean(0), "exact-threshold 0.9 pair dropped by prefix filter")
+    assert(!row.getBoolean(1), "threshold 1.0 must reject jac=0.9 pair via prefix")
+    // threshold <= 0 would read past the array (no bounds check in
+    // UnsafeArrayData) — constructor must refuse it
+    intercept[IllegalArgumentException] { prefix_overlap(a, b, 0.0) }
+    intercept[IllegalArgumentException] { prefix_overlap(a, b, -0.5) }
+  }
+
   test("hashed words == xxhash64 of split tokens; simhash values unchanged") {
     val viaStrings = docs.select(col("doc_id"),
         transform(split(lower(col("text")), "\\s+"), t => xxhash64(t)).as("h"))
