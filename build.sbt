@@ -12,6 +12,9 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // forward stdin to the forked JVM (graft.Repl)
+// Raw child stdout (no [info] prefix): the bench driver json-parses the
+// final line of captured output, and sbt's logger decoration breaks that.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -763,6 +763,68 @@ object WordHash {
   }
 }
 
+/** Rolling polynomial combine of every length-`n` window of an
+  * array<bigint> of element hashes: out(i) = Σ_j h(i+j)·M^(n-1-j) in
+  * wrapping 64-bit arithmetic (Rabin-Karp, CACM '87). O(tokens) total — a
+  * per-window rebuild is O(tokens·n), and hashing n-gram STRINGS is
+  * O(bytes·n) plus allocation; this slides in pure long arithmetic with
+  * one multiply-subtract-add per position. Collision quality is that of
+  * the input hashes (64-bit), which decontamination/dedup joins tolerate
+  * by design.
+  */
+object RollingHash {
+  val M = 1000003L
+
+  def ngrams(hs: ArrayData, n: Int): ArrayData = {
+    val len = hs.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    var mPow = 1L // M^(n-1), wrapping
+    var j = 1
+    while (j < n) { mPow *= M; j += 1 }
+    val out = new Array[Long](len - n + 1)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = acc * M + hs.getLong(i); i += 1 }
+    out(0) = acc
+    while (i < len) {
+      acc = (acc - hs.getLong(i - n) * mPow) * M + hs.getLong(i)
+      out(i - n + 1) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Window hashes of every n-gram of a pre-hashed token array (codegen'd;
+  * see [[RollingHash]]).
+  */
+case class NgramPolyHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"n-gram length must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_poly_hashes expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHash.ngrams(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.RollingHash.ngrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hashed word tokens of a string (codegen'd; see [[WordHash]]). */
 case class HashedWords(child: Expression, seed: Long)
     extends UnaryExpression {

@@ -70,6 +70,10 @@ package object functions {
   def hashed_words(s: Column, seed: Long = 42L): Column =
     c(HashedWords(e(s), seed))
 
+  /** Rolling-hash every n-window of pre-hashed tokens (O(tokens) total). */
+  def ngram_poly_hashes(hashes: Column, n: Int): Column =
+    c(NgramPolyHashes(e(hashes), n))
+
   /** Sorted distinct k-byte-window hashes (allocation-free shingling). */
   def hashed_shingles(s: Column, k: Int, seed: Long = 42L): Column =
     c(HashedShingles(e(s), k, seed))
