@@ -58,4 +58,15 @@ object Bm25 {
       .groupBy(col(idCol))
       .agg(sum(col("score_micro")).as("score_micro"))
   }
+
+  /** Top-k documents by BM25 score — the retrieval-filtered curation query
+    * (score the corpus, keep the k best). The sort+limit lowers to
+    * TakeOrderedAndProject: per-partition k-row heaps merged on the driver,
+    * never a global sort — the only shape that survives a 100 TB corpus.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: Column,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreMicros(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
 }

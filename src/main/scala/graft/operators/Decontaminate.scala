@@ -9,32 +9,35 @@ import org.apache.spark.sql.functions._
   * functions or joins at all (/root/reference/src/planner/
   * logicalplan.rs:207-273).
   *
-  * Scale shape: both sides explode to (id, xxhash64(n-gram)) rows — the
-  * shuffle carries 8-byte hashes, never text. The benchmark side reduces to
-  * distinct hashes (at 100 TB the benchmark is tiny relative to the corpus
-  * and its distinct-gram set broadcasts); contaminated ids come from one
-  * equi-join, and the corpus anti-joins on id, so documents move zero
-  * times. Collisions: xxhash64 over <1e9 distinct grams gives ~1e-2
-  * expected false-contaminated docs corpus-wide — the conservative
-  * direction for decontamination (never leaks a true overlap).
+  * Scale shape: both sides explode to (id, hash(n-gram)) rows — the
+  * shuffle carries 8-byte hashes, never text. Gram hashing is O(tokens)
+  * per document: one xxhash64 per word (allocation-free, HashedWords)
+  * then a Rabin-Karp polynomial roll over the word hashes
+  * (NgramPolyHashes; CACM '87) — not the O(tokens·n) per-window string
+  * rebuild. The benchmark side reduces to distinct hashes (at 100 TB the
+  * benchmark is tiny relative to the corpus and its distinct-gram set
+  * broadcasts); contaminated ids come from one equi-join, and the corpus
+  * anti-joins on id, so documents move zero times. Collisions: 64-bit
+  * hashes over <1e9 distinct grams give ~1e-2 expected false-contaminated
+  * docs corpus-wide — the conservative direction for decontamination
+  * (never leaks a true overlap).
   */
 object Decontaminate {
 
-  /** Hashes of every n-token window of `toks` (empty below n tokens). */
-  def ngramHashes(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+  /** O(tokens) hashes of every n-word window of `text` (empty below n
+    * tokens): per-word xxhash64, combined by a rolling polynomial —
+    * codegen'd end to end, no per-gram string allocation.
+    */
+  def ngramHashes(text: Column, n: Int): Column =
+    graft.functions.ngram_poly_hashes(graft.functions.hashed_words(text), n)
 
   /** Corpus rows whose text shares no word n-gram with `benchmark`. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 13): DataFrame = {
-    def toks(c: Column) = split(lower(c), "\\s+")
     val corpusGrams = corpus.select(col(idCol).as("__cid"),
-      explode(ngramHashes(toks(col(textCol)), n)).as("g"))
+      explode(ngramHashes(col(textCol), n)).as("g"))
     val benchGrams = benchmark
-      .select(explode(ngramHashes(toks(col(textCol)), n)).as("g"))
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
       .distinct()
     val contaminated = corpusGrams.join(benchGrams, "g")
       .select(col("__cid").as(idCol)).distinct()

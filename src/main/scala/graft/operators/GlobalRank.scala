@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase global row numbering — the scale-safe replacement for an
+  * unpartitioned `Window.orderBy(...)`, which serializes the entire dataset
+  * through one task (Spark's "No Partition Defined for Window operation"
+  * warning; fine at test SF, fatal at 100 TB).
+  *
+  * Phase 1 range-chunks the data on approximate quantile cutpoints of the
+  * leading sort column (cut accuracy affects only load balance, never
+  * correctness: any monotone bucketing preserves the global order between
+  * chunks, and rows equal on the cutpoint land in the same chunk). Phase 2
+  * ranks within each chunk in parallel, then adds broadcast per-chunk
+  * offsets — cumulated over the tiny (≤ chunks rows) count frame with a
+  * triangular self-join, not another unpartitioned window.
+  *
+  * The reference has no window operator at all (its whole plan algebra is
+  * /root/reference/src/planner/logicalplan.rs:207-273); this is the
+  * north-star analytic surface done the way a 1000-executor cluster
+  * needs it.
+  */
+object GlobalRank {
+
+  /** Adds `rn` (1-based global row number under `order`) and `n_total`
+    * (total row count) to `df`.
+    *
+    * @param rangeCol leading sort column, used for range chunking
+    * @param order    full sort order; must be a total order (include a
+    *                 unique tie-break) for `rn` to be deterministic
+    * @param chunks   parallelism of the ranking phase
+    */
+  def withRowNumber(df: DataFrame, rangeCol: Column, order: Seq[Column],
+      chunks: Int = 64): DataFrame = {
+    require(chunks > 1, s"need at least 2 chunks, got $chunks")
+    val probs = array((1 until chunks).map(i => lit(i.toDouble / chunks)): _*)
+    val cuts = df.agg(
+      percentile_approx(rangeCol, probs, lit(10000)).as("__cuts"))
+    // monotone bucket index: # cutpoints strictly below this row's value
+    val chunked = df.crossJoin(broadcast(cuts))
+      .withColumn("__chunk", aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(rangeCol > c, 1).otherwise(0)))
+      .drop("__cuts")
+
+    // per-chunk sizes (tiny: ≤ chunks rows), then exclusive prefix sums
+    // via a bounded triangular self-join — O(chunks²) rows of two longs,
+    // no unpartitioned window, no driver round-trip
+    val counts = chunked.groupBy(col("__chunk").as("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.__c") <= col("a.__c"))
+      .groupBy(col("a.__c").as("__c2"), col("a.__cnt").as("__acnt"))
+      .agg(sum(col("b.__cnt")).as("__cum"))
+      .select(col("__c2"), (col("__cum") - col("__acnt")).as("__off"))
+    val total = counts.agg(sum(col("__cnt")).cast("long").as("n_total"))
+
+    val w = Window.partitionBy(col("__chunk")).orderBy(order: _*)
+    chunked
+      .withColumn("__lrn", row_number().over(w))
+      .join(broadcast(offs), col("__chunk") === col("__c2"))
+      .crossJoin(broadcast(total))
+      .withColumn("rn", (col("__off") + col("__lrn")).cast("long"))
+      .drop("__chunk", "__lrn", "__c2", "__off")
+  }
+}

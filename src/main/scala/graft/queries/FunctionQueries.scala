@@ -45,8 +45,14 @@ object FunctionQueries {
             regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
           .orderBy("c_custkey")),
 
-    // ntile / percent_rank / cume_dist: rank-arithmetic doubles are exact
-    // rational divisions -> bit-identical across engines.
+    // ntile / percent_rank / cume_dist over a GLOBAL order — computed via
+    // the two-phase GlobalRank operator (range-chunked local row_number +
+    // broadcast chunk offsets) instead of an unpartitioned window that
+    // would serialize the table through one task at scale. The sort key
+    // (c_acctbal, c_custkey) is a total order, so rank == row_number and
+    // the analytics reduce to exact rank arithmetic: ntile by the SQL
+    // bucket-size rule, percent_rank = (rn-1)/(n-1), cume_dist = rn/n —
+    // the same rational divisions both engines compute, bit-identical.
     Q("q_window_analytics",
       Some("""SELECT c_custkey,
              |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -54,15 +60,26 @@ object FunctionQueries {
              |  cume_dist() OVER w AS cd
              |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
              |ORDER BY c_custkey""".stripMargin),
-      (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        t(s, d, "customer")
+      (s, d) =>
+        graft.operators.GlobalRank.withRowNumber(
+            t(s, d, "customer").select("c_custkey", "c_acctbal"),
+            col("c_acctbal"), Seq(col("c_acctbal"), col("c_custkey")), chunks = 32)
+          // ntile(4): first (n mod 4) buckets hold (n div 4)+1 rows; the
+          // `div 0` in the dead branch of `when` is SQL-null, never hit
+          // (when base == 0, cutoff == n >= rn picks the first branch)
+          .withColumn("__base", expr("n_total div 4"))
+          .withColumn("__rem", col("n_total") % 4)
+          .withColumn("__big", col("__base") + 1)
+          .withColumn("__cutoff", col("__rem") * col("__big"))
+          .withColumn("quartile",
+            when(col("rn") <= col("__cutoff"), expr("(rn + __big - 1) div __big"))
+              .otherwise(col("__rem") + expr("(rn - __cutoff + __base - 1) div __base")))
           .select(col("c_custkey"),
-            ntile(4).over(w).cast("long").as("quartile"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
-          .orderBy("c_custkey")
-      }),
+            col("quartile").cast("long").as("quartile"),
+            ((col("rn") - 1).cast("double") /
+              (col("n_total") - 1).cast("double")).as("pr"),
+            (col("rn").cast("double") / col("n_total").cast("double")).as("cd"))
+          .orderBy("c_custkey")),
 
     // Exact interpolated percentile (both engines: lower + frac*(upper-lower)
     // at rank p*(n-1)) over integral doubles.

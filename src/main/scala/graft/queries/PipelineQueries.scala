@@ -25,6 +25,33 @@ object PipelineQueries {
   private val duckShingles =
     "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))])"
 
+  private val bm25Terms = Seq("dup", "vector", "scan")
+
+  /** DuckDB BM25 oracle CTE (k1=1.2, b=0.75, scores in integer micros),
+    * mirroring Bm25.scoreMicros literal-for-literal — same association
+    * order, CASTs on every decimal literal (DuckDB decimals would
+    * otherwise change the float arithmetic), ln == Spark's log.
+    */
+  private def bm25Sql(tail: String): String = {
+    val in = bm25Terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+       |    string_split(lower(text), ' ') AS toks FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS term FROM base)
+       |  WHERE term IN ($in) GROUP BY doc_id, dl, term),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |scored AS (SELECT tf.doc_id, CAST(sum(CAST(round(
+       |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |    * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |       / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+       |    * CAST(1e6 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |$tail""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication --------------------------------------------------
@@ -533,6 +560,47 @@ object PipelineQueries {
           .select("doc_id")
           .orderBy("doc_id")
       }),
+
+    // ---- retrieval scoring / sequence packing ---------------------------
+
+    // BM25 relevance over a fixed query-term set (Robertson SIGIR '94).
+    // Scores are exact integer micros: per-(doc, term) round then sum, so
+    // the per-doc total is summation-order-independent. The oracle mirrors
+    // the Spark arithmetic term-for-term (same literal/association order);
+    // 'dup' is rare in this corpus (df ~5%) => high idf, 'scan'/'vector'
+    // are common => the score actually discriminates.
+    Q("q_bm25", Some(bm25Sql("SELECT doc_id, score_micro FROM scored ORDER BY doc_id")),
+      (s, d) =>
+        Bm25.scoreMicros(t(s, d, "documents"), "doc_id", col("text"), bm25Terms)
+          .orderBy("doc_id")),
+
+    // Retrieval-filtered curation: BM25 score -> global top-k. The
+    // sort+limit lowers to TakeOrderedAndProject (per-partition heaps, no
+    // global sort) — asserted in PlanAuditSpec.
+    Q("q_bm25_topk", Some(bm25Sql(
+        "SELECT doc_id, score_micro FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20")),
+      (s, d) =>
+        Bm25.topK(t(s, d, "documents"), "doc_id", col("text"), bm25Terms, k = 20)),
+
+    // Sequence packing: assign docs to fixed 512-token training shards by
+    // a running token budget per source (the T5/GPT concat-and-chunk
+    // step). One window per pack key — partition-parallel across sources,
+    // no global sort; offsets/shards are exact longs.
+    Q("q_pack",
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents)
+             |SELECT doc_id, source, n_toks,
+             |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
+             |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
+             |FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Pack.byBudget(
+            t(s, d, "documents").select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_toks")),
+            col("source"), col("doc_id"), col("n_toks"), budget = 512L)
+          .withColumnRenamed("offset", "start_off")
+          .orderBy("doc_id")),
 
     // One k-means (Lloyd) iteration: broadcast-quantizer assignment + ONE
     // (cell, dim)-keyed shuffle in exact integer micros. This is the

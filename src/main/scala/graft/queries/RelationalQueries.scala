@@ -118,7 +118,9 @@ object RelationalQueries {
 
     // ---- joins ----------------------------------------------------------
 
-    // Fact x dim with the dim broadcast: no shuffle of orders.
+    // Fact x dim: customer scales with SF, so no forced broadcast hint —
+    // the planner/AQE picks broadcast while the dim fits the threshold and
+    // degrades to a shuffle join instead of OOMing at 100x.
     Q("q_join_inner",
       Some("""SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o
              |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -127,7 +129,7 @@ object RelationalQueries {
       (s, d) =>
         t(s, d, "orders").as("o")
           .filter(col("o_totalprice") > 400000)
-          .join(broadcast(t(s, d, "customer").as("c")),
+          .join(t(s, d, "customer").as("c"),
             col("o.o_custkey") === col("c.c_custkey"), "inner")
           .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
           .orderBy("o_orderkey")),
@@ -187,7 +189,9 @@ object RelationalQueries {
           .orderBy("c_custkey")
       }),
 
-    // Star join: fact + three broadcast dims, aggregated in exact cents.
+    // Star join: fact + three dims, aggregated in exact cents. Hints only
+    // on the fixed-cardinality dims (nation 25 rows, region 5); customer
+    // grows with SF, so its broadcast is the planner's call.
     Q("q_join_multi",
       Some("""SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
@@ -198,7 +202,7 @@ object RelationalQueries {
              |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin),
       (s, d) =>
         t(s, d, "orders")
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")

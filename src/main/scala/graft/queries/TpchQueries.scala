@@ -62,8 +62,7 @@ object TpchQueries {
           .join(t(s, d, "orders")
             .filter(col("o_orderdate") < lit("2000-03-15 00:00:00").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")
-            .filter(col("c_mktsegment") === "BUILDING")),
+          .join(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
             col("o_custkey") === col("c_custkey"), "left_semi")
           .groupBy("o_orderkey", "o_orderdate")
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -93,8 +92,8 @@ object TpchQueries {
             .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
               col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, d, "supplier")),
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier"),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -162,7 +161,7 @@ object TpchQueries {
             .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
               col("o_orderdate") < lit("2000-07-01 00:00:00").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -185,7 +184,7 @@ object TpchQueries {
         t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("2000-09-01 00:00:00").cast("timestamp") &&
             col("l_shipdate") < lit("2000-10-01 00:00:00").cast("timestamp"))
-          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "ECONOMY",
               cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -239,7 +238,7 @@ object TpchQueries {
           .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
           .filter(col("sum_qty") > 250)
           .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
           .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
           .orderBy(col("sum_qty").desc, col("o_orderkey"))),
 
@@ -272,12 +271,12 @@ object TpchQueries {
           .orderBy("c_nationkey")
       }),
 
-    // Q7: volume shipping between two nations — the canonical
-    // "dims-broadcast, one fact shuffle" star shape with a symmetric
-    // cross-filter (either trade direction) and a year rollup. The nation
-    // pair filter lands on the two broadcast dims, so the fact scan is
-    // reduced before its single aggregate shuffle — the plan survives
-    // 1000 executors unchanged.
+    // Q7: volume shipping between two nations — star join with a symmetric
+    // cross-filter (either trade direction) and a year rollup. Only the
+    // fixed-25-row nation dim carries a broadcast hint; customer/supplier
+    // grow with SF, so their join strategy is left to the planner/AQE
+    // (broadcast while small, shuffle join at scale — never an OOM'ing
+    // forced build side).
     Q("q_tpch_q7",
       Some("""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
              |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -302,9 +301,9 @@ object TpchQueries {
             col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
           .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
           .join(nations.select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation")),
             col("s_nationkey") === col("ns_key"))
@@ -322,7 +321,7 @@ object TpchQueries {
     // Q8: national market share — conditional aggregation over a 7-way
     // star (the widest join in the corpus). Share numerator/denominator
     // emitted as exact cents, not a double ratio (summation-order rule).
-    // The region/part filters ride the broadcast dims.
+    // Hints only on nation/region; SF-scaling dims are planner-chosen.
     Q("q_tpch_q8",
       Some("""SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
              |  CAST(sum(CASE WHEN ns.n_name = 'NATION_5' THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
@@ -341,9 +340,9 @@ object TpchQueries {
              |GROUP BY CAST(year(o.o_orderdate) AS INTEGER) ORDER BY o_year""".stripMargin),
       (s, d) =>
         t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")
-            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+          .join(t(s, d, "part").filter(col("p_type") === "PROMO")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(t(s, d, "nation")
             .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))),
@@ -353,7 +352,7 @@ object TpchQueries {
               col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
             .select("o_orderkey", "o_custkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "nation")
             .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))),
@@ -426,7 +425,7 @@ object TpchQueries {
         val top = revenue.agg(max(col("total_cents")).as("m"))
         revenue.crossJoin(broadcast(top))
           .filter(col("total_cents") === col("m"))
-          .join(broadcast(t(s, d, "supplier")),
+          .join(t(s, d, "supplier"),
             col("supplier_no") === col("s_suppkey"))
           .select("s_suppkey", "s_name", "total_cents")
           .orderBy("s_suppkey")
@@ -456,9 +455,9 @@ object TpchQueries {
             col("l_quantity").between(20, 30))
         t(s, d, "lineitem")
           .filter(col("l_quantity").between(1, 30)) // union bound → parquet scan
-          .join(broadcast(t(s, d, "part")
+          .join(t(s, d, "part")
             .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
-              col("p_size").between(1, 35))),
+              col("p_size").between(1, 35)),
             col("l_partkey") === col("p_partkey"))
           .filter(clause)
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -467,12 +466,17 @@ object TpchQueries {
       }),
 
     // Q21: suppliers who kept waiting — the EXISTS / NOT-EXISTS double
-    // correlation, rewritten join-first: a line "kept the order waiting"
-    // iff its order is finished, the line shipped >60 days late, the order
-    // has another supplier, and NO other supplier shipped late. The two
-    // correlated subqueries become two grouped counts on l_orderkey
-    // (distinct suppliers; distinct LATE suppliers) joined semi-style —
-    // one extra shuffle each over ids only, instead of per-row re-scans.
+    // correlation, rewritten into ONE grouped pass over the fact join:
+    // per finished order, min/max supplier key (distinct-supplier test
+    // without a distinct aggregate), min/max LATE supplier key (the
+    // "exactly one late supplier" test), and the count of late lines.
+    // A qualifying order has min_s <> max_s (another supplier exists) and
+    // min_ls == max_ls non-null (exactly one late supplier); since that
+    // supplier is unique, every late line of the order is theirs, so its
+    // numwait contribution is n_late_lines. All five aggregates are
+    // map-side combinable — one shuffle of (orderkey, 5 longs), no
+    // Expand, and the lineitem x orders join is computed exactly once
+    // (the round-3 version referenced it twice).
     // The oracle keeps the literal EXISTS form (DuckDB decorrelates it).
     Q("q_tpch_q21",
       Some("""SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
@@ -488,27 +492,24 @@ object TpchQueries {
              |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
              |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin),
       (s, d) => {
-        val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-        val late = li
+        val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
             .select("o_orderkey", "o_orderdate"),
-            col("l_orderkey") === col("o_orderkey") &&
-              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        val multiSupp = li.groupBy("l_orderkey")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-          .filter(col("n_supp") > 1)
-          .select(col("l_orderkey").as("ms_key"))
-        val oneLate = late.groupBy(col("l_orderkey").as("lk"))
-          .agg(countDistinct(col("l_suppkey")).as("n_late"))
-          .filter(col("n_late") === 1)
-          .select(col("lk").as("ol_key"))
-        late
-          .join(multiSupp, col("l_orderkey") === col("ms_key"), "left_semi")
-          .join(oneLate, col("l_orderkey") === col("ol_key"), "left_semi")
-          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-            col("l_suppkey") === col("s_suppkey"))
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(
+            min(col("l_suppkey")).as("min_s"),
+            max(col("l_suppkey")).as("max_s"),
+            min(when(late, col("l_suppkey"))).as("min_ls"),
+            max(when(late, col("l_suppkey"))).as("max_ls"),
+            sum(when(late, 1L).otherwise(0L)).as("n_late_lines"))
+          .filter(col("min_s") =!= col("max_s") &&
+            col("min_ls").isNotNull && col("min_ls") === col("max_ls"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+            col("min_ls") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(20)
       }),
@@ -535,6 +536,90 @@ object TpchQueries {
                 |  AND l.l_quantity < (
                 |    SELECT CAST(0.5 AS DOUBLE) * avg(l2.l_quantity)
                 |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+      }),
+
+    // Q2: minimum-cost supplier — correlated min over a dimension. This
+    // schema has no partsupp, so lineitem is the part-supplier bridge and
+    // l_extendedprice stands in for ps_supplycost: for each small part,
+    // the EUROPE suppliers whose offer price equals the per-part minimum.
+    // The oracle keeps the literal correlated-scalar form (DuckDB
+    // decorrelates); Spark computes the per-part min with a PARTITIONED
+    // window over p_partkey — one keyed shuffle, no second scan of the
+    // offers subtree and no global sort. Prices compare as exact cents.
+    Q("q_tpch_q2",
+      Some("""WITH offers AS (
+             |  SELECT DISTINCT p.p_partkey, s.s_name,
+             |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+             |  FROM lineitem l
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |  JOIN region r ON r.r_regionkey = n.n_regionkey
+             |  WHERE r.r_name = 'EUROPE' AND p.p_size <= 5)
+             |SELECT p_partkey, s_name, price_cents FROM offers o
+             |WHERE price_cents = (SELECT min(price_cents) FROM offers o2
+             |                     WHERE o2.p_partkey = o.p_partkey)
+             |ORDER BY p_partkey, s_name""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val euroSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name")
+        val offers = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            cents(col("l_extendedprice")).as("price_cents"))
+          .join(t(s, d, "part").filter(col("p_size") <= 5).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"))
+          .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+          .select("p_partkey", "s_name", "price_cents")
+          .distinct()
+        offers
+          .withColumn("min_cents",
+            min(col("price_cents")).over(Window.partitionBy("p_partkey")))
+          .filter(col("price_cents") === col("min_cents"))
+          .select("p_partkey", "s_name", "price_cents")
+          .orderBy("p_partkey", "s_name")
+      }),
+
+    // Q20: potential part promotion — the nested semi-join chain (IN
+    // inside IN): suppliers in a region who shipped a large quantity of
+    // some PROMO part during 1997. partsupp/availqty don't exist here, so
+    // the per-(supplier, part) shipped-quantity threshold stands in for
+    // "availqty > half the year's shipments". Shape: innermost part
+    // filter semi-joins the fact, a grouped HAVING reduces to qualifying
+    // supplier ids, and supplier left-semi-joins that id set — each level
+    // shuffles only keys, never the fact rows.
+    Q("q_tpch_q20",
+      Some("""SELECT s.s_name FROM supplier s
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'EUROPE' AND s.s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+             |ORDER BY s.s_name""".stripMargin),
+      (s, d) => {
+        val heavyShippers = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(t(s, d, "part").filter(col("p_type") === "PROMO").select("p_partkey"),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("l_quantity").cast("long")).as("ship_qty"))
+          .filter(col("ship_qty") > 50)
+          .select("l_suppkey")
+        t(s, d, "supplier")
+          .join(heavyShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_name")
+          .orderBy("s_name")
       })
   )
 }

@@ -151,6 +151,54 @@ class PlanAuditSpec extends SparkTestBase {
       s"assignment should be broadcast literals, not a join:\n$p")
   }
 
+  test("Q7 carries no user broadcast hint on SF-scaling dims") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    spark.catalog.clearCache()
+    val analyzed = SparkEntry.queries("q_tpch_q7")(spark, sf).queryExecution.analyzed
+    val hintedCols = analyzed.collect { case h: ResolvedHint => h }
+      .flatMap(_.output.map(_.name))
+    // customer/supplier grow with SF — a forced hint would OOM the build
+    // side at 100x; only the fixed-25-row nation dim may carry one
+    assert(!hintedCols.exists(c => c.startsWith("c_") || c.startsWith("s_")),
+      s"SF-scaling table under a broadcast hint: $hintedCols")
+    assert(hintedCols.exists(_.startsWith("n_")),
+      s"nation should keep its broadcast hint: $hintedCols")
+  }
+
+  test("Q19's hand-factored union bound lands in both parquet scans") {
+    val pf = pushedFilters("q_tpch_q19")
+    assert(pf.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      pf.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"lineitem union bound not pushed: $pf")
+    assert(pf.contains("LessThanOrEqual(p_size,35)"),
+      s"part union bound not pushed: $pf")
+    assert(pf.contains("In(p_brand"), s"brand IN-list not pushed: $pf")
+  }
+
+  test("BM25 top-k lowers to TakeOrderedAndProject (no global sort)") {
+    val p = physical("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k lowering:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort in top-k:\n$p")
+  }
+
+  test("two-phase global rank never uses an unpartitioned window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: (w.children ++ w.subqueries).flatMap(windows)
+      case other => (other.children ++ other.subqueries).flatMap(windows)
+    }
+    val plan = SparkEntry.queries("q_window_analytics")(spark, sf)
+      .queryExecution.executedPlan
+    val ws = windows(plan)
+    assert(ws.nonEmpty, "expected a chunk-partitioned window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window survived in q_window_analytics:\n$plan")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()

@@ -136,7 +136,9 @@ class PropertySpec extends SparkTestBase {
           winnow_fingerprints(col("text")), 0.3).as("po"),
         bounded_jaccard(hashed_shingles(col("text"), 5),
           winnow_fingerprints(col("text")), 0.3).as("bj"),
-        char_entropy(concat(lit("中é "), col("text"))).as("ce"))
+        char_entropy(concat(lit("中é "), col("text"))).as("ce"),
+        hashed_words(concat(lit("UP low "), col("text"))).as("hw"),
+        ngram_poly_hashes(hashed_words(col("text")), 13).as("nph"))
       .orderBy("doc_id").collect().map(_.toString).toSeq
     def embOut() = emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)
