@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
   *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
   *
-  * Shape at 100 TB: one tokenize+filter pass over the corpus (the term
-  * filter prunes the exploded stream before any shuffle), one tf aggregate
-  * on (doc, term), and the corpus statistics — df per query term and the
-  * (N, avgdl) scalars — are tiny aggregates BROADCAST into the scoring
-  * projection. No join shuffles anything wider than (doc_id, term, tf).
+  * Shape at 100 TB: the query-term set is small by construction, so term
+  * frequencies are computed as per-document COLUMNS (one codegen'd
+  * `filter` lambda per term over the token array) — documents are never
+  * exploded and never shuffled. The corpus statistics — (N, avgdl) and
+  * the per-term document frequencies — come from ONE tiny aggregate,
+  * broadcast back into a map-side scoring projection. Total shuffle
+  * volume: |terms|+2 numbers, independent of corpus size. (Scoring
+  * against an unbounded vocabulary would want the explode + (doc, term)
+  * aggregate shape instead; that is inverted-index construction, not
+  * fixed-query scoring.)
   *
   * Scores are emitted as exact integer micros (round(score·1e6)) so the
   * per-document sum over terms is order-independent — the determinism rule
@@ -27,36 +32,33 @@ object Bm25 {
     */
   def scoreMicros(docs: DataFrame, idCol: String, textCol: Column,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
     val toks = split(lower(textCol), " ")
-    val base = docs.select(col(idCol), toks.as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = docs.select(
+      col(idCol) +: size(toks).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(toks, tk => tk === lit(term))).cast("double").as(s"tf_$i")
+        }: _*)
 
-    // corpus scalars: N docs, average doc length — one tiny aggregate
-    val stats = base.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // ONE bounded aggregate: corpus scalars + per-term document counts
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
 
-    // (doc, term, tf): explode then filter — the filter prunes the token
-    // stream before the aggregate shuffle ships anything
-    val tf = base
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-
-    // df per query term: bounded by |terms| rows — broadcast
-    val df = tf.groupBy(col("term").as("df_term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    val termScore = idf * (col("tf") * lit(k1 + 1.0) / norm)
-
-    tf.join(broadcast(df), col("term") === col("df_term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("score_micro", round(termScore * lit(1e6), 0).cast("long"))
-      .groupBy(col(idCol))
-      .agg(sum(col("score_micro")).as("score_micro"))
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+      when(tf > 0, round(idf * (tf * lit(k1 + 1.0) / norm) * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .withColumn("score_micro", termScores.reduce(_ + _))
+      .select(col(idCol), col("score_micro"))
   }
 
   /** Top-k documents by BM25 score — the retrieval-filtered curation query
