@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture reweighting: given target proportions per source (the
+  * "data mixture" every LLM pretraining run specifies — e.g. 50% web,
+  * 30% code, 20% books), compute the per-source downsampling fractions
+  * that realize the mixture, and apply them.
+  *
+  * Downsample-only semantics: the achievable corpus size is
+  * M = min_s(n_s / p_s) — the scarcest source relative to its target
+  * caps the total; every source then keeps frac_s = p_s·M / n_s of its
+  * rows. No source is upsampled (duplication is a corpus-quality
+  * decision, not a sampling default).
+  *
+  * Shape at 100 TB: weights come from one per-source count aggregate
+  * (bounded by the number of sources) and scalar arithmetic — the fact
+  * table is touched once for counting and once for sampling, both
+  * map-side. The fractions round-trip through the driver only in
+  * [[sample]] (sources-count rows, the same documented tiny-table
+  * exception as the IVF centroids).
+  */
+object Mixture {
+
+  /** Per-source plan: (source, n_rows, target_p, frac, n_keep). Sources
+    * absent from `targets` are excluded (weight 0). All arithmetic is
+    * plain IEEE on exact integer counts — deterministic across engines.
+    */
+  def weights(df: DataFrame, sourceCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "mixture needs at least one target proportion")
+    require(targets.values.forall(p => p > 0 && p <= 1),
+      s"target proportions must be in (0, 1]: $targets")
+    val s = df.sparkSession
+    import s.implicits._
+    val tgt = targets.toSeq.toDF("__src", "target_p")
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(tgt), "__src")
+    val cap = counts.agg(
+      min(col("n_rows").cast("double") / col("target_p")).as("__m"))
+    counts.crossJoin(broadcast(cap))
+      .select(col("__src").as(sourceCol), col("n_rows"), col("target_p"),
+        (col("target_p") * col("__m") / col("n_rows").cast("double")).as("frac"),
+        floor(col("target_p") * col("__m")).cast("long").as("n_keep"))
+  }
+
+  /** The reweighted corpus: Bernoulli-samples each source at its mixture
+    * fraction (seeded, per-stratum). Fraction map is sources-count rows —
+    * a bounded driver round-trip.
+    */
+  def sample(df: DataFrame, sourceCol: String, targets: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    val fr = weights(df, sourceCol, targets)
+      .select(col(sourceCol), col("frac"))
+      .collect()
+      .map(r => r.getString(0) -> math.min(1.0, r.getDouble(1))).toMap
+    df.stat.sampleBy(sourceCol, fr, seed)
+  }
+}

@@ -52,6 +52,75 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Repetition-based quality signals (Rae et al. '21 §A1.2, the Gopher
+    * repetition gates): per document, the token coverage of the most
+    * frequent word 2-gram and the duplicate fraction among word 5-grams.
+    * Boilerplate and low-quality generation score high on both.
+    *
+    * Shape at 100 TB: entirely per-row — n-grams come from the O(tokens)
+    * rolling-hash expression (no string materialization), the top-2-gram
+    * count from a codegen'd HOF over the doc-local hash array. No explode,
+    * no shuffle; the operator rides the scan stage. Counting on 64-bit
+    * hashes instead of gram text can merge two distinct grams only on an
+    * intra-document collision (~n²·2⁻⁶⁴ per doc) — the same tolerance the
+    * dedup/decontamination joins accept by design.
+    *
+    * Fractions are exact rational divisions of integer counts, so they
+    * hash-compare bit-identically across engines.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g2 = graft.functions.ngram_poly_hashes(
+      graft.functions.hashed_words(col(textCol)), 2)
+    val g5 = graft.functions.ngram_poly_hashes(
+      graft.functions.hashed_words(col(textCol)), 5)
+    df.select(col(idCol),
+        size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"),
+        coalesce(array_max(transform(array_distinct(g2),
+          x => size(filter(g2, y => y === x)))), lit(0))
+          .cast("long").as("top2_count"),
+        size(g5).cast("long").as("n_5grams"),
+        size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))
+      .withColumn("top2_frac",
+        (col("top2_count") * 2).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("dup5_frac",
+        when(col("n_5grams") > 0,
+          (col("n_5grams") - col("n_5grams_distinct")).cast("double") /
+            col("n_5grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Corpus-unigram negative log-likelihood per document in exact integer
+    * micros — the CCNet-style LM quality proxy (perplexity-ranked
+    * filtering) with the corpus's own unigram distribution standing in for
+    * the external LM. High NLL = improbable token stream.
+    *
+    * Shape at 100 TB: the unigram table is ONE vocabulary-bounded
+    * aggregate (partial map-side counts, vocab-sized result), folded into
+    * a broadcast literal map; scoring is then a per-row HOF fold over the
+    * token array — documents are never exploded and never shuffled.
+    * Per-token costs are rounded to micros BEFORE the per-doc sum, so the
+    * total is summation-order-independent (FIXTURES.md §5). Requires the
+    * scored text's vocabulary ⊆ the LM's (true here by construction);
+    * scoring foreign text would need an OOV fallback cost.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val unigrams = df
+      .select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).cast("double").as("__c"))
+    val total = unigrams.agg(sum(col("__c")).as("__t"))
+    val costs = unigrams.crossJoin(broadcast(total))
+      .select(col("__w"),
+        round(-log(col("__c") / col("__t")) * lit(1e6), 0).cast("long").as("__cost"))
+    val costMap = costs.agg(
+      map_from_arrays(collect_list(col("__w")), collect_list(col("__cost"))).as("__m"))
+    df.crossJoin(broadcast(costMap))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, w) => acc + element_at(col("__m"), w)).as("nll_micro"))
+  }
+
   /** Canonical text normalization for dedup keys and matching: accent-fold
     * (codegen'd NFD strip), lowercase, non-alphanumerics to spaces, collapse
     * runs, trim. Mirrors DuckDB lower(strip_accents(..)) + regexp cleanup.

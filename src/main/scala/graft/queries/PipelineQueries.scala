@@ -602,6 +602,71 @@ object PipelineQueries {
           .withColumnRenamed("offset", "start_off")
           .orderBy("doc_id")),
 
+    // Gopher repetition gates (Rae '21 §A1.2): top-2-gram token coverage +
+    // duplicate-5-gram fraction, per doc. Spark counts rolling-hash grams
+    // (per-row HOFs, no explode/shuffle); the oracle counts gram TEXT —
+    // identical absent an intra-doc 2^-64 hash collision. Fractions are
+    // exact rational divisions of integer counts.
+    Q("q_repetition",
+      Some("""WITH b AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g2,
+             |    [array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)] AS g5
+             |  FROM b),
+             |s AS (SELECT doc_id, n_tokens,
+             |    CAST(coalesce(list_max(list_transform(list_distinct(g2),
+             |      x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT) AS top2_count,
+             |    CAST(len(g5) AS BIGINT) AS n_5grams,
+             |    CAST(len(list_distinct(g5)) AS BIGINT) AS n_5grams_distinct
+             |  FROM g)
+             |SELECT doc_id, n_tokens, top2_count, n_5grams, n_5grams_distinct,
+             |  CAST(top2_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top2_frac,
+             |  CASE WHEN n_5grams > 0
+             |    THEN CAST(n_5grams - n_5grams_distinct AS DOUBLE) / CAST(n_5grams AS DOUBLE)
+             |    ELSE CAST(0.0 AS DOUBLE) END AS dup5_frac
+             |FROM s ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Corpus-unigram NLL per doc (CCNet-style perplexity filter proxy):
+    // vocab-bounded unigram aggregate -> broadcast cost map -> per-row HOF
+    // fold. Per-token micros rounded before the sum (order-independent).
+    Q("q_lm_score",
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+             |u AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+             |cost AS (SELECT w, CAST(round(-ln(c / t) * CAST(1e6 AS DOUBLE), 0) AS BIGINT) AS cost
+             |  FROM u CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(cost) AS BIGINT) AS nll_micro
+             |FROM toks JOIN cost USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.unigramNll(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Domain-mixture reweighting: per-source downsampling fractions that
+    // realize a 50/30/20 target mixture (downsample-only — the scarcest
+    // source caps the total). Counts are exact; frac/n_keep are the same
+    // IEEE expressions in both engines.
+    Q("q_mixture",
+      Some("""WITH t(src, target_p) AS (VALUES
+             |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+             |    ('src2', CAST(0.2 AS DOUBLE))),
+             |c AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM documents GROUP BY source),
+             |j AS (SELECT c.src, n_rows, target_p FROM c JOIN t USING (src)),
+             |m AS (SELECT min(CAST(n_rows AS DOUBLE) / target_p) AS mm FROM j)
+             |SELECT src AS source, n_rows, target_p,
+             |  (target_p * mm) / CAST(n_rows AS DOUBLE) AS frac,
+             |  CAST(floor(target_p * mm) AS BIGINT) AS n_keep
+             |FROM j, m ORDER BY source""".stripMargin),
+      (s, d) =>
+        Mixture.weights(t(s, d, "documents"), "source",
+            Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+          .orderBy("source")),
+
     // One k-means (Lloyd) iteration: broadcast-quantizer assignment + ONE
     // (cell, dim)-keyed shuffle in exact integer micros. This is the
     // training pass that produces ivfKnn's centroid table; oracled on

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture reweighting: weight arithmetic against hand-computed
+  * values, and the sampled corpus against its plan.
+  */
+class MixtureSpec extends SparkTestBase {
+
+  import graft.operators.Mixture
+
+  private def corpus = {
+    import spark.implicits._
+    ((1 to 10).map(i => (i.toLong, "web")) ++
+      (11 to 15).map(i => (i.toLong, "code")) ++
+      (16 to 18).map(i => (i.toLong, "books")))
+      .toDF("id", "src")
+  }
+
+  test("weights: scarcest source caps the mixture; fractions are exact") {
+    // targets 50/50 over web(10)/code(5): M = min(10/.5, 5/.5) = 10
+    val got = Mixture.weights(corpus, "src", Map("web" -> 0.5, "code" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("web") == ((10L, 0.5, 0.5, 5L)), s"web: ${got("web")}")
+    assert(got("code") == ((5L, 0.5, 1.0, 5L)), s"code: ${got("code")}")
+    assert(!got.contains("books"), "untargeted source must be excluded")
+  }
+
+  test("weights: rejects empty and out-of-range targets") {
+    intercept[IllegalArgumentException](Mixture.weights(corpus, "src", Map.empty))
+    intercept[IllegalArgumentException](
+      Mixture.weights(corpus, "src", Map("web" -> 1.5)))
+  }
+
+  test("sample: only targeted sources survive, and it is a subset") {
+    val ids = corpus.select("id").collect().map(_.getLong(0)).toSet
+    val out = Mixture.sample(corpus, "src", Map("web" -> 0.6, "code" -> 0.4), seed = 7L)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => Set("web", "code")(r.getString(1))),
+      "books rows leaked through the mixture")
+    assert(out.forall(r => ids(r.getLong(0))), "sample invented rows")
+    // seeded determinism
+    val again = Mixture.sample(corpus, "src", Map("web" -> 0.6, "code" -> 0.4), seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+}

@@ -235,4 +235,32 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(r.getInt(2) == r.getInt(3))        // segments == space-separated words
     }
   }
+
+  test("repetition signals match hand-computed gram counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // top bigram "a b" x3 of 5; 2 distinct 5-grams
+      (2L, "x x x x x x"),     // all bigrams equal; both 5-grams identical
+      (3L, "p q r s"))         // no 5-grams at all
+      .toDF("id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((6L, 3L, 2L, 2L, 1.0, 0.0)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((6L, 5L, 2L, 1L, 10.0 / 6.0, 0.5)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((4L, 1L, 0L, 0L, 0.5, 0.0)), s"doc3: ${got(3L)}")
+  }
+
+  test("unigram NLL matches a hand-computed corpus LM") {
+    import spark.implicits._
+    // counts: a=2 b=2 c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val got = TextAnalysis.unigramNll(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val costA = math.round(-math.log(2.0 / 5.0) * 1e6) // == cost of b
+    val costC = math.round(-math.log(1.0 / 5.0) * 1e6)
+    assert(got(1L) == ((3L, 3 * costA)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, costA + costC)), s"doc2: ${got(2L)}")
+  }
 }
