@@ -58,12 +58,14 @@ object TextAnalysis {
     * Boilerplate and low-quality generation score high on both.
     *
     * Shape at 100 TB: entirely per-row — n-grams come from the O(tokens)
-    * rolling-hash expression (no string materialization), the top-2-gram
-    * count from a codegen'd HOF over the doc-local hash array. No explode,
-    * no shuffle; the operator rides the scan stage. Counting on 64-bit
-    * hashes instead of gram text can merge two distinct grams only on an
-    * intra-document collision (~n²·2⁻⁶⁴ per doc) — the same tolerance the
-    * dedup/decontamination joins accept by design.
+    * rolling-hash expression (no string materialization), and the
+    * most-frequent-2-gram count is the longest equal-run of the SORTED
+    * hash array (one O(n log n) sort + one linear fold — not the
+    * O(distinct·n) nested count, which goes quadratic on long documents).
+    * No explode, no shuffle; the operator rides the scan stage. Counting
+    * on 64-bit hashes instead of gram text can merge two distinct grams
+    * only on an intra-document collision (~n²·2⁻⁶⁴ per doc) — the same
+    * tolerance the dedup/decontamination joins accept by design.
     *
     * Fractions are exact rational divisions of integer counts, so they
     * hash-compare bit-identically across engines.
@@ -73,11 +75,21 @@ object TextAnalysis {
       graft.functions.hashed_words(col(textCol)), 2)
     val g5 = graft.functions.ngram_poly_hashes(
       graft.functions.hashed_words(col(textCol)), 5)
-    df.select(col(idCol),
+    // longest run in the sorted array == count of the most frequent value
+    val top2RunSql =
+      """aggregate(
+        |  array_sort(__g2),
+        |  named_struct('prev', CAST(NULL AS BIGINT), 'run', 0L, 'best', 0L),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+        |    'best', GREATEST(acc.best,
+        |      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin
+    df.withColumn("__g2", g2)
+      .select(col(idCol),
         size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"),
-        coalesce(array_max(transform(array_distinct(g2),
-          x => size(filter(g2, y => y === x)))), lit(0))
-          .cast("long").as("top2_count"),
+        expr(top2RunSql).as("top2_count"),
         size(g5).cast("long").as("n_5grams"),
         size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))
       .withColumn("top2_frac",
