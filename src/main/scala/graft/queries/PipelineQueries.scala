@@ -602,6 +602,61 @@ object PipelineQueries {
           .withColumnRenamed("offset", "start_off")
           .orderBy("doc_id")),
 
+    // The whole curation pipeline as ONE composed plan — quality gates
+    // (Gopher wc + symbol ratio) -> exact dedup (keep min id) ->
+    // benchmark decontamination (13-gram vs src0) -> sequence packing.
+    // This is the query a reference user actually runs end-to-end; every
+    // stage is the library operator, and the composition stays a single
+    // Catalyst plan (filters reach the scan, dedup/decontaminate shuffle
+    // digests and 8-byte gram hashes only, packing windows per source).
+    Q("q_curation_pipeline",
+      Some("""WITH gated AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  WHERE len(string_split(text, ' ')) BETWEEN 50 AND 100000
+             |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             |        <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+             |uniq AS (SELECT g.doc_id, g.source, g.text FROM gated g JOIN keep USING (doc_id)),
+             |toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tk
+             |  FROM (SELECT doc_id, source, text FROM uniq WHERE source <> 'src0'
+             |        UNION ALL
+             |        SELECT doc_id, source, text FROM documents WHERE source = 'src0')),
+             |grams AS (SELECT doc_id, source,
+             |    unnest([array_to_string(list_slice(tk, i, i+12), ' ')
+             |            FOR i IN range(1, greatest(len(tk)-11, 1))]) AS g
+             |  FROM toks WHERE len(tk) >= 13),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+             |bad AS (SELECT DISTINCT doc_id FROM grams
+             |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+             |clean AS (SELECT u.doc_id, u.source,
+             |    CAST(len(string_split(u.text, ' ')) AS BIGINT) AS n_toks
+             |  FROM uniq u WHERE u.source <> 'src0'
+             |    AND u.doc_id NOT IN (SELECT doc_id FROM bad))
+             |SELECT doc_id, source, n_toks,
+             |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
+             |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
+             |FROM clean WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gated = docs.filter(
+          size(split(col("text"), " ")).between(50, 100000) &&
+            (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+              <= lit(0.1) * length(col("text")).cast("double")))
+        val keep = Dedup.exact(gated, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val unique = gated.join(keep, Seq("doc_id"), "left_semi")
+        val clean = Decontaminate.decontaminate(
+          unique.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 13)
+        Pack.byBudget(
+            clean.select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_toks")),
+            col("source"), col("doc_id"), col("n_toks"), budget = 512L)
+          .withColumnRenamed("offset", "start_off")
+          .orderBy("doc_id")
+      }),
+
     // Gopher repetition gates (Rae '21 §A1.2): top-2-gram token coverage +
     // duplicate-5-gram fraction, per doc. Spark counts rolling-hash grams
     // (per-row HOFs, no explode/shuffle); the oracle counts gram TEXT —
