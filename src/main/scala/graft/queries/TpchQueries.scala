@@ -583,6 +583,99 @@ object TpchQueries {
           .orderBy("p_partkey", "s_name")
       }),
 
+    // Q9: product-type profit rollup — the multi-fact star (lineitem +
+    // part-name filter + supplier nation + order year) grouped on two
+    // derived dims. This schema has no partsupp/supplycost, so profit is
+    // the discounted revenue (the plan shape — 4 joins feeding one
+    // two-key rollup — is Q9's). Part filter rides a name LIKE, pushed
+    // to the part scan; only nation carries a broadcast hint.
+    Q("q_tpch_q9",
+      Some("""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS profit_cents
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |WHERE p.p_name LIKE '%gear%'
+             |GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+             |ORDER BY nation, o_year""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "part").filter(col("p_name").like("%gear%"))
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("profit_cents"))
+          .orderBy("nation", "o_year")),
+
+    // Q11: important stock — group-by plus a GLOBAL scalar threshold over
+    // the same aggregate (keep parts whose value exceeds a fraction of the
+    // national total). lineitem stands in for partsupp; one grouped pass,
+    // the total re-aggregated from the group result (tiny) and broadcast
+    // into the filter — no second fact scan, no global sort.
+    Q("q_tpch_q11",
+      Some("""WITH v AS (
+             |  SELECT l.l_partkey,
+             |    CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |  FROM lineitem l
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |  WHERE n.n_name = 'NATION_3'
+             |  GROUP BY l.l_partkey),
+             |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM v)
+             |SELECT l_partkey, value_cents FROM v, tot
+             |WHERE CAST(value_cents AS DOUBLE) > CAST(0.002 AS DOUBLE) * CAST(t AS DOUBLE)
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin),
+      (s, d) => {
+        val v = t(s, d, "lineitem")
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")).filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("l_partkey")
+          .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+        val tot = v.agg(sum(col("value_cents")).as("t"))
+        v.crossJoin(broadcast(tot))
+          .filter(col("value_cents").cast("double") >
+            lit(0.002) * col("t").cast("double"))
+          .select("l_partkey", "value_cents")
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      }),
+
+    // Q16: parts/supplier relationship — anti-join a supplier blocklist
+    // BEFORE a grouped count-distinct. The anti-join ships only supplier
+    // ids; the distinct count shuffles (brand, type, size, suppkey) —
+    // the Q16 plan with lineitem standing in for partsupp.
+    Q("q_tpch_q16",
+      Some("""SELECT p.p_brand, p.p_type, p.p_size,
+             |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand <> 'Brand#1'
+             |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+             |  AND l.l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0003%')
+             |GROUP BY p.p_brand, p.p_type, p.p_size
+             |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(t(s, d, "supplier").filter(col("s_name").like("%0003%"))
+            .select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+            .select("p_partkey", "p_brand", "p_type", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))),
+
     // Q20: potential part promotion — the nested semi-join chain (IN
     // inside IN): suppliers in a region who shipped a large quantity of
     // some PROMO part during 1997. partsupp/availqty don't exist here, so
