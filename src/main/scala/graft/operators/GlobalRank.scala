@@ -24,6 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Adds `__chunk`, a monotone range-bucket of `rangeCol`: rows in chunk
+    * i sort entirely before chunk i+1, and equal values share a chunk.
+    * Cutpoints are approximate quantiles — accuracy is a load-balance
+    * knob only.
+    */
+  private def chunkByRange(df: DataFrame, rangeCol: Column,
+      chunks: Int): DataFrame = {
+    require(chunks > 1, s"need at least 2 chunks, got $chunks")
+    val probs = array((1 until chunks).map(i => lit(i.toDouble / chunks)): _*)
+    val cuts = df.agg(
+      percentile_approx(rangeCol, probs, lit(10000)).as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("__chunk", aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(rangeCol > c, 1).otherwise(0)))
+      .drop("__cuts")
+  }
+
+  /** Exclusive prefix sums of a per-chunk weight frame (__c, __cnt) →
+    * (__c2, __off), via a bounded triangular self-join — O(chunks²) rows
+    * of two longs, no unpartitioned window, no driver round-trip.
+    */
+  private def exclusiveOffsets(perChunk: DataFrame): DataFrame =
+    perChunk.as("a")
+      .join(perChunk.as("b"), col("b.__c") <= col("a.__c"))
+      .groupBy(col("a.__c").as("__c2"), col("a.__cnt").as("__acnt"))
+      .agg(sum(col("b.__cnt")).as("__cum"))
+      .select(col("__c2"), (col("__cum") - col("__acnt")).as("__off"))
+
   /** Adds `rn` (1-based global row number under `order`) and `n_total`
     * (total row count) to `df`.
     *
@@ -34,28 +62,11 @@ object GlobalRank {
     */
   def withRowNumber(df: DataFrame, rangeCol: Column, order: Seq[Column],
       chunks: Int = 64): DataFrame = {
-    require(chunks > 1, s"need at least 2 chunks, got $chunks")
-    val probs = array((1 until chunks).map(i => lit(i.toDouble / chunks)): _*)
-    val cuts = df.agg(
-      percentile_approx(rangeCol, probs, lit(10000)).as("__cuts"))
-    // monotone bucket index: # cutpoints strictly below this row's value
-    val chunked = df.crossJoin(broadcast(cuts))
-      .withColumn("__chunk", aggregate(col("__cuts"), lit(0),
-        (acc, c) => acc + when(rangeCol > c, 1).otherwise(0)))
-      .drop("__cuts")
-
-    // per-chunk sizes (tiny: ≤ chunks rows), then exclusive prefix sums
-    // via a bounded triangular self-join — O(chunks²) rows of two longs,
-    // no unpartitioned window, no driver round-trip
+    val chunked = chunkByRange(df, rangeCol, chunks)
     val counts = chunked.groupBy(col("__chunk").as("__c"))
       .agg(count(lit(1)).as("__cnt"))
-    val offs = counts.as("a")
-      .join(counts.as("b"), col("b.__c") <= col("a.__c"))
-      .groupBy(col("a.__c").as("__c2"), col("a.__cnt").as("__acnt"))
-      .agg(sum(col("b.__cnt")).as("__cum"))
-      .select(col("__c2"), (col("__cum") - col("__acnt")).as("__off"))
+    val offs = exclusiveOffsets(counts)
     val total = counts.agg(sum(col("__cnt")).cast("long").as("n_total"))
-
     val w = Window.partitionBy(col("__chunk")).orderBy(order: _*)
     chunked
       .withColumn("__lrn", row_number().over(w))
@@ -63,5 +74,25 @@ object GlobalRank {
       .crossJoin(broadcast(total))
       .withColumn("rn", (col("__off") + col("__lrn")).cast("long"))
       .drop("__chunk", "__lrn", "__c2", "__off")
+  }
+
+  /** Adds `cumCol` — the INCLUSIVE global running sum of `size` under
+    * `order` — without an unpartitioned window: local per-chunk cumsum
+    * plus broadcast per-chunk totals. Same contract as [[withRowNumber]]
+    * (`order` must be total; `rangeCol` its leading column).
+    */
+  def withRunningSum(df: DataFrame, rangeCol: Column, order: Seq[Column],
+      size: Column, cumCol: String = "cum", chunks: Int = 64): DataFrame = {
+    val chunked = chunkByRange(df, rangeCol, chunks)
+    val sums = chunked.groupBy(col("__chunk").as("__c"))
+      .agg(sum(size).cast("long").as("__cnt"))
+    val offs = exclusiveOffsets(sums)
+    val w = Window.partitionBy(col("__chunk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked
+      .withColumn("__lcum", sum(size).over(w))
+      .join(broadcast(offs), col("__chunk") === col("__c2"))
+      .withColumn(cumCol, (col("__off") + col("__lcum")).cast("long"))
+      .drop("__chunk", "__lcum", "__c2", "__off")
   }
 }

@@ -36,4 +36,20 @@ object Pack {
     df.withColumn("offset", sum(size).over(w) - size)
       .withColumn("shard", expr(s"offset div ${budget}L"))
   }
+
+  /** Global packing — ONE corpus-wide stream ordered by `order`, no pack
+    * key. The single-key case [[byBudget]] would serialize through one
+    * window partition; this goes through [[GlobalRank.withRunningSum]]
+    * (range-chunked local cumsum + broadcast chunk totals), so the
+    * running offset is computed partition-parallel at any scale. `order`
+    * must be a total order (unique values).
+    */
+  def globalByBudget(df: DataFrame, order: Column, size: Column,
+      budget: Long, chunks: Int = 64): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    GlobalRank.withRunningSum(df, order, Seq(order), size, "__cum", chunks)
+      .withColumn("offset", col("__cum") - size)
+      .withColumn("shard", expr(s"offset div ${budget}L"))
+      .drop("__cum")
+  }
 }

@@ -602,6 +602,27 @@ object PipelineQueries {
           .withColumnRenamed("offset", "start_off")
           .orderBy("doc_id")),
 
+    // Global (keyless) packing: one corpus-wide shard stream ordered by
+    // doc_id. The oracle's unpartitioned window is exactly what Spark
+    // must NOT run at scale — the implementation goes through the
+    // two-phase GlobalRank running sum (plan-asserted: no unpartitioned
+    // WindowExec).
+    Q("q_pack_global",
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents)
+             |SELECT doc_id, n_toks,
+             |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
+             |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
+             |FROM d WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Pack.globalByBudget(
+            t(s, d, "documents").select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_toks")),
+            col("doc_id"), col("n_toks"), budget = 512L, chunks = 32)
+          .withColumnRenamed("offset", "start_off")
+          .orderBy("doc_id")),
+
     // The whole curation pipeline as ONE composed plan — quality gates
     // (Gopher wc + symbol ratio) -> exact dedup (keep min id) ->
     // benchmark decontamination (13-gram vs src0) -> sequence packing.

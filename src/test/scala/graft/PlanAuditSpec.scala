@@ -191,12 +191,13 @@ class PlanAuditSpec extends SparkTestBase {
       case w: WindowExec => w +: (w.children ++ w.subqueries).flatMap(windows)
       case other => (other.children ++ other.subqueries).flatMap(windows)
     }
-    val plan = SparkEntry.queries("q_window_analytics")(spark, sf)
-      .queryExecution.executedPlan
-    val ws = windows(plan)
-    assert(ws.nonEmpty, "expected a chunk-partitioned window")
-    assert(ws.forall(_.partitionSpec.nonEmpty),
-      s"unpartitioned window survived in q_window_analytics:\n$plan")
+    Seq("q_window_analytics", "q_pack_global").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val ws = windows(plan)
+      assert(ws.nonEmpty, s"expected a chunk-partitioned window in $q")
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window survived in $q:\n$plan")
+    }
   }
 
   test("runtime bloom filter prunes the probe side of a selective SMJ") {

@@ -78,6 +78,22 @@ class RetrievalSpec extends SparkTestBase {
       Pack.byBudget(df, col("src"), col("ord"), col("sz"), budget = 0L))
   }
 
+  test("global packing equals the single-window reference cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("sz"))
+    val got = Pack.globalByBudget(docs, col("doc_id"), col("sz"), budget = 512L, chunks = 8)
+      .select("doc_id", "offset", "shard")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs
+      .withColumn("off", sum(col("sz")).over(w) - col("sz"))
+      .select(col("doc_id"), col("off"), expr("off div 512L"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("rolling n-gram hashes equal a direct per-window polynomial rebuild") {
     import graft.functions.{hashed_words, ngram_poly_hashes}
     val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") < 40)
