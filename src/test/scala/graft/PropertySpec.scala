@@ -147,7 +147,8 @@ class PropertySpec extends SparkTestBase {
         dot_product(col("a.embedding"), col("b.embedding")).as("dot"),
         euclidean_dist(col("a.embedding"), col("b.embedding")).as("l2"),
         hamming64(fingerprint64(col("a.vec_id").cast("string")),
-          fingerprint64(col("b.vec_id").cast("string"))).as("ham"))
+          fingerprint64(col("b.vec_id").cast("string"))).as("ham"),
+        sign_lsh_buckets(col("a.embedding"), 6, 4, 64).as("lsh"))
       .orderBy("a.vec_id", "b.vec_id").collect().map(_.toString).toSeq
     val mode = "spark.sql.codegen.factoryMode"
     val saved = spark.conf.getOption(mode)
