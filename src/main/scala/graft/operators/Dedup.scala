@@ -284,4 +284,63 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Resolve near-duplicate PAIRS into clusters: connected components by
+    * min-label propagation, returning (v, cluster_rep) for every id that
+    * appears in a pair, with cluster_rep = the smallest id in the
+    * component. This is the missing last step of a near-dedup pipeline —
+    * pairs alone over-delete (dropping the right side of every pair can
+    * remove a whole chain including its best representative).
+    *
+    * Scale shape: hash-to-min label propagation — each round is ONE keyed
+    * shuffle of (id, label) longs, converging in O(component diameter)
+    * rounds; near-dup clusters are dense (copies of a shared template),
+    * so the diameter is small. The driver sees only a scalar changed-count
+    * per round (the standard iterative-fixpoint shape for CC on Spark);
+    * per-round results are persisted so lineage stays linear. Throws if
+    * `maxIter` rounds don't reach the fixpoint rather than returning
+    * partially-merged clusters.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, col("dst") === col("v"))
+        .select(col("src").as("v"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min(col("label")).as("label"))
+        .persist(lvl)
+      val changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged,
+      s"cluster resolution did not converge in $maxIter rounds (pathological chain?)")
+    labels.select(col("v"), col("label").as("cluster_rep"))
+  }
+
+  /** Corpus with near-duplicate clusters collapsed to one representative:
+    * every doc whose cluster representative is a DIFFERENT doc is dropped
+    * via an id-only anti-join — documents never move.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val nonReps = resolveClusters(pairs, aCol, bCol)
+      .filter(col("v") =!= col("cluster_rep"))
+      .select(col("v").as(idCol))
+    docs.join(nonReps, Seq(idCol), "left_anti")
+  }
 }

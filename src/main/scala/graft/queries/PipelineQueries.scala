@@ -112,6 +112,34 @@ object PipelineQueries {
             Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
           .orderBy("id_a", "id_b")),
 
+    // Pairs -> clusters: connected components over the near-dup pair
+    // graph (min-label propagation, O(diameter) keyed shuffles), every
+    // paired doc mapped to its cluster's smallest id. The oracle computes
+    // the same components with a recursive CTE over the exact all-pairs
+    // graph (LSH completeness at these thresholds established by
+    // q_dedup_minhash's equivalence).
+    Q("q_dedup_clusters",
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v)
+              |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+              |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+        Dedup.resolveClusters(pairs, "id_a", "id_b")
+          .select(col("v").as("doc_id"), col("cluster_rep"))
+          .orderBy("doc_id")
+      }),
+
     // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
     // band the LSH query's threshold excludes). Bounded to doc_id < 1000:
     // the O(n^2) form is the verification baseline, not the scale path —

@@ -169,6 +169,28 @@ object RelationalQueries {
           .select("c_custkey")
           .orderBy("c_custkey")),
 
+    // Full outer join: unmatched rows survive on BOTH sides (customers
+    // without a big order keep a null right; big-order custkeys outside
+    // the customer subset keep a null left). Coalesced key restores a
+    // total order for the hash compare.
+    Q("q_join_full",
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100),
+             |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+             |SELECT coalesce(c.c_custkey, o.o_custkey) AS k, c.c_name,
+             |  (o.o_custkey IS NOT NULL) AS has_big
+             |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+             |ORDER BY k""".stripMargin),
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_custkey") < 100)
+          .select("c_custkey", "c_name")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+          .select("o_custkey").distinct()
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            col("c_name"), col("o_custkey").isNotNull.as("has_big"))
+          .orderBy("k")
+      }),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys match
     // each other instead of dropping out — the SQL semantics corner the
     // reference's Eq operator never had to decide.

@@ -219,4 +219,31 @@ class DedupSpec extends SparkTestBase {
     } yield (ia, ib)).toSet
     assert(got == want)
   }
+
+  test("cluster resolution: chains collapse to the component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain through 2-3), {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.resolveClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicates keeps exactly one representative per cluster") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup.dropNearDuplicates(docs, pairs, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L), s"kept $kept")
+  }
+
+  test("cluster resolution refuses to return an unconverged fixpoint") {
+    import spark.implicits._
+    // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.resolveClusters(chain, "id_a", "id_b", maxIter = 1)
+        .collect())
+  }
 }
