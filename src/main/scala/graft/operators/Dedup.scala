@@ -304,8 +304,12 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the (possibly expensive — e.g. LSH) pair source ONCE:
+    // the two union branches below would otherwise each recompute it
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist(lvl)
+    p.count()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(lvl)
     var labels = edges.select(col("src").as("v")).distinct()
@@ -313,20 +317,27 @@ object Dedup {
       .persist(lvl)
     var converged = false
     var i = 0
+    // fixpoint detector: the vertex set is constant and labels only ever
+    // decrease, so an unchanged label SUM means no label changed — one
+    // aggregate per round instead of a join; decimal(38) keeps it exact
+    // at any id magnitude
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("label"))
       val next = labels.union(prop)
         .groupBy("v").agg(min(col("label")).as("label"))
         .persist(lvl)
-      val changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
-        .filter(col("label") =!= col("old")).count()
+      val sumNew = next
+        .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && sumNew.compareTo(prevSum) == 0
+      prevSum = sumNew
       i += 1
     }
     edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
     require(converged,
       s"cluster resolution did not converge in $maxIter rounds (pathological chain?)")
     labels.select(col("v"), col("label").as("cluster_rep"))
