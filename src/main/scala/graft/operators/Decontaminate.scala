@@ -31,6 +31,30 @@ object Decontaminate {
   def ngramHashes(text: Column, n: Int): Column =
     graft.functions.ngram_poly_hashes(graft.functions.hashed_words(text), n)
 
+  /** Semantic decontamination: corpus rows whose embedding is NOT within
+    * `threshold` cosine of any benchmark embedding — the embedding-space
+    * complement of the n-gram rule (catches paraphrased benchmark
+    * leakage that exact grams miss).
+    *
+    * Scale shape: the benchmark is tiny relative to a 100 TB corpus, so
+    * it broadcasts and the corpus is scanned once against it (broadcast
+    * semi-join on the cosine predicate — the corpus never shuffles);
+    * contaminated ids then anti-join back by id. For benchmark sets too
+    * large to nest-loop, pre-bucket both sides with sign-LSH
+    * ([[graft.functions.sign_lsh_buckets]]) and verify only bucket
+    * collisions — the [[Dedup.cosinePairsLsh]] path.
+    */
+  def semantic(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val bench = broadcast(benchmark.select(col(vecCol).as("__bv")))
+    val bad = corpus.select(col(idCol), col(vecCol))
+      .join(bench,
+        graft.functions.cosine_sim(col(vecCol), col("__bv")) >= threshold,
+        "left_semi")
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Corpus rows whose text shares no word n-gram with `benchmark`. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 13): DataFrame = {

@@ -771,6 +771,28 @@ object PipelineQueries {
             Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
           .orderBy("source")),
 
+    // Semantic decontamination: drop corpus vectors within 0.40 cosine of
+    // any benchmark vector (vec_id < 25 stands in for the eval set) —
+    // catches paraphrased leakage the n-gram rule misses. Benchmark
+    // broadcasts; the corpus never shuffles.
+    Q("q_decontaminate_semantic",
+      Some("""WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 25),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 25),
+             |bad AS (SELECT DISTINCT c.vec_id FROM c, b
+             |  WHERE list_cosine_similarity(c.v, b.v) >= CAST(0.40 AS DOUBLE))
+             |SELECT c.vec_id FROM c
+             |WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+             |ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Decontaminate.semantic(
+            emb.filter(col("vec_id") >= 25),
+            emb.filter(col("vec_id") < 25),
+            "vec_id", "embedding", threshold = 0.40)
+          .select("vec_id")
+          .orderBy("vec_id")
+      }),
+
     // One k-means (Lloyd) iteration: broadcast-quantizer assignment + ONE
     // (cell, dim)-keyed shuffle in exact integer micros. This is the
     // training pass that produces ivfKnn's centroid table; oracled on

@@ -200,6 +200,13 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("semantic decontamination broadcasts the benchmark side") {
+    val p = physical("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cosine semi-join should nest-loop against the broadcast benchmark:\n$p")
+    assert(p.contains("LeftAnti"), s"no id anti-join:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
     import org.apache.spark.sql.functions.col
     spark.catalog.clearCache()
