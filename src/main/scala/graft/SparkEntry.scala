@@ -14,9 +14,13 @@ object SparkEntry {
   private lazy val registry: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++ TpchQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end curation pipeline — quality gates → exact dedup →
+    * 13-gram decontamination → sequence packing — composed from the
+    * library operators into one Catalyst plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_compiler_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("q_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
