@@ -644,6 +644,28 @@ object RelationalQueries {
           .orderBy("lang", "source")
       }),
 
+    // Format matrix round-trip: the same projection written as JSON, CSV
+    // and ORC through GraftSources, read back and unioned — the oracle is
+    // 3x the original per-source counts, so any row lost or duplicated by
+    // a writer/reader pair breaks the hash. Only the string column rides
+    // the formats (schema inference differs per format by design).
+    Q("q_multiformat",
+      Some("""SELECT source, CAST(count(*) * 3 AS BIGINT) AS n
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val base = sys.props("java.io.tmpdir") + "/graft_multiformat"
+        graft.sources.GraftSources.writeJson(docs, base + "/json")
+        graft.sources.GraftSources.writeCsv(docs, base + "/csv")
+        graft.sources.GraftSources.writeOrc(docs, base + "/orc")
+        val j = graft.sources.GraftSources.readJson(s, base + "/json").select("source")
+        val c = graft.sources.GraftSources.readCsv(s, base + "/csv").select("source")
+        val o = graft.sources.GraftSources.readOrc(s, base + "/orc").select("source")
+        j.unionByName(c).unionByName(o)
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .orderBy("source")
+      }),
+
     // Bucketed writer: the co-location contract for repeated joins/aggs on
     // one key at 100 TB — pay the shuffle once at write time, then every
     // bucketed join/agg on o_custkey skips its exchange. Oracled on a
