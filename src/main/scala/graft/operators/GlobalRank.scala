@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * offsets — cumulated over the tiny (≤ chunks rows) count frame with a
   * triangular self-join, not another unpartitioned window.
   *
+  * Cost note: the chunked input is consumed twice (per-chunk weights +
+  * the ranking window), i.e. two passes over the source — the inherent
+  * price of a two-phase global rank. Callers ranking an expensive
+  * upstream subtree should persist it first; the scan-twice form is the
+  * right default for columnar sources.
+  *
   * The reference has no window operator at all (its whole plan algebra is
   * /root/reference/src/planner/logicalplan.rs:207-273); this is the
   * north-star analytic surface done the way a 1000-executor cluster
