@@ -338,6 +338,7 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
+    if (!converged) labels.unpersist(blocking = false)
     require(converged,
       s"cluster resolution did not converge in $maxIter rounds (pathological chain?)")
     labels.select(col("v"), col("label").as("cluster_rep"))
