@@ -31,7 +31,10 @@ object Bm25 {
     * matching at least one term. Output: (idCol, score_micro).
     */
   def scoreMicros(docs: DataFrame, idCol: String, textCol: Column,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      rawTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // a duplicated query term must contribute once, not once per mention
+    // (the per-term column layout would otherwise double-count it)
+    val terms = rawTerms.distinct
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val toks = split(lower(textCol), " ")
     val withTf = docs.select(

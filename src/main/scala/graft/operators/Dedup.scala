@@ -299,7 +299,10 @@ object Dedup {
     * per round (the standard iterative-fixpoint shape for CC on Spark);
     * per-round results are persisted so lineage stays linear. Throws if
     * `maxIter` rounds don't reach the fixpoint rather than returning
-    * partially-merged clusters.
+    * partially-merged clusters. The RETURNED frame is persisted and
+    * materialized (its lineage is the whole iteration) — call
+    * `.unpersist()` on it when done; the harness clears cache between
+    * queries.
     */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -307,7 +310,13 @@ object Dedup {
     // materialize the (possibly expensive — e.g. LSH) pair source ONCE:
     // the two union branches below would otherwise each recompute it
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist(lvl)
-    p.count()
+    if (p.count() == 0) {
+      // no near-duplicates: nothing to cluster (the sum-based fixpoint
+      // detector can't see an empty frame converge — NULL sums compare
+      // unequal forever); p stays persisted so evaluating the empty
+      // result doesn't re-run the pair pipeline
+      return p.select(col("src").as("v"), col("src").as("cluster_rep"))
+    }
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -341,7 +350,13 @@ object Dedup {
     if (!converged) labels.unpersist(blocking = false)
     require(converged,
       s"cluster resolution did not converge in $maxIter rounds (pathological chain?)")
-    labels.select(col("v"), col("label").as("cluster_rep"))
+    // materialize the RESULT as the persisted frame (the per-round lineage
+    // is maxIter joins deep — unpersisted it would recompute the whole
+    // iteration) and hand the caller the unpersist handle
+    val result = labels.select(col("v"), col("label").as("cluster_rep")).persist(lvl)
+    result.count()
+    labels.unpersist(blocking = false)
+    result
   }
 
   /** Corpus with near-duplicate clusters collapsed to one representative:

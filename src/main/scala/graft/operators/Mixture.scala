@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
 object Mixture {
 
   /** Per-source plan: (source, n_rows, target_p, frac, n_keep). Sources
-    * absent from `targets` are excluded (weight 0). All arithmetic is
-    * plain IEEE on exact integer counts — deterministic across engines.
+    * absent from `targets` are excluded (weight 0); a TARGETED source
+    * absent from the data keeps a row with n_rows = 0 and caps M at 0
+    * (the documented min contract: an unobtainable source makes the
+    * whole mixture unachievable — it does NOT silently vanish and
+    * misreport the remaining sources as the full mixture). All
+    * arithmetic is plain IEEE on exact integer counts — deterministic
+    * across engines.
     */
   def weights(df: DataFrame, sourceCol: String,
       targets: Map[String, Double]): DataFrame = {
@@ -37,12 +42,16 @@ object Mixture {
     val tgt = targets.toSeq.toDF("__src", "target_p")
     val counts = df.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("n_rows"))
-      .join(broadcast(tgt), "__src")
-    val cap = counts.agg(
+    // left join FROM targets: every targeted source keeps a row
+    val joined = broadcast(tgt).join(counts, Seq("__src"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+    val cap = joined.agg(
       min(col("n_rows").cast("double") / col("target_p")).as("__m"))
-    counts.crossJoin(broadcast(cap))
+    joined.crossJoin(broadcast(cap))
       .select(col("__src").as(sourceCol), col("n_rows"), col("target_p"),
-        (col("target_p") * col("__m") / col("n_rows").cast("double")).as("frac"),
+        when(col("n_rows") > 0,
+          col("target_p") * col("__m") / col("n_rows").cast("double"))
+          .otherwise(lit(0.0)).as("frac"),
         floor(col("target_p") * col("__m")).cast("long").as("n_keep"))
   }
 

@@ -86,9 +86,12 @@ object TextAnalysis {
         |    'best', GREATEST(acc.best,
         |      IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
         |  acc -> acc.best)""".stripMargin
+    // n_tokens uses the SAME tokenizer as the grams (whitespace runs, no
+    // empty tokens) — mixing it with a single-space split would skew the
+    // fractions on multi-space text
     df.withColumn("__g2", g2)
       .select(col(idCol),
-        size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"),
+        size(graft.functions.hashed_words(col(textCol))).cast("long").as("n_tokens"),
         expr(top2RunSql).as("top2_count"),
         size(g5).cast("long").as("n_5grams"),
         size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))

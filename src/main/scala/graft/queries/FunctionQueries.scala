@@ -76,8 +76,11 @@ object FunctionQueries {
               .otherwise(col("__rem") + expr("(rn - __cutoff + __base - 1) div __base")))
           .select(col("c_custkey"),
             col("quartile").cast("long").as("quartile"),
-            ((col("rn") - 1).cast("double") /
-              (col("n_total") - 1).cast("double")).as("pr"),
+            // n = 1 would make (rn-1)/(n-1) NaN; percent_rank defines it 0
+            when(col("n_total") > 1,
+              (col("rn") - 1).cast("double") /
+                (col("n_total") - 1).cast("double"))
+              .otherwise(lit(0.0)).as("pr"),
             (col("rn").cast("double") / col("n_total").cast("double")).as("cd"))
           .orderBy("c_custkey")),
 

@@ -567,7 +567,7 @@ object PipelineQueries {
     // results absent a 2^-64 hash collision.
     Q("q_decontaminate",
       Some("""WITH toks AS (SELECT doc_id, source,
-             |    string_split_regex(lower(text), '\s+') AS t
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
              |  FROM documents),
              |grams AS (SELECT doc_id, source,
              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
@@ -666,7 +666,8 @@ object PipelineQueries {
              |        <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)),
              |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
              |uniq AS (SELECT g.doc_id, g.source, g.text FROM gated g JOIN keep USING (doc_id)),
-             |toks AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tk
+             |toks AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
              |  FROM (SELECT doc_id, source, text FROM uniq WHERE source <> 'src0'
              |        UNION ALL
              |        SELECT doc_id, source, text FROM documents WHERE source = 'src0')),
@@ -712,7 +713,9 @@ object PipelineQueries {
     // identical absent an intra-doc 2^-64 hash collision. Fractions are
     // exact rational divisions of integer counts.
     Q("q_repetition",
-      Some("""WITH b AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      Some("""WITH b AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             |  FROM documents),
              |g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
              |    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g2,
              |    [array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)] AS g5

@@ -654,7 +654,10 @@ object RelationalQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "source", "text")
-        val base = sys.props("java.io.tmpdir") + "/graft_multiformat"
+        // per-input-dir path: concurrent runs against different SFs must
+        // not overwrite each other between the write and the read-back
+        val base = sys.props("java.io.tmpdir") +
+          "/graft_multiformat_" + math.abs(d.hashCode).toString
         graft.sources.GraftSources.writeJson(docs, base + "/json")
         graft.sources.GraftSources.writeCsv(docs, base + "/csv")
         graft.sources.GraftSources.writeOrc(docs, base + "/orc")

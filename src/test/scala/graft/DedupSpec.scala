@@ -238,6 +238,16 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 5L), s"kept $kept")
   }
 
+  test("cluster resolution of an empty pair set is empty (no duplicates found)") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.resolveClusters(noPairs, "id_a", "id_b").count() == 0)
+    val docs = (1L to 3L).map(i => (i, s"d$i")).toDF("id", "text")
+    val kept = graft.operators.Dedup.dropNearDuplicates(docs, noPairs, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), "a clean corpus must pass through unchanged")
+  }
+
   test("cluster resolution refuses to return an unconverged fixpoint") {
     import spark.implicits._
     // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw

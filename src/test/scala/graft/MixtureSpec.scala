@@ -27,6 +27,17 @@ class MixtureSpec extends SparkTestBase {
     assert(!got.contains("books"), "untargeted source must be excluded")
   }
 
+  test("weights: a targeted source with no rows caps the mixture at zero") {
+    // 'video' is targeted but absent: M = min(..., 0/0.5) = 0 -> nothing
+    // is achievable, and the absent source is REPORTED, not dropped
+    val got = Mixture.weights(corpus, "src", Map("web" -> 0.5, "video" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("web", "video"), s"absent source vanished: $got")
+    assert(got("video") == ((0L, 0.0, 0L)))
+    assert(got("web") == ((10L, 0.0, 0L)), "unachievable mixture must zero all sources")
+  }
+
   test("weights: rejects empty and out-of-range targets") {
     intercept[IllegalArgumentException](Mixture.weights(corpus, "src", Map.empty))
     intercept[IllegalArgumentException](

@@ -46,6 +46,16 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("BM25 counts a duplicated query term once") {
+    import spark.implicits._
+    val docs = Seq((1L, "data table"), (2L, "table row")).toDF("id", "text")
+    val once = Bm25.scoreMicros(docs, "id", col("text"), Seq("data"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = Bm25.scoreMicros(docs, "id", col("text"), Seq("data", "data"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once == dup, s"duplicate term changed scores: $once vs $dup")
+  }
+
   test("BM25 ranks the doc saturated in a rare term above common-term docs") {
     import spark.implicits._
     val docs = Seq(
