@@ -416,12 +416,19 @@ object TpchQueries {
              |WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
              |ORDER BY s.s_suppkey""".stripMargin),
       (s, d) => {
+        // revenue feeds both the scalar max and the filter; self-derived
+        // frames get fresh exprIds, which defeats ReuseExchange (verified:
+        // two hashpartitioning(l_suppkey) exchanges in the executed plan),
+        // so the grouped result — supplier-cardinality, tiny next to the
+        // fact — is persisted across its two consumers. Harness clears
+        // cache between queries.
         val revenue = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
           .groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("total_cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val top = revenue.agg(max(col("total_cents")).as("m"))
         revenue.crossJoin(broadcast(top))
           .filter(col("total_cents") === col("m"))
@@ -634,6 +641,8 @@ object TpchQueries {
              |WHERE CAST(value_cents AS DOUBLE) > CAST(0.002 AS DOUBLE) * CAST(t AS DOUBLE)
              |ORDER BY value_cents DESC, l_partkey""".stripMargin),
       (s, d) => {
+        // same double-consumer shape as Q15: persist the part-cardinality
+        // grouped result so the fact join+aggregate runs once
         val v = t(s, d, "lineitem")
           .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey"))
@@ -641,6 +650,7 @@ object TpchQueries {
             col("s_nationkey") === col("n_nationkey"))
           .groupBy("l_partkey")
           .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tot = v.agg(sum(col("value_cents")).as("t"))
         v.crossJoin(broadcast(tot))
           .filter(col("value_cents").cast("double") >
