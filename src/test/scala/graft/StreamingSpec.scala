@@ -214,4 +214,34 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-static joins: dimension enrichment + blocklist anti-join") {
+    // the streaming-ingestion scrub shape: each micro-batch inner-joins a
+    // static dimension (enrichment) and anti-joins a static blocklist —
+    // both static sides broadcast, stream state stays empty (no watermark
+    // needed; stream-static joins are stateless per batch)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "gold"))
+      .toDF("user_id", "tier")
+    val blocklist = Seq(2L).toDF("user_id")
+    val out = mem.toDF()
+      .join(broadcast(dim), Seq("user_id"))             // enrich
+      .join(broadcast(blocklist), Seq("user_id"), "left_anti") // scrub
+      .select("user_id", "event_type", "tier")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("streamstatic_out").start()
+    try {
+      mem.addData(
+        Ev(ts(0), 1, "click", 1.0),
+        Ev(ts(1), 2, "click", 1.0),   // blocklisted
+        Ev(ts(2), 3, "view", 1.0),
+        Ev(ts(3), 9, "view", 1.0))    // no dimension row -> dropped by enrich
+      q.processAllAvailable()
+      val rows = spark.table("streamstatic_out").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq((1L, "click", "gold"), (3L, "view", "gold")))
+    } finally q.stop()
+  }
 }
