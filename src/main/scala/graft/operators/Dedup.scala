@@ -370,4 +370,28 @@ object Dedup {
       .select(col("v").as(idCol))
     docs.join(nonReps, Seq(idCol), "left_anti")
   }
+
+  /** Like [[dropNearDuplicates]], but each cluster keeps its BEST doc by
+    * `quality` (ties broken by smallest id) instead of the smallest id —
+    * what a curation pipeline actually wants (the near-dup group usually
+    * contains one clean original and N degraded copies).
+    *
+    * Shape: clusters come from [[resolveClusters]] (ids only); the best
+    * member per cluster is one `max_by` aggregate over (id, quality)
+    * pairs — the documents themselves never shuffle; the final keep-set
+    * anti-joins by id.
+    */
+  def dropNearDuplicatesKeepBest(docs: DataFrame, pairs: DataFrame,
+      idCol: String, quality: Column,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val clusters = resolveClusters(pairs, aCol, bCol)
+    val scored = clusters.join(
+      docs.select(col(idCol).as("v"), quality.as("__q")), Seq("v"))
+    val best = scored.groupBy("cluster_rep")
+      .agg(max_by(col("v"), struct(col("__q"), -col("v"))).as("__keep"))
+      .select(col("__keep"))
+    val drop = clusters.join(best, col("v") === col("__keep"), "left_anti")
+      .select(col("v").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -248,6 +248,20 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 3L), "a clean corpus must pass through unchanged")
   }
 
+  test("keep-best dedup keeps the highest-quality member of each cluster") {
+    import spark.implicits._
+    // cluster {1,2,3}: quality peaks at 2; cluster {5,6}: tie -> min id 5;
+    // doc 4 unclustered -> survives
+    val docs = Seq(
+      (1L, 10.0), (2L, 99.0), (3L, 50.0), (4L, 1.0), (5L, 7.0), (6L, 7.0))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup
+      .dropNearDuplicatesKeepBest(docs, pairs, "id", col("q"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"kept $kept")
+  }
+
   test("cluster resolution refuses to return an unconverged fixpoint") {
     import spark.implicits._
     // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw
