@@ -295,14 +295,14 @@ object Dedup {
     * Scale shape: hash-to-min label propagation — each round is ONE keyed
     * shuffle of (id, label) longs, converging in O(component diameter)
     * rounds; near-dup clusters are dense (copies of a shared template),
-    * so the diameter is small. The driver sees only a scalar changed-count
-    * per round (the standard iterative-fixpoint shape for CC on Spark);
-    * per-round results are persisted so lineage stays linear. Throws if
-    * `maxIter` rounds don't reach the fixpoint rather than returning
-    * partially-merged clusters. The RETURNED frame is persisted and
-    * materialized (its lineage is the whole iteration) — call
-    * `.unpersist()` on it when done; the harness clears cache between
-    * queries.
+    * so the diameter is small. The driver sees only a scalar label-sum
+    * per round (the standard iterative-fixpoint shape for CC on Spark).
+    * Each round ends in `localCheckpoint`, which TRUNCATES the lineage —
+    * without it the logical plan doubles per round (labels appears in
+    * both the union and the join) and plan stringification alone goes
+    * exponential; checkpoint blocks are executor-local and reclaimed by
+    * GC. Throws if `maxIter` rounds don't reach the fixpoint rather than
+    * returning partially-merged clusters.
     */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -323,23 +323,23 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .persist(lvl)
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     // fixpoint detector: the vertex set is constant and labels only ever
     // decrease, so an unchanged label SUM means no label changed — one
     // aggregate per round instead of a join; decimal(38) keeps it exact
-    // at any id magnitude
+    // at any id magnitude. The lazy checkpoint is materialized by the
+    // same sum action (one Spark action per round).
     var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, col("dst") === col("v"))
         .select(col("src").as("v"), col("label"))
       val next = labels.union(prop)
         .groupBy("v").agg(min(col("label")).as("label"))
-        .persist(lvl)
+        .localCheckpoint(false)
       val sumNew = next
         .agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-      labels.unpersist(blocking = false)
       labels = next
       converged = prevSum != null && sumNew.compareTo(prevSum) == 0
       prevSum = sumNew
@@ -347,16 +347,11 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
-    if (!converged) labels.unpersist(blocking = false)
     require(converged,
       s"cluster resolution did not converge in $maxIter rounds (pathological chain?)")
-    // materialize the RESULT as the persisted frame (the per-round lineage
-    // is maxIter joins deep — unpersisted it would recompute the whole
-    // iteration) and hand the caller the unpersist handle
-    val result = labels.select(col("v"), col("label").as("cluster_rep")).persist(lvl)
-    result.count()
-    labels.unpersist(blocking = false)
-    result
+    // checkpointed => shallow plan; evaluating the result re-reads the
+    // executor-local checkpoint blocks, never the iteration chain
+    labels.select(col("v"), col("label").as("cluster_rep"))
   }
 
   /** Corpus with near-duplicate clusters collapsed to one representative:

@@ -262,6 +262,34 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(2L, 4L, 5L), s"kept $kept")
   }
 
+  test("cluster resolution matches union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(600)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find over the same edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = touched.map(v => v -> {
+      // component minimum under union-find
+      val root = find(v.toInt)
+      touched.filter(u => find(u.toInt) == root).min
+    }).toMap
+    val got = graft.operators.Dedup
+      .resolveClusters(edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, {
+      val bad = got.keys.filter(k => got(k) != want(k)).take(5)
+      s"diverging vertices: ${bad.map(k => s"$k got=${got(k)} want=${want(k)}").mkString("; ")}"
+    })
+  }
+
   test("cluster resolution refuses to return an unconverged fixpoint") {
     import spark.implicits._
     // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw
