@@ -313,9 +313,16 @@ object Dedup {
     if (p.count() == 0) {
       // no near-duplicates: nothing to cluster (the sum-based fixpoint
       // detector can't see an empty frame converge — NULL sums compare
-      // unequal forever); p stays persisted so evaluating the empty
-      // result doesn't re-run the pair pipeline
-      return p.select(col("src").as("v"), col("src").as("cluster_rep"))
+      // unequal forever); return a standalone empty frame so p can be
+      // released deterministically
+      p.unpersist(blocking = false)
+      val sess = pairs.sparkSession
+      val dt = p.schema("src").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", dt),
+        org.apache.spark.sql.types.StructField("cluster_rep", dt)))
+      return sess.createDataFrame(
+        sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))

@@ -42,8 +42,10 @@ object Mixture {
     val tgt = targets.toSeq.toDF("__src", "target_p")
     val counts = df.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("n_rows"))
-    // left join FROM targets: every targeted source keeps a row
-    val joined = broadcast(tgt).join(counts, Seq("__src"), "left")
+    // left join FROM targets, so every targeted source keeps a row; the
+    // broadcast hint goes on the BUILD side of a left join (the right) —
+    // a hint on the preserved side is silently unusable
+    val joined = tgt.join(broadcast(counts), Seq("__src"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
     val cap = joined.agg(
       min(col("n_rows").cast("double") / col("target_p")).as("__m"))

@@ -96,7 +96,9 @@ object TextAnalysis {
         size(g5).cast("long").as("n_5grams"),
         size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))
       .withColumn("top2_frac",
-        (col("top2_count") * 2).cast("double") / col("n_tokens").cast("double"))
+        when(col("n_tokens") > 0,
+          (col("top2_count") * 2).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("dup5_frac",
         when(col("n_5grams") > 0,
           (col("n_5grams") - col("n_5grams_distinct")).cast("double") /
@@ -178,7 +180,9 @@ object TextAnalysis {
     * add/multiply order mirrors the Column formulation exactly.
     */
   def qualityScoreSql(textCol: String): String = {
-    val toks = s"string_split_regex(lower($textCol), '\\s+')"
+    // [\s\x0b]: RE2's \s lacks vertical tab, Java's \s (the Spark side's
+    // tokenizer class) includes it
+    val toks = s"string_split_regex(lower($textCol), '[\\s\\x0b]+')"
     val nChars = s"CAST(length($textCol) AS DOUBLE)"
     val nToks = s"CAST(len($toks) AS DOUBLE)"
     val nUniq = s"CAST(len(list_distinct($toks)) AS DOUBLE)"

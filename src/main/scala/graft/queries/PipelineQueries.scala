@@ -311,8 +311,8 @@ object PipelineQueries {
 
     Q("q_text_stats",
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
-             |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
-             |  CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_unique_tokens,
+             |  CAST(len(string_split_regex(lower(text), '[\s\x0b]+')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split_regex(lower(text), '[\s\x0b]+'))) AS BIGINT) AS n_unique_tokens,
              |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS tok_est
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) =>
@@ -539,7 +539,7 @@ object PipelineQueries {
       val q = TextAnalysis.qualityScoreSql("text")
       Some(s"""WITH scored AS (
               |  SELECT doc_id,
-              |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+              |    CAST(len(string_split_regex(lower(text), '[\\s\\x0b]+')) AS BIGINT) AS n_tokens,
               |    $q AS q
               |  FROM documents),
               |thr AS (SELECT quantile_cont(q, 0.25) AS t FROM scored)
@@ -567,7 +567,7 @@ object PipelineQueries {
     // results absent a 2^-64 hash collision.
     Q("q_decontaminate",
       Some("""WITH toks AS (SELECT doc_id, source,
-             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
              |  FROM documents),
              |grams AS (SELECT doc_id, source,
              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
@@ -667,7 +667,7 @@ object PipelineQueries {
              |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
              |uniq AS (SELECT g.doc_id, g.source, g.text FROM gated g JOIN keep USING (doc_id)),
              |toks AS (SELECT doc_id, source,
-             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS tk
              |  FROM (SELECT doc_id, source, text FROM uniq WHERE source <> 'src0'
              |        UNION ALL
              |        SELECT doc_id, source, text FROM documents WHERE source = 'src0')),
@@ -714,7 +714,7 @@ object PipelineQueries {
     // exact rational divisions of integer counts.
     Q("q_repetition",
       Some("""WITH b AS (SELECT doc_id,
-             |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
              |  FROM documents),
              |g AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
              |    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g2,
@@ -727,7 +727,9 @@ object PipelineQueries {
              |    CAST(len(list_distinct(g5)) AS BIGINT) AS n_5grams_distinct
              |  FROM g)
              |SELECT doc_id, n_tokens, top2_count, n_5grams, n_5grams_distinct,
-             |  CAST(top2_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top2_frac,
+             |  CASE WHEN n_tokens > 0
+             |    THEN CAST(top2_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    ELSE CAST(0.0 AS DOUBLE) END AS top2_frac,
              |  CASE WHEN n_5grams > 0
              |    THEN CAST(n_5grams - n_5grams_distinct AS DOUBLE) / CAST(n_5grams AS DOUBLE)
              |    ELSE CAST(0.0 AS DOUBLE) END AS dup5_frac

@@ -241,7 +241,8 @@ class TextAnalysisSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "a b a b a b"),     // top bigram "a b" x3 of 5; 2 distinct 5-grams
       (2L, "x x x x x x"),     // all bigrams equal; both 5-grams identical
-      (3L, "p q r s"))         // no 5-grams at all
+      (3L, "p q r s"),         // no 5-grams at all
+      (4L, "   "))             // whitespace-only: zero tokens, no NaN
       .toDF("id", "text")
     val got = TextAnalysis.repetitionSignals(docs, "id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -250,6 +251,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) == ((6L, 3L, 2L, 2L, 1.0, 0.0)), s"doc1: ${got(1L)}")
     assert(got(2L) == ((6L, 5L, 2L, 1L, 10.0 / 6.0, 0.5)), s"doc2: ${got(2L)}")
     assert(got(3L) == ((4L, 1L, 0L, 0L, 0.5, 0.0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0.0, 0.0)), s"doc4: ${got(4L)}")
   }
 
   test("unigram NLL matches a hand-computed corpus LM") {
