@@ -776,6 +776,30 @@ object PipelineQueries {
             Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
           .orderBy("source")),
 
+    // Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    // one sketch per source, then hll_union_agg merges the binary
+    // sketches WITHOUT rescanning documents — the pre-aggregation pattern
+    // that makes corpus-wide distinct stats cheap at 100 TB (sketch
+    // tables roll up; raw data is touched once). Rows-only: sketch
+    // estimates are engine-specific; TextAnalysisSpec bounds the error
+    // against the exact count.
+    Q("q_hll_merge", None,
+      (s, d) => {
+        val perSource = t(s, d, "documents")
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+          .groupBy("source")
+          .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+        val merged = perSource
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long").as("est_distinct_tokens"))
+          .select(lit("ALL").as("source"), col("est_distinct_tokens"))
+        perSource
+          .select(col("source"),
+            expr("hll_sketch_estimate(sk)").cast("long").as("est_distinct_tokens"))
+          .unionByName(merged)
+          .orderBy("source")
+      }),
+
     // Semantic decontamination: drop corpus vectors within 0.40 cosine of
     // any benchmark vector (vec_id < 25 stands in for the eval set) —
     // catches paraphrased leakage the n-gram rule misses. Benchmark

@@ -254,6 +254,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 0L, 0L, 0L, 0.0, 0.0)), s"doc4: ${got(4L)}")
   }
 
+  test("merged HLL sketches estimate the exact distinct count within 5%") {
+    val q = SparkEntry.queries("q_hll_merge")(spark, sf)
+    val est = q.filter(col("source") === "ALL").collect()(0).getLong(1)
+    val exact = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .agg(countDistinct("w")).collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"merged HLL estimate $est vs exact $exact")
+  }
+
   test("unigram NLL matches a hand-computed corpus LM") {
     import spark.implicits._
     // counts: a=2 b=2 c=1, total=5
