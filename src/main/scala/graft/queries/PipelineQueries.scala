@@ -776,6 +776,20 @@ object PipelineQueries {
             Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
           .orderBy("source")),
 
+    // Skew-robust EXACT distinct count: two-stage dedup-then-count (the
+    // value component of the first shuffle spreads any hot key) instead
+    // of the built-in distinct aggregate's Expand + single-reducer
+    // distinct phase. Same answer as COUNT(DISTINCT ...), scale-safe
+    // under key skew.
+    Q("q_count_distinct_2stage",
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) =>
+        SkewAgg.exactDistinct(t(s, d, "lineitem"), Seq("l_returnflag"),
+            col("l_partkey"))
+          .orderBy("l_returnflag")),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL): build
     // one sketch per source, then hll_union_agg merges the binary
     // sketches WITHOUT rescanning documents — the pre-aggregation pattern

@@ -200,6 +200,13 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("two-stage distinct count plans no Expand and keeps partial aggregation") {
+    val p = physical("q_count_distinct_2stage")
+    assert(!p.contains("Expand"),
+      s"two-stage distinct must not use the Expand-based distinct aggregate:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
   test("semantic decontamination broadcasts the benchmark side") {
     val p = physical("q_decontaminate_semantic")
     assert(p.contains("BroadcastNestedLoopJoin"),
