@@ -205,4 +205,37 @@ class SourcesSpec extends SparkTestBase {
     assert(back.schema("s_acctbal").dataType == DoubleType)
     assert(back.count() == 10)
   }
+
+  test("PERMISSIVE json read quarantines malformed records instead of failing") {
+    // real ingestion sees garbage lines; the pipeline must keep good rows
+    // and expose the bad ones for a quarantine sink, not die mid-job
+    val dir = new java.io.File(tmp("jsonl"))
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, "part-0.json"),
+      """{"id": 1, "text": "good row"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "also good"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.getPath).cache() // corrupt-record column needs a materialized read
+    try {
+      val good = read.filter(col("_corrupt_record").isNull)
+      val bad = read.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2, "good rows lost")
+      assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      assert(bad.count() == 2, "malformed rows not quarantined")
+      // FAILFAST is the opt-in strict mode
+      intercept[org.apache.spark.SparkException] {
+        spark.read.schema(StructType(schema.dropRight(1)))
+          .option("mode", "FAILFAST").json(dir.getPath).collect()
+      }
+    } finally read.unpersist()
+  }
 }
