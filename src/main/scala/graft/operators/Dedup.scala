@@ -306,6 +306,17 @@ object Dedup {
     */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // The sum-based fixpoint detector (and the smallest-id representative
+    // choice) is exact only for numeric ids: a non-numeric label cast to
+    // decimal yields NULL, the per-round sums never compare equal, and the
+    // loop would run to maxIter and throw even after converging. Fail
+    // fast with the remedy instead.
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"resolveClusters requires numeric id columns; '$c' is ${dt.simpleString}. " +
+          "Hash non-numeric ids to longs first (e.g. xxhash64(id)) and join back after.")
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // materialize the (possibly expensive — e.g. LSH) pair source ONCE:
     // the two union branches below would otherwise each recompute it
@@ -382,6 +393,10 @@ object Dedup {
     * member per cluster is one `max_by` aggregate over (id, quality)
     * pairs — the documents themselves never shuffle; the final keep-set
     * anti-joins by id.
+    *
+    * Ids must be numeric (the `-id` smallest-id tie-break, like the
+    * cluster representative itself, is numeric negation) — enforced by
+    * [[resolveClusters]] up front.
     */
   def dropNearDuplicatesKeepBest(docs: DataFrame, pairs: DataFrame,
       idCol: String, quality: Column,

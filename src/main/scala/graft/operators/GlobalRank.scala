@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Two-phase global row numbering — the scale-safe replacement for an
   * unpartitioned `Window.orderBy(...)`, which serializes the entire dataset
@@ -49,21 +51,51 @@ object GlobalRank {
 
   /** Exclusive prefix sums of a per-chunk weight frame (__c, __cnt) →
     * (__c2, __off), via a bounded triangular self-join — O(chunks²) rows
-    * of two longs, no unpartitioned window, no driver round-trip.
+    * of two longs, no unpartitioned window, no driver round-trip. For a
+    * descending global order the accumulation runs from the TOP chunk
+    * down (chunk i+1 sorts before chunk i), mirrored by flipping the
+    * triangular condition.
     */
-  private def exclusiveOffsets(perChunk: DataFrame): DataFrame =
+  private def exclusiveOffsets(perChunk: DataFrame,
+      descending: Boolean): DataFrame = {
+    val tri = if (descending) col("b.__c") >= col("a.__c")
+              else col("b.__c") <= col("a.__c")
     perChunk.as("a")
-      .join(perChunk.as("b"), col("b.__c") <= col("a.__c"))
+      .join(perChunk.as("b"), tri)
       .groupBy(col("a.__c").as("__c2"), col("a.__cnt").as("__acnt"))
       .agg(sum(col("b.__cnt")).as("__cum"))
       .select(col("__c2"), (col("__cum") - col("__acnt")).as("__off"))
+  }
+
+  /** The caller's global order direction, taken from the LEADING sort
+    * expression: chunk offsets must accumulate in the same direction the
+    * per-chunk window ranks, or every chunk boundary silently shifts the
+    * global numbers. A plain Column means ascending (Spark's own
+    * `Window.orderBy` convention).
+    */
+  private def leadingDescending(order: Seq[Column]): Boolean = {
+    require(order.nonEmpty, "order must name at least one sort column")
+    // two construction paths for a descending Column: the public
+    // `col.desc` (a ColumnNode SortOrder, read via the shim) and a raw
+    // Catalyst SortOrder surfaced through ColumnBridge.column
+    org.apache.spark.sql.graft.SortOrderBridge.isDescending(order.head) ||
+      (ColumnBridge.expression(order.head) match {
+        case so: SortOrder => so.direction == Descending
+        case _             => false
+      })
+  }
 
   /** Adds `rn` (1-based global row number under `order`) and `n_total`
     * (total row count) to `df`.
     *
-    * @param rangeCol leading sort column, used for range chunking
+    * @param rangeCol leading sort column (a plain value Column, no
+    *                 .asc/.desc), used for range chunking
     * @param order    full sort order; must be a total order (include a
-    *                 unique tie-break) for `rn` to be deterministic
+    *                 unique tie-break) for `rn` to be deterministic, and
+    *                 its LEADING element must sort `rangeCol` — ascending
+    *                 (plain Column / .asc) or descending (.desc) both
+    *                 work: the chunk-offset accumulation follows the
+    *                 leading direction
     * @param chunks   parallelism of the ranking phase
     */
   def withRowNumber(df: DataFrame, rangeCol: Column, order: Seq[Column],
@@ -71,7 +103,7 @@ object GlobalRank {
     val chunked = chunkByRange(df, rangeCol, chunks)
     val counts = chunked.groupBy(col("__chunk").as("__c"))
       .agg(count(lit(1)).as("__cnt"))
-    val offs = exclusiveOffsets(counts)
+    val offs = exclusiveOffsets(counts, leadingDescending(order))
     val total = counts.agg(sum(col("__cnt")).cast("long").as("n_total"))
     val w = Window.partitionBy(col("__chunk")).orderBy(order: _*)
     chunked
@@ -85,14 +117,15 @@ object GlobalRank {
   /** Adds `cumCol` — the INCLUSIVE global running sum of `size` under
     * `order` — without an unpartitioned window: local per-chunk cumsum
     * plus broadcast per-chunk totals. Same contract as [[withRowNumber]]
-    * (`order` must be total; `rangeCol` its leading column).
+    * (`order` must be total, its leading element sorting `rangeCol` in
+    * either direction; offsets follow the leading direction).
     */
   def withRunningSum(df: DataFrame, rangeCol: Column, order: Seq[Column],
       size: Column, cumCol: String = "cum", chunks: Int = 64): DataFrame = {
     val chunked = chunkByRange(df, rangeCol, chunks)
     val sums = chunked.groupBy(col("__chunk").as("__c"))
       .agg(sum(size).cast("long").as("__cnt"))
-    val offs = exclusiveOffsets(sums)
+    val offs = exclusiveOffsets(sums, leadingDescending(order))
     val w = Window.partitionBy(col("__chunk")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunked

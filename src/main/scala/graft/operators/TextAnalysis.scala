@@ -97,7 +97,12 @@ object TextAnalysis {
         size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))
       .withColumn("top2_frac",
         when(col("n_tokens") > 0,
-          (col("top2_count") * 2).cast("double") / col("n_tokens").cast("double"))
+          // clamp: overlapping repeats of the top 2-gram ("a a a" ->
+          // count 2, 3 tokens) can push count*2/n past 1.0, unlike the
+          // non-overlapping Gopher coverage; cap so the [0,1] gate
+          // contract holds
+          least(lit(1.0),
+            (col("top2_count") * 2).cast("double") / col("n_tokens").cast("double")))
           .otherwise(lit(0.0)))
       .withColumn("dup5_frac",
         when(col("n_5grams") > 0,
@@ -112,15 +117,24 @@ object TextAnalysis {
     * the external LM. High NLL = improbable token stream.
     *
     * Shape at 100 TB: the unigram table is ONE vocabulary-bounded
-    * aggregate (partial map-side counts, vocab-sized result), folded into
-    * a broadcast literal map; scoring is then a per-row HOF fold over the
-    * token array — documents are never exploded and never shuffled.
-    * Per-token costs are rounded to micros BEFORE the per-doc sum, so the
-    * total is summation-order-independent (FIXTURES.md §5). Requires the
+    * aggregate (partial map-side counts, vocab-sized result). When the
+    * vocabulary fits a broadcast (`maxBroadcastVocab`), it folds into a
+    * broadcast literal map and scoring is a per-row HOF fold over the
+    * token array — documents are never exploded and never shuffled. A
+    * web-scale vocabulary overflows both the single-row `collect_list`
+    * and the broadcast, with an opaque failure — so past the threshold
+    * the operator switches to the distributed path: explode tokens, join
+    * the cost table on the word, re-aggregate per doc (two shuffles, but
+    * every stage is data-parallel and spillable). The vocab count that
+    * picks the path is one eager action on the persisted vocab-sized
+    * cost table. Per-token costs are rounded to micros BEFORE the
+    * per-doc sum, so both paths return bit-identical,
+    * summation-order-independent totals (FIXTURES.md §5). Requires the
     * scored text's vocabulary ⊆ the LM's (true here by construction);
     * scoring foreign text would need an OOV fallback cost.
     */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = 2L << 20): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val unigrams = df
       .select(explode(toks).as("__w"))
@@ -129,13 +143,23 @@ object TextAnalysis {
     val costs = unigrams.crossJoin(broadcast(total))
       .select(col("__w"),
         round(-log(col("__c") / col("__t")) * lit(1e6), 0).cast("long").as("__cost"))
-    val costMap = costs.agg(
-      map_from_arrays(collect_list(col("__w")), collect_list(col("__cost"))).as("__m"))
-    df.crossJoin(broadcast(costMap))
-      .select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L),
-          (acc, w) => acc + element_at(col("__m"), w)).as("nll_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = costs.count()
+    if (vocab <= maxBroadcastVocab) {
+      val costMap = costs.agg(
+        map_from_arrays(collect_list(col("__w")), collect_list(col("__cost"))).as("__m"))
+      df.crossJoin(broadcast(costMap))
+        .select(col(idCol),
+          size(toks).cast("long").as("n_tokens"),
+          aggregate(toks, lit(0L),
+            (acc, w) => acc + element_at(col("__m"), w)).as("nll_micro"))
+    } else {
+      df.select(col(idCol), explode(toks).as("__w"))
+        .join(costs, "__w")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("__cost")).as("nll_micro"))
+    }
   }
 
   /** Canonical text normalization for dedup keys and matching: accent-fold

@@ -728,7 +728,8 @@ object PipelineQueries {
              |  FROM g)
              |SELECT doc_id, n_tokens, top2_count, n_5grams, n_5grams_distinct,
              |  CASE WHEN n_tokens > 0
-             |    THEN CAST(top2_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    THEN LEAST(CAST(1.0 AS DOUBLE),
+             |      CAST(top2_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
              |    ELSE CAST(0.0 AS DOUBLE) END AS top2_frac,
              |  CASE WHEN n_5grams > 0
              |    THEN CAST(n_5grams - n_5grams_distinct AS DOUBLE) / CAST(n_5grams AS DOUBLE)

@@ -16,3 +16,35 @@ final case class Q(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
+
+/** Scratch directories for queries that exercise the write path: each
+  * caller gets a per-JVM-run unique root (keyed by applicationId, so
+  * concurrent runs on the same machine never race between one run's
+  * write and another's read-back) that a single JVM shutdown hook
+  * removes. Within one run the path is stable, so repeated invocations
+  * of the same query overwrite instead of accumulating.
+  */
+object ScratchDirs {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** A unique-per-run scratch path `<tmp>/graft_<tag>_<appId-hash>`,
+    * scheduled for deletion at JVM exit.
+    */
+  def forRun(spark: SparkSession, tag: String): String = {
+    val appId = spark.sparkContext.applicationId
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_${java.lang.Integer.toHexString(appId.hashCode)}"
+    if (registered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(dir))))
+    }
+    dir
+  }
+}

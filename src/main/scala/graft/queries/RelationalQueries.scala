@@ -629,10 +629,11 @@ object RelationalQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin),
       (s, d) => {
-        // Fixed per-JVM dir + overwrite mode: reruns replace instead of
-        // leaking a fresh temp directory per invocation (plan-only callers
-        // like ExplainDump included).
-        val out = sys.props("java.io.tmpdir") + "/graft_write_partitioned"
+        // Stable-within-run dir + overwrite mode: reruns replace instead
+        // of leaking a fresh temp directory per invocation (plan-only
+        // callers like ExplainDump included); unique across runs and
+        // removed at JVM exit.
+        val out = ScratchDirs.forRun(s, "write_partitioned")
         t(s, d, "documents")
           .write.mode("overwrite")
           .partitionBy("lang")
@@ -654,10 +655,11 @@ object RelationalQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "source", "text")
-        // per-input-dir path: concurrent runs against different SFs must
-        // not overwrite each other between the write and the read-back
-        val base = sys.props("java.io.tmpdir") +
-          "/graft_multiformat_" + math.abs(d.hashCode).toString
+        // per-run + per-input-dir path: concurrent runs (even on the same
+        // SF) must not race between one run's write and another's
+        // read-back; the run-scoped root is removed at JVM exit
+        val base = ScratchDirs.forRun(s, "multiformat") +
+          "/" + math.abs(d.hashCode).toString
         graft.sources.GraftSources.writeJson(docs, base + "/json")
         graft.sources.GraftSources.writeCsv(docs, base + "/csv")
         graft.sources.GraftSources.writeOrc(docs, base + "/orc")

@@ -16,6 +16,21 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Sort-direction probe: in Spark 4 a `col.desc` Column wraps the
+  * api-module `org.apache.spark.sql.internal.SortOrder` ColumnNode (NOT a
+  * Catalyst SortOrder — `ColumnBridge.expression` hands back an opaque
+  * `ColumnNodeExpression`), and `Column.node` is private[sql]. Operators
+  * that must honor the caller's sort direction (e.g. GlobalRank's chunk
+  * offset accumulation) read it through here.
+  */
+object SortOrderBridge {
+  import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
+  def isDescending(c: Column): Boolean = c.node match {
+    case so: NodeSortOrder => so.sortDirection == NodeSortOrder.Descending
+    case _ => false
+  }
+}
+
 /** Same access story for constructing a DataFrame from a custom logical
   * plan node (Dataset.ofRows is private[sql] in Spark 4).
   */

@@ -290,6 +290,17 @@ class DedupSpec extends SparkTestBase {
     })
   }
 
+  test("cluster resolution rejects non-numeric ids up front with the remedy") {
+    import spark.implicits._
+    // string ids would NULL out the decimal fixpoint sum -> the loop could
+    // never observe convergence; the guard must fire before any iteration
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.resolveClusters(pairs, "id_a", "id_b"))
+    assert(e.getMessage.contains("numeric id columns"), e.getMessage)
+    assert(e.getMessage.contains("xxhash64"), "error must name the remedy")
+  }
+
   test("cluster resolution refuses to return an unconverged fixpoint") {
     import spark.implicits._
     // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw

@@ -42,6 +42,34 @@ class GlobalRankSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("descending order ranks correctly (offsets follow the leading direction)") {
+    val cust = Tables.t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    val got = graft.operators.GlobalRank
+      .withRowNumber(cust, col("c_acctbal"),
+        Seq(col("c_acctbal").desc, col("c_custkey").desc), chunks = 8)
+      .select("c_custkey", "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cust.select(col("c_custkey"),
+        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey").desc))
+          .cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("descending running sum matches the unpartitioned-window cumsum") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i * 37 % 101).toDouble, (i % 7 + 1).toLong))
+      .toDF("id", "v", "w")
+    val got = graft.operators.GlobalRank
+      .withRunningSum(df, col("v"), Seq(col("v").desc, col("id").desc), col("w"), chunks = 4)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("v").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"), sum(col("w")).over(w).cast("long").as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q_window_analytics matches the direct window-function evaluation") {
     val cust = Tables.t(spark, sf, "customer")
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))

@@ -249,7 +249,8 @@ class TextAnalysisSpec extends SparkTestBase {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getDouble(5), r.getDouble(6)))).toMap
     assert(got(1L) == ((6L, 3L, 2L, 2L, 1.0, 0.0)), s"doc1: ${got(1L)}")
-    assert(got(2L) == ((6L, 5L, 2L, 1L, 10.0 / 6.0, 0.5)), s"doc2: ${got(2L)}")
+    // overlapping "x x" repeats would give 10/6 > 1; the fraction clamps at 1.0
+    assert(got(2L) == ((6L, 5L, 2L, 1L, 1.0, 0.5)), s"doc2: ${got(2L)}")
     assert(got(3L) == ((4L, 1L, 0L, 0L, 0.5, 0.0)), s"doc3: ${got(3L)}")
     assert(got(4L) == ((0L, 0L, 0L, 0L, 0.0, 0.0)), s"doc4: ${got(4L)}")
   }
@@ -274,5 +275,17 @@ class TextAnalysisSpec extends SparkTestBase {
     val costC = math.round(-math.log(1.0 / 5.0) * 1e6)
     assert(got(1L) == ((3L, 3 * costA)), s"doc1: ${got(1L)}")
     assert(got(2L) == ((2L, costA + costC)), s"doc2: ${got(2L)}")
+  }
+
+  test("unigram NLL distributed path (vocab > broadcast cap) is bit-identical") {
+    // force the explode+join fallback with a 1-word cap and compare it to
+    // the broadcast-map path over the real documents table — per-token
+    // rounding makes both summation orders agree exactly
+    val docs = Tables.t(spark, sf, "documents")
+    val fast = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dist = TextAnalysis.unigramNll(docs, "doc_id", "text", maxBroadcastVocab = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dist == fast)
   }
 }
