@@ -31,6 +31,59 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra-Gries frequent-items sketch over string keys (Misra & Gries
+    * '82; merge rule from Agarwal et al., "Mergeable Summaries", PODS '12).
+    *
+    * Buffer: at most `capacity` counters. Guarantee after any sequence of
+    * reduces and merges: every key with true count > N/(capacity+1) is
+    * present in the final buffer (counts may be UNDER-estimated by up to
+    * N/(capacity+1), never over). So the finish output is a candidate
+    * SUPERSET for any threshold above that bound — pair with an exact
+    * counting pass over just the candidates to get exact heavy hitters
+    * ([[graft.operators.HeavyHitters]]).
+    *
+    * Scale shape: constant-size buffers regardless of input size, fully
+    * merge-able (map-side partials, one reducer merge) — the property that
+    * lets one pass over 100 TB produce a bounded candidate set.
+    */
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(capacity > 0, "MisraGries capacity must be positive")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < capacity => b.updated(x, 1L)
+        case None =>
+          // classic MG decrement step: all counters -1 (the new key's
+          // implicit counter hits 0 too), drop exhausted counters
+          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (m.size <= capacity) m
+      else {
+        // keep the capacity largest counters, subtracting the
+        // (capacity+1)-th largest from each — the mergeable-summaries
+        // rule that preserves the undercount bound
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Bounded top-k smallest values as a sorted array — a merge-able sketch
     * of the distribution head; k values per buffer regardless of input
     * size.

@@ -84,4 +84,17 @@ package object functions {
   /** Winnowing k-gram fingerprints (array<long>, sorted distinct). */
   def winnow_fingerprints(s: Column, k: Int = 5, w: Int = 4, seed: Long = 42L): Column =
     c(WinnowFingerprints(e(s), k, w, seed))
+
+  /** Morton/Z-order interleave of two int columns' low 16 bits (codegen'd). */
+  def zorder2(x: Column, y: Column): Column = c(ZOrder2(e(x), e(y)))
+
+  /** Codegen'd Bloom-filter membership test of a bigint key (semi-join
+    * reduction predicate; false positives at the filter's fpp — follow
+    * with an exact join).
+    */
+  def bloom_might_contain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    c(BloomMightContainLong(e(key), out.toByteArray))
+  }
 }

@@ -74,4 +74,43 @@ object Bm25 {
     scoreMicros(docs, idCol, textCol, terms, k1, b)
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
+
+  /** Classic TF-IDF scoring against the same fixed term set:
+    *
+    *   score(d) = Σ_t tf(t, d) · ln(N / df(t))
+    *
+    * (Sparck Jones '72 idf; the pre-BM25 weighting.) Same 100 TB shape as
+    * [[scoreMicros]]: per-term tf columns (documents never exploded),
+    * ONE bounded stats aggregate broadcast back, map-side scoring. Scores
+    * in integer micros, per-term rounding, so the cross-term sum is
+    * order-independent. Only documents matching ≥1 term are returned
+    * (their df is then ≥1, keeping ln defined).
+    */
+  def tfIdfMicros(docs: DataFrame, idCol: String, textCol: Column,
+      rawTerms: Seq[String]): DataFrame = {
+    val terms = rawTerms.distinct
+    require(terms.nonEmpty, "TF-IDF needs at least one query term")
+    val toks = split(lower(textCol), " ")
+    val withTf = docs.select(
+      col(idCol) +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(toks, tk => tk === lit(term))).cast("double").as(s"tf_$i")
+        }: _*)
+
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      when(tf > 0, round(tf * log(col("n_docs") / df) * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .withColumn("score_micro", termScores.reduce(_ + _))
+      .select(col(idCol), col("score_micro"))
+  }
 }

@@ -285,6 +285,46 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    * 2303.09540): partition the embedding space by nearest centroid, find
+    * cosine-similar pairs only WITHIN each cell, and keep one
+    * representative per similar set (here: drop any id that is the larger
+    * side of a >= tau pair — a deterministic single sweep, no transitive
+    * closure; feed the pairs to [[resolveClusters]] when cluster-exact
+    * semantics are needed).
+    *
+    * Returns survivors as (id, cluster). Scale shape: assignment is a
+    * broadcast cross-join against the (small) centroid table with a
+    * partial min_by aggregate — n x k expansion collapses map-side before
+    * the one id-keyed shuffle; the quadratic pair search is confined to
+    * single cells (SemDeDup's core trick — choose k so cells are ~n/k),
+    * shuffled by cell id. No global all-pairs join anywhere.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      tau: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val c = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"))
+    // nearest centroid, ties broken by centroid id (struct order) — the
+    // same (dist, cid) lexicographic argmin the oracle's row_number uses
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("dist", euclidean_dist(col("vec"), col("cvec")))
+      .groupBy("id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+    val withCluster = e.join(assigned, "id")
+    val x = withCluster.select(col("id").as("id_a"), col("cluster"),
+      col("vec").as("vec_a"))
+    val y = withCluster.select(col("id").as("id_b"), col("cluster"),
+      col("vec").as("vec_b"))
+    val dropped = x.join(y, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("vec_a"), col("vec_b")) >= tau)
+      .select(col("id_b").as("id"))
+      .distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   /** Resolve near-duplicate PAIRS into clusters: connected components by
     * min-label propagation, returning (v, cluster_rep) for every id that
     * appears in a pair, with cluster_rep = the smallest id in the

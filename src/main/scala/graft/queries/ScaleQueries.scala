@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators._
+
+/** Round-5 scale-surface queries: operators whose value IS their 100 TB
+  * shape — sketch-based semi-join reduction, bounded-memory heavy hitters,
+  * semantic (embedding-space) dedup, Z-order layout, time-bucketed
+  * windows, TF-IDF retrieval scoring, and result pagination.
+  *
+  * All are north-star extensions; none have any trace in the reference
+  * (its algebra is scan/filter/project/sort/limit only,
+  * /root/reference/src/planner/logicalplan.rs:207-273).
+  */
+object ScaleQueries {
+
+  private val tfidfTerms = Seq("dup", "vector", "scan")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** DuckDB bit-arithmetic mirror of ZOrder2: interleave the low 16 bits
+    * of x (even positions) and y (odd positions), generated as 32 shifted
+    * terms over BIGINTs.
+    */
+  private def zorderSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+
+    // Bloom-filter semi-join reduction: the fact side is pre-filtered by a
+    // compact sketch of the dim side's keys BEFORE any shuffle; the exact
+    // join then removes the sketch's false positives, so the result equals
+    // the plain join (the oracle) while the shuffled volume shrinks to
+    // candidates only — the manual form of AQE's runtime filters.
+    Q("q_bloom_join",
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > CAST(5000 AS DOUBLE)
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      (s, d) => {
+        val dim = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0)
+          .select("c_custkey")
+        BloomJoin.reduceThenJoin(
+            t(s, d, "orders"), "o_custkey", dim, "c_custkey", fpp = 0.01)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("total_cents"))
+          .orderBy("o_custkey")
+      }),
+
+    // TF-IDF scoring of the corpus against a fixed term set — same
+    // shuffle-free shape as BM25 (per-term tf columns + one broadcast
+    // stats aggregate), the pre-BM25 classic weighting.
+    Q("q_tfidf",
+      Some({
+        val in = tfidfTerms.map("'" + _ + "'").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM base),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+           |    SELECT doc_id, unnest(toks) AS term FROM base)
+           |  WHERE term IN ($in) GROUP BY doc_id, term),
+           |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           |scored AS (SELECT tf.doc_id, CAST(sum(CAST(round(
+           |    tf * ln(n_docs / df) * CAST(1e6 AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS score_micro
+           |  FROM tf JOIN df USING (term) CROSS JOIN stats
+           |  GROUP BY tf.doc_id)
+           |SELECT doc_id, score_micro FROM scored ORDER BY doc_id""".stripMargin
+      }),
+      (s, d) =>
+        Bm25.tfIdfMicros(t(s, d, "documents"), "doc_id", col("text"), tfidfTerms)
+          .orderBy("doc_id")),
+
+    // Exact heavy hitters (tokens with frequency >= N/200) by Misra-Gries
+    // sketch-then-verify: pass 1 shuffles only constant-size counter maps,
+    // pass 2 exact-counts the bounded candidate set via broadcast join.
+    // The integer share comparison (cnt * 200 >= N) avoids float ceil.
+    Q("q_heavy_hitters",
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS key FROM documents),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+             |SELECT key, CAST(count(*) AS BIGINT) AS cnt
+             |FROM toks CROSS JOIN tot
+             |GROUP BY key, n HAVING count(*) * 200 >= n
+             |ORDER BY key""".stripMargin),
+      (s, d) =>
+        HeavyHitters.exactByShare(
+          t(s, d, "documents")
+            .select(explode(split(lower(col("text")), " ")).as("key")),
+          col("key"), share = 200L, capacity = 1024)),
+
+    // SemDeDup-style semantic dedup: nearest-centroid cells (centroids =
+    // the first 8 embeddings — a fixed deterministic codebook, as with
+    // q_kmeans_step), cosine-similar pairs confined to cells, larger id of
+    // each >= 0.45 pair dropped. Survivors with their cell id.
+    Q("q_dedup_semantic",
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             |a AS (SELECT vec_id, cid FROM (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+             |  FROM e CROSS JOIN c) WHERE rn = 1),
+             |j AS (SELECT e.vec_id, a.cid, e.v FROM e JOIN a USING (vec_id)),
+             |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+             |  FROM j x JOIN j y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             |  WHERE list_cosine_similarity(x.v, y.v) >= CAST(0.45 AS DOUBLE))
+             |SELECT vec_id, cid AS cluster FROM a
+             |WHERE vec_id NOT IN (SELECT id_b FROM p)
+             |ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Dedup.semanticDedup(e, "vec_id", "embedding", centroids, "cid", "cvec",
+            tau = 0.45)
+          .select(col("id").as("vec_id"), col("cluster"))
+          .orderBy("vec_id")
+      }),
+
+    // Z-order (Morton) interleave of two dimensions — the multi-dim
+    // layout key: sorting by z clusters rows so scans filtered on EITHER
+    // dimension skip most files. Oracle recomputes the interleave with 32
+    // explicit bit terms.
+    Q("q_zorder",
+      Some(s"""WITH b AS (SELECT p_partkey, p_partkey % 65536 AS x,
+              |    CAST(p_size AS BIGINT) AS y FROM part)
+              |SELECT p_partkey, CAST(${zorderSql("x", "y")} AS BIGINT) AS z
+              |FROM b ORDER BY z, p_partkey""".stripMargin),
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            graft.functions.zorder2(
+              (col("p_partkey") % 65536).cast("int"),
+              col("p_size")).as("z"))
+          .orderBy("z", "p_partkey")),
+
+    // Tumbling 1-hour event-time windows via Spark's window() — the batch
+    // form of the streaming group-by-window; oracle = date_trunc buckets.
+    Q("q_window_tumbling",
+      Some("""SELECT date_trunc('hour', ts) AS win_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2
+             |ORDER BY win_start, event_type""".stripMargin),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("value_cents"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n_events"), col("value_cents"))
+          .orderBy("win_start", "event_type")),
+
+    // Hopping windows (1 hour every 30 min): each event lands in exactly
+    // two windows; the oracle materializes both aligned starts per event
+    // in integer microseconds.
+    Q("q_window_hopping",
+      Some("""WITH w AS (SELECT
+             |    unnest([(epoch_us(ts) // 1800000000) * 1800000000 - 1800000000,
+             |            (epoch_us(ts) // 1800000000) * 1800000000]) AS ws,
+             |    value FROM events)
+             |SELECT make_timestamp(ws) AS win_start,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM w GROUP BY ws ORDER BY win_start""".stripMargin),
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("value_cents"))
+          .select(col("window.start").as("win_start"),
+            col("n_events"), col("value_cents"))
+          .orderBy("win_start")),
+
+    // OFFSET pagination — the clause the reference's planner rejects
+    // outright ("Offset is currently not supported",
+    // /root/reference/src/planner/queryplanner.rs:66-69). Deterministic
+    // page: unique sort key, skip 117, take 42.
+    Q("q_offset",
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+             |FROM orders ORDER BY o_orderkey LIMIT 42 OFFSET 117""".stripMargin),
+      (s, d) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .orderBy("o_orderkey")
+          .offset(117)
+          .limit(42))
+  )
+}

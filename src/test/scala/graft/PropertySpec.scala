@@ -116,6 +116,15 @@ class PropertySpec extends SparkTestBase {
     assert(fast == naive, s"band join mismatch: extra=${fast -- naive} missing=${naive -- fast}")
   }
 
+  /** Fixed sketch for the codegen-vs-interpreted differential: even doc
+    * ids inserted, so the column exercises both branch outcomes.
+    */
+  private lazy val propertyTestBloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (0L until 100L by 2L).foreach(bf.putLong)
+    bf
+  }
+
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
     import graft.functions._
     // deterministic subsets: these are evaluated once per codegen mode, and
@@ -138,7 +147,9 @@ class PropertySpec extends SparkTestBase {
           winnow_fingerprints(col("text")), 0.3).as("bj"),
         char_entropy(concat(lit("中é "), col("text"))).as("ce"),
         hashed_words(concat(lit("UP low "), col("text"))).as("hw"),
-        ngram_poly_hashes(hashed_words(col("text")), 13).as("nph"))
+        ngram_poly_hashes(hashed_words(col("text")), 13).as("nph"),
+        zorder2(col("doc_id").cast("int"), length(col("text")).cast("int")).as("zo"),
+        bloom_might_contain(col("doc_id"), propertyTestBloom).as("bmc"))
       .orderBy("doc_id").collect().map(_.toString).toSeq
     def embOut() = emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 20)
