@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-independent table checksums — the data-migration validator: two
+  * engines (or two copies of a 100 TB table) agree on content iff their
+  * checksums agree, with NO sort and NO row transfer.
+  *
+  * Construction: each row is rendered to a canonical string (caller
+  * chooses the columns — they must render identically in every engine:
+  * integers, strings, exact cents; never raw floats), md5-hashed, the
+  * first 14 hex digits parsed as a 56-bit integer, and SUMMED modulo
+  * 2^62. Addition is commutative, so the result is independent of row
+  * order and partitioning — the whole check is one partial-aggregable
+  * scan per side, comparing two longs at the end. Any engine with md5 +
+  * hex parsing can produce the same number (DuckDB:
+  * `CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)`).
+  *
+  * A 56-bit digest makes an undetected difference vanishingly unlikely
+  * (two DIFFERENT multisets collide with probability ~2^-56 per differing
+  * row pair); the mod-2^62 fold keeps the running sum in exact integer
+  * range for up to 2^6 = 64 full-weight rows per unit of headroom — i.e.
+  * any realistic table, since sums are taken mod the same constant on
+  * both sides.
+  */
+object Checksum {
+
+  /** 2^62 — both engines fold the digest sum with the same modulus. */
+  val Modulus: Long = 4611686018427387904L
+
+  /** 56-bit row digest of a canonical string column (decimal-typed so
+    * sums stay exact past long range before the modular fold).
+    */
+  def rowDigest(canonical: Column): Column =
+    conv(substring(md5(canonical), 1, 14), 16, 10).cast("decimal(38,0)")
+
+  /** Canonical row rendering: pipe-joined column strings. Callers pass
+    * columns already cast to engine-stable strings.
+    */
+  def canonical(cols: Seq[Column]): Column = concat_ws("|", cols: _*)
+
+  /** Per-group (n_rows, checksum) over the canonical rendering of `cols`.
+    * With no `groupCols`: one global row. Checksum = sum(digest) mod 2^62
+    * as a long.
+    */
+  def grouped(df: DataFrame, groupCols: Seq[Column], cols: Seq[Column]): DataFrame = {
+    val digested = df.select(groupCols ++ Seq(rowDigest(canonical(cols)).as("__digest")): _*)
+    val aggd =
+      if (groupCols.isEmpty) digested.agg(count(lit(1)).as("n_rows"),
+        sum(col("__digest")).as("__sum"))
+      else digested.groupBy(groupCols: _*).agg(count(lit(1)).as("n_rows"),
+        sum(col("__digest")).as("__sum"))
+    aggd.withColumn("checksum",
+        (col("__sum") % lit(Modulus)).cast("long"))
+      .drop("__sum")
+  }
+}

@@ -179,6 +179,79 @@ object ScaleQueries {
             col("n_events"), col("value_cents"))
           .orderBy("win_start")),
 
+    // Order-independent table checksum — the migration validator: md5 row
+    // digests summed mod 2^62 per group; two engines agree on content iff
+    // these longs agree, with no sort and no row transfer. The oracle IS
+    // the second engine here, so the match demonstrates the cross-engine
+    // contract itself.
+    Q("q_table_checksum",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+             |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+             |      CAST(l_suppkey AS VARCHAR), l_returnflag, l_linestatus,
+             |      CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))),
+             |    1, 14)) AS BIGINT)) % 4611686018427387904 AS BIGINT) AS checksum
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        Checksum.grouped(li, Seq(col("l_returnflag")), Seq(
+            col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+            col("l_suppkey").cast("string"), col("l_returnflag"),
+            col("l_linestatus"), cents(col("l_extendedprice")).cast("string")))
+          .orderBy("l_returnflag")
+      }),
+
+    // Z-ordered write: range-partition on the Morton key and sort within
+    // partitions before writing, so every parquet file covers a tight
+    // z-range — min/max row-group stats then prune scans filtered on
+    // EITHER dimension. Oracled on a lossless read-back aggregate.
+    Q("q_write_zordered",
+      Some("""SELECT p_size, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM part WHERE p_size <= 10 GROUP BY p_size ORDER BY p_size""".stripMargin),
+      (s, d) => {
+        val out = ScratchDirs.forRun(s, "write_zordered")
+        t(s, d, "part")
+          .withColumn("z", graft.functions.zorder2(
+            (col("p_partkey") % 65536).cast("int"), col("p_size")))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .drop("z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("p_size") <= 10)
+          .groupBy("p_size")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("p_retailprice"))).as("price_cents"))
+          .orderBy("p_size")
+      }),
+
+    // Schema evolution: two parquet generations (v2 adds a column), read
+    // through mergeSchema — the long-lived-dataset contract: old files
+    // keep working, the new column is null there. The oracle's doubled
+    // counts + v2-only column stats break if either generation is lost
+    // or the merge misaligns columns.
+    Q("q_schema_evolution",
+      Some("""SELECT source, CAST(count(*) * 2 AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS n_with_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val base = ScratchDirs.forRun(s, "schema_evo")
+        val docs = t(s, d, "documents")
+        docs.select("doc_id", "source")
+          .write.mode("overwrite").parquet(base + "/gen=1")
+        docs.select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").parquet(base + "/gen=2")
+        s.read.option("mergeSchema", "true")
+          .parquet(base + "/gen=1", base + "/gen=2")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      }),
+
     // OFFSET pagination — the clause the reference's planner rejects
     // outright ("Offset is currently not supported",
     // /root/reference/src/planner/queryplanner.rs:66-69). Deterministic

@@ -192,6 +192,34 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(misaligned == 0)
   }
 
+  // ---- table checksum ----------------------------------------------------
+
+  test("table checksum is invariant to row order and partitioning") {
+    import graft.operators.Checksum
+    val li = Tables.t(spark, sf, "lineitem")
+    val cols = Seq(col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"), col("l_returnflag"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      Checksum.grouped(df, Nil, cols).first()
+    val base = sum(li)
+    val shuffled = sum(li.repartition(17, col("l_suppkey")))
+    val sorted = sum(li.orderBy(col("l_extendedprice").desc))
+    assert(base.getLong(1) == shuffled.getLong(1))
+    assert(base.getLong(1) == sorted.getLong(1))
+    assert(base.getLong(0) == shuffled.getLong(0))
+  }
+
+  test("table checksum detects a single changed row") {
+    import graft.operators.Checksum
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("id", "s")
+    val cols = Seq(col("id").cast("string"), col("s"))
+    val ca = Checksum.grouped(a, Nil, cols).first().getLong(1)
+    val cb = Checksum.grouped(b, Nil, cols).first().getLong(1)
+    assert(ca != cb)
+  }
+
   // ---- offset ------------------------------------------------------------
 
   test("offset+limit returns exactly the requested page in order") {

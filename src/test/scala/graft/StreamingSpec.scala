@@ -244,4 +244,40 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.toSeq == Seq((1L, "click", "gold"), (3L, "view", "gold")))
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups in-window, expires state past it") {
+    // the streaming-ingestion dedup shape: duplicate events (retries,
+    // at-least-once sources) are dropped while their key is within the
+    // watermark window; state is then expired — bounded memory, unlike
+    // plain dropDuplicates whose state grows forever
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      mem.addData(
+        Ev(ts(0), 1, "click", 1.0),
+        Ev(ts(1), 1, "click", 2.0),   // duplicate within window -> dropped
+        Ev(ts(2), 2, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark so (1, click) state
+      // expires, then replay the same key: it must be emitted again
+      mem.addData(Ev(ts(40), 3, "other", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(45), 1, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm_out")
+        .groupBy("user_id", "event_type").count()
+        .orderBy("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (1L, "click", 2L),  // once per watermark window, not three times
+        (2L, "view", 1L), (3L, "other", 1L)))
+    } finally q.stop()
+  }
 }
