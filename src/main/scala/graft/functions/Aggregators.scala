@@ -50,33 +50,36 @@ object Aggregators {
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     require(capacity > 0, "MisraGries capacity must be positive")
 
-    override def zero: Map[String, Long] = Map.empty
-
-    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      b.get(x) match {
-        case Some(c) => b.updated(x, c + 1)
-        case None if b.size < capacity => b.updated(x, 1L)
-        case None =>
-          // classic MG decrement step: all counters -1 (the new key's
-          // implicit counter hits 0 too), drop exhausted counters
-          b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
-      }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val m = b.foldLeft(a) { case (acc, (k, c)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + c)
-      }
+    /** Reduce-to-capacity (Mergeable Summaries): subtract the
+      * (capacity+1)-th largest count from every counter, drop the
+      * exhausted ones. Applied in BATCHES — buffers may grow to
+      * 2*capacity between shrinks, amortizing the O(buffer) pass over
+      * >= capacity insertions (O(1) amortized per row, vs the classic
+      * per-row decrement's O(capacity) on every non-resident row). Total
+      * subtracted mass per key stays <= N/(capacity+1), so the superset
+      * guarantee is unchanged.
+      */
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= capacity) m
       else {
-        // keep the capacity largest counters, subtracting the
-        // (capacity+1)-th largest from each — the mergeable-summaries
-        // rule that preserves the undercount bound
         val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
         m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
       }
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] = {
+      val m = b.updated(x, b.getOrElse(x, 0L) + 1)
+      if (m.size > 2 * capacity) shrink(m) else m
     }
 
-    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      })
+
+    override def finish(b: Map[String, Long]): Seq[String] =
+      shrink(b).keys.toSeq.sorted
 
     override def bufferEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()

@@ -108,4 +108,15 @@ case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+
+  // Array[Byte] case-class fields compare by reference; content equality
+  // keeps Catalyst canonicalization (CSE, exchange reuse, plan cache)
+  // working for logically identical predicates.
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
 }

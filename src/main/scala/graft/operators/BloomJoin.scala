@@ -42,21 +42,29 @@ object BloomJoin {
 
   /** `fact` rows whose `factKey` might appear in `dim`'s `dimKey` —
     * superset semantics (fpp false positives), scan-side codegen'd.
+    * `expectedItems` skips the sizing count when the caller knows the
+    * build-side cardinality (the 100 TB default — dim passes are not
+    * free); the dim side is still scanned once for the sketch aggregate.
     */
   def prefilter(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, fpp: Double = 0.01): DataFrame =
-    fact.filter(
-      graft.functions.bloom_might_contain(col(factKey), bloomOf(dim, dimKey, fpp)))
+      dimKey: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame =
+    fact.filter(graft.functions.bloom_might_contain(
+      col(factKey), bloomOf(dim, dimKey, fpp, expectedItems)))
 
   /** Exact inner join of `fact` to `dim`, with the fact side bloom-reduced
     * before the shuffle. Result is identical to the plain join; the
     * sketch only cuts the shuffled volume. The dim side is broadcast when
     * small (Catalyst decides); the bloom still pays for itself at scale
     * where the fact-side SCAN output, not the join, is the bottleneck.
+    * Sides are aliased so fact and dim may use the SAME key name.
     */
   def reduceThenJoin(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
-    val reduced = prefilter(fact, factKey, dim, dimKey, fpp)
-    reduced.join(dim, col(factKey) === col(dimKey))
+      dimKey: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val reduced = prefilter(fact, factKey, dim, dimKey, fpp, expectedItems)
+    reduced.alias("__bloom_fact")
+      .join(dim.alias("__bloom_dim"),
+        col(s"__bloom_fact.$factKey") === col(s"__bloom_dim.$dimKey"))
   }
 }

@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Per-document BM25 score in integer micros over `terms`, for documents
-    * matching at least one term. Output: (idCol, score_micro).
+  /** Shared fixed-term scoring scaffold: per-term tf columns + document
+    * length, ONE bounded stats aggregate (n_docs, avgdl, per-term df)
+    * broadcast back, map-side per-term scoring in integer micros, summed.
+    * `termScore(tf, df)` builds one term's UNROUNDED score and may
+    * reference the broadcast `n_docs`/`avgdl`/`dl` columns; rounding to
+    * micros happens here so every weighting keeps the order-independent
+    * sum property.
     */
-  def scoreMicros(docs: DataFrame, idCol: String, textCol: Column,
-      rawTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  private def scoredByTerm(docs: DataFrame, idCol: String, textCol: Column,
+      rawTerms: Seq[String])(termScore: (Column, Column) => Column): DataFrame = {
     // a duplicated query term must contribute once, not once per mention
     // (the per-term column layout would otherwise double-count it)
     val terms = rawTerms.distinct
-    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.nonEmpty, "term scoring needs at least one query term")
     val toks = split(lower(textCol), " ")
     val withTf = docs.select(
       col(idCol) +: size(toks).cast("double").as("dl") +:
@@ -52,10 +57,7 @@ object Bm25 {
 
     val termScores = terms.indices.map { i =>
       val tf = col(s"tf_$i")
-      val df = col(s"df_$i")
-      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
-      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-      when(tf > 0, round(idf * (tf * lit(k1 + 1.0) / norm) * lit(1e6), 0).cast("long"))
+      when(tf > 0, round(termScore(tf, col(s"df_$i")) * lit(1e6), 0).cast("long"))
         .otherwise(lit(0L))
     }
     withTf.crossJoin(broadcast(stats))
@@ -63,6 +65,17 @@ object Bm25 {
       .withColumn("score_micro", termScores.reduce(_ + _))
       .select(col(idCol), col("score_micro"))
   }
+
+  /** Per-document BM25 score in integer micros over `terms`, for documents
+    * matching at least one term. Output: (idCol, score_micro).
+    */
+  def scoreMicros(docs: DataFrame, idCol: String, textCol: Column,
+      rawTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredByTerm(docs, idCol, textCol, rawTerms) { (tf, df) =>
+      val idf = log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+      idf * (tf * lit(k1 + 1.0) / norm)
+    }
 
   /** Top-k documents by BM25 score — the retrieval-filtered curation query
     * (score the corpus, keep the k best). The sort+limit lowers to
@@ -87,30 +100,8 @@ object Bm25 {
     * (their df is then ≥1, keeping ln defined).
     */
   def tfIdfMicros(docs: DataFrame, idCol: String, textCol: Column,
-      rawTerms: Seq[String]): DataFrame = {
-    val terms = rawTerms.distinct
-    require(terms.nonEmpty, "TF-IDF needs at least one query term")
-    val toks = split(lower(textCol), " ")
-    val withTf = docs.select(
-      col(idCol) +:
-        terms.zipWithIndex.map { case (term, i) =>
-          size(filter(toks, tk => tk === lit(term))).cast("double").as(s"tf_$i")
-        }: _*)
-
-    val aggs = count(lit(1)).cast("double").as("n_docs") +:
-      terms.indices.map(i =>
-        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
-    val stats = withTf.agg(aggs.head, aggs.tail: _*)
-
-    val termScores = terms.indices.map { i =>
-      val tf = col(s"tf_$i")
-      val df = col(s"df_$i")
-      when(tf > 0, round(tf * log(col("n_docs") / df) * lit(1e6), 0).cast("long"))
-        .otherwise(lit(0L))
+      rawTerms: Seq[String]): DataFrame =
+    scoredByTerm(docs, idCol, textCol, rawTerms) { (tf, df) =>
+      tf * log(col("n_docs") / df)
     }
-    withTf.crossJoin(broadcast(stats))
-      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
-      .withColumn("score_micro", termScores.reduce(_ + _))
-      .select(col(idCol), col("score_micro"))
-  }
 }

@@ -35,10 +35,19 @@ object Checksum {
   def rowDigest(canonical: Column): Column =
     conv(substring(md5(canonical), 1, 14), 16, 10).cast("decimal(38,0)")
 
-  /** Canonical row rendering: pipe-joined column strings. Callers pass
-    * columns already cast to engine-stable strings.
+  /** Canonical row rendering, INJECTIVE over the column value sequence:
+    * each value is netstring-encoded as `<charlen>:<value>`, nulls as
+    * `-`, concatenated with no separator. Unambiguously parseable (read
+    * digits to ':', consume that many chars), so no value content —
+    * separators, empty strings — and no null/shift confusion can make two
+    * different rows render alike, which a plain `concat_ws` cannot
+    * guarantee (it skips nulls and its separator can be injected).
+    * Callers pass columns already cast to engine-stable strings
+    * (integers, exact cents — never raw floats).
     */
-  def canonical(cols: Seq[Column]): Column = concat_ws("|", cols: _*)
+  def canonical(cols: Seq[Column]): Column =
+    concat(cols.map(c =>
+      coalesce(concat(length(c).cast("string"), lit(":"), c), lit("-"))): _*)
 
   /** Per-group (n_rows, checksum) over the canonical rendering of `cols`.
     * With no `groupCols`: one global row. Checksum = sum(digest) mod 2^62

@@ -27,7 +27,8 @@ object HeavyHitters {
     */
   def exactByShare(items: DataFrame, keyCol: Column, share: Long,
       capacity: Int = -1): DataFrame = {
-    val cap = if (capacity > 0) capacity else (4 * share).toInt
+    val cap = if (capacity > 0) capacity
+      else math.min(4L * share, Int.MaxValue.toLong).toInt
     require(cap >= share,
       s"capacity $cap cannot guarantee threshold N/$share (needs >= $share)")
     val spark = items.sparkSession

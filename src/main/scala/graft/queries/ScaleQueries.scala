@@ -185,13 +185,19 @@ object ScaleQueries {
     // the second engine here, so the match demonstrates the cross-engine
     // contract itself.
     Q("q_table_checksum",
-      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-             |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
-             |      CAST(l_suppkey AS VARCHAR), l_returnflag, l_linestatus,
-             |      CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))),
-             |    1, 14)) AS BIGINT)) % 4611686018427387904 AS BIGINT) AS checksum
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      Some("""WITH canon AS (SELECT l_returnflag,
+             |    concat(
+             |      coalesce(CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR), '-'),
+             |      coalesce(CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR), '-'),
+             |      coalesce(CAST(length(CAST(l_suppkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR), '-'),
+             |      coalesce(CAST(length(l_returnflag) AS VARCHAR) || ':' || l_returnflag, '-'),
+             |      coalesce(CAST(length(l_linestatus) AS VARCHAR) || ':' || l_linestatus, '-'),
+             |      coalesce(CAST(length(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), '-')
+             |    ) AS s FROM lineitem)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT))
+             |    % 4611686018427387904 AS BIGINT) AS checksum
+             |FROM canon GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, d) => {
         val li = t(s, d, "lineitem")
         Checksum.grouped(li, Seq(col("l_returnflag")), Seq(

@@ -209,6 +209,30 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(base.getLong(0) == shuffled.getLong(0))
   }
 
+  test("reduceThenJoin works when both sides share the key column name") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    val dim = Seq((1L, "x"), (3L, "y")).toDF("k", "attr")
+    val got = graft.operators.BloomJoin.reduceThenJoin(fact, "k", dim, "k")
+      .select("payload", "attr").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "x"), ("c", "y")))
+  }
+
+  test("canonical rendering distinguishes null-shift and separator-injection rows") {
+    import graft.operators.Checksum
+    import spark.implicits._
+    // concat_ws would render both rows of each pair identically
+    val nullShiftA = Seq(("a", null.asInstanceOf[String], "b")).toDF("x", "y", "z")
+    val nullShiftB = Seq(("a", "b", null.asInstanceOf[String])).toDF("x", "y", "z")
+    val sepInjectA = Seq(("a|b", "c")).toDF("x", "y").withColumn("z", lit("p"))
+    val sepInjectB = Seq(("a", "b|c")).toDF("x", "y").withColumn("z", lit("p"))
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      Checksum.grouped(df, Nil, Seq(col("x"), col("y"), col("z"))).first().getLong(1)
+    assert(ck(nullShiftA) != ck(nullShiftB))
+    assert(ck(sepInjectA) != ck(sepInjectB))
+  }
+
   test("table checksum detects a single changed row") {
     import graft.operators.Checksum
     import spark.implicits._
