@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private lazy val registry: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++ TpchQueries.all ++ ScaleQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++ FunctionQueries.all ++ TpchQueries.all ++ ScaleQueries.all ++ WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline — quality gates → exact dedup →

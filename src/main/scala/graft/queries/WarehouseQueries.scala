@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators._
+
+/** Warehouse-maintenance / data-quality surface (round 5): CDC upsert,
+  * SCD2 history, dictionary fuzzy matching, robust outlier gates,
+  * histogram binning. All north-star extensions — the reference's algebra
+  * has no DML or analytics beyond scan/filter/project/sort/limit
+  * (/root/reference/src/planner/logicalplan.rs:207-273).
+  */
+object WarehouseQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    // CDC upsert (MERGE): every 10th order is "updated" (status U, +1.00
+    // price); updates replace base rows by key, one anti-join shuffle +
+    // union. The oracle recomputes the merge arithmetically, so a
+    // dropped, duplicated, or stale row breaks the hash.
+    Q("q_upsert",
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |  CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |    + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END AS BIGINT) AS price_cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val base = t(s, d, "orders")
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        Cdc.upsert(base, updates, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .orderBy("o_orderkey")
+      }),
+
+    // SCD type-2 dimension history from the event stream: consecutive
+    // equal event types collapse, each change point gets a validity
+    // interval, the open interval is current. Two stacked windows over
+    // one (user, ts, id) shuffle.
+    Q("q_scd2",
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |    lag(event_type) OVER w AS prev
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |pts AS (SELECT user_id, event_id, event_type, ts FROM chg
+             |        WHERE prev IS NULL OR event_type <> prev)
+             |SELECT user_id, event_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER w2 AS valid_to,
+             |  (lead(ts) OVER w2 IS NULL) AS is_current
+             |FROM pts WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, valid_from, event_id""".stripMargin),
+      (s, d) =>
+        Cdc.scd2(t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from", "event_id")),
+
+    // Dictionary fuzzy matching: near-identical part names (edit distance
+    // <= 3 within first-token blocks) over DISTINCT values — the
+    // entity-resolution shape whose quadratic part is bounded by the
+    // vocabulary (64 names here at EVERY scale factor), never the table.
+    Q("q_fuzzy_names",
+      Some("""WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
+             |b AS (SELECT name, split_part(lower(name), ' ', 1) AS blk FROM dict)
+             |SELECT a.name AS name_a, c.name AS name_b,
+             |  CAST(levenshtein(a.name, c.name) AS INT) AS dist
+             |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+             |WHERE levenshtein(a.name, c.name) <= 3
+             |ORDER BY name_a, name_b""".stripMargin),
+      (s, d) =>
+        FuzzyJoin.dictionaryPairs(t(s, d, "part"), "p_name", maxDist = 3)
+          .orderBy("name_a", "name_b")),
+
+    // Robust outlier gate: events whose value deviates from the
+    // per-event-type median by > 3 MADs — median/MAD survive the tail
+    // they flag, unlike mean/stddev. Exact percentiles (tiny group
+    // count), broadcast stats, map-side flagging.
+    Q("q_outliers",
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY event_type),
+             |dev AS (SELECT e.event_id, e.event_type, e.value,
+             |    abs(e.value - m.med) AS absdev
+             |  FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+             |  FROM dev GROUP BY event_type)
+             |SELECT d.event_id, d.event_type,
+             |  CAST(floor(d.absdev * 1e6) AS BIGINT) AS absdev_micros
+             |FROM dev d JOIN mad m USING (event_type)
+             |WHERE d.absdev > CAST(3.0 AS DOUBLE) * m.mad
+             |ORDER BY event_id""".stripMargin),
+      (s, d) =>
+        Robust.madOutliers(t(s, d, "events"), "event_type", "value", k = 3.0)
+          .select(col("event_id"), col("event_type"),
+            floor(col("absdev") * lit(1e6)).as("absdev_micros"))
+          .orderBy("event_id")),
+
+    // Fixed-width histogram: quantity binned into 10 buckets of 5 with
+    // explicit floor arithmetic (identical in any engine; no reliance on
+    // a width_bucket builtin). Pure partial-aggregable scan.
+    Q("q_histogram",
+      Some("""SELECT CAST(floor((l_quantity - CAST(1.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(floor((col("l_quantity") - lit(1.0)) / lit(5.0)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+          .orderBy("bucket"))
+  )
+}

@@ -238,4 +238,46 @@ class PlanAuditSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("manual bloom join filters the fact scan BEFORE the join") {
+    val plan = physical("q_bloom_join").toLowerCase
+    assert(plan.contains("bloommightcontain"),
+      s"bloom predicate missing from the fact side:\n$plan")
+  }
+
+  test("scd2 shuffles once: both windows share one hash partitioning") {
+    val plan = physical("q_scd2")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 keyed shuffle for both stacked windows, got $hashExchanges:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size >= 2, s"expected 2 window nodes:\n$plan")
+  }
+
+  test("fuzzy dictionary join is a hash equi-join on the block, never cartesian") {
+    val plan = physical("q_fuzzy_names")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in fuzzy join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in fuzzy join (blocking key not used as equi-key):\n$plan")
+  }
+
+  test("heavy hitters candidate pass aggregates partially (mergeable sketch)") {
+    // the q_heavy_hitters builder runs its sketch pass eagerly, so audit
+    // the MG aggregate's own plan: typed Aggregator state ->
+    // ObjectHashAggregate with a partial stage below the merge stage
+    import org.apache.spark.sql.functions.{col, explode, lower, split, udaf}
+    spark.catalog.clearCache()
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(64))
+    val items = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("key"))
+    val plan = items.agg(mg(col("key"))).queryExecution.executedPlan.toString
+    val stages = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(stages >= 2,
+      s"MG pass should plan partial+final object aggregates, got $stages:\n$plan")
+  }
+
+  test("upsert plans as anti-join + union, no window or global sort of base") {
+    val plan = physical("q_upsert")
+    assert(plan.contains("LeftAnti"), s"anti-join missing:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in upsert:\n$plan")
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: CDC upsert, SCD2 history, dictionary
+  * fuzzy join, robust outliers — checked on hand-built inputs with known
+  * answers.
+  */
+class WarehouseOpsSpec extends SparkTestBase {
+
+  import graft.operators.{Cdc, FuzzyJoin, Robust}
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("upsert replaces matched keys, inserts unmatched, keeps the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "new")).toDF("k", "v")
+    val got = Cdc.upsert(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "new"))
+  }
+
+  test("upsert with a multi-row update keyset never duplicates base rows") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    // duplicate key in updates: both rows survive (caller's contract to
+    // dedup), but the BASE row must be replaced exactly once
+    val updates = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val got = Cdc.upsert(base, updates, Seq("k")).collect()
+    assert(got.length == 2 && got.forall(_.getLong(0) == 1L))
+  }
+
+  test("scd2 collapses runs and builds contiguous validity intervals") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 10L, "bronze", 0.0),
+      (2L, ts(5), 10L, "bronze", 0.0),   // same value -> collapsed
+      (3L, ts(10), 10L, "silver", 0.0),  // change
+      (4L, ts(20), 10L, "gold", 0.0),    // change
+      (5L, ts(0), 20L, "basic", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Cdc.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (10L, "bronze", ts(0), ts(10), false),
+      (10L, "silver", ts(10), ts(20), false),
+      (10L, "gold", ts(20), null, true),
+      (20L, "basic", ts(0), null, true)))
+  }
+
+  test("fuzzy dictionary pairs find known near-matches and respect the bound") {
+    import spark.implicits._
+    val df = Seq("red bolt", "red bolts", "red widget", "blue bolt",
+      "red bolt", "blue bolt").toDF("name")
+    val got = FuzzyJoin.dictionaryPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // same block ("red"/"blue") and dist <= 2: only red bolt ~ red bolts.
+    // red bolt vs red widget is dist 5; blue bolt is another block.
+    assert(got == Set(("red bolt", "red bolts", 1)))
+  }
+
+  test("length pre-filter is sound: never drops a true match") {
+    import spark.implicits._
+    // names differing by maxDist characters of pure insertion — the
+    // length-window boundary case
+    val df = Seq("a x", "a xyz").toDF("name")
+    val got = FuzzyJoin.dictionaryPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("a x", "a xyz")))
+  }
+
+  test("MAD outliers flag a planted tail point that inflates the mean") {
+    import spark.implicits._
+    // 9 points near 10, one at 1000: stddev-based z<2 would mask it less
+    // robustly; MAD flags exactly the planted point
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 9.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val got = Robust.madOutliers(df, "grp", "v", k = 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(9L))
+  }
+}
