@@ -99,6 +99,75 @@ object WarehouseQueries {
             floor(col("absdev") * lit(1e6)).as("absdev_micros"))
           .orderBy("event_id")),
 
+    // Small-file compaction: a deliberately fragmented write (50-row
+    // files) rewritten to target-size files from the LISTING only (no
+    // data read for sizing), one round-robin shuffle. The oracle sees the
+    // original table — compaction must be lossless. FS-level file-count
+    // reduction is asserted in WarehouseOpsSpec.
+    Q("q_compact",
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val base = ScratchDirs.forRun(s, "compact")
+        t(s, d, "documents").write.mode("overwrite")
+          .option("maxRecordsPerFile", 50).parquet(base + "/frag")
+        Compact.rewrite(s, base + "/frag", base + "/compacted",
+            targetFileBytes = 8L * 1024 * 1024)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      }),
+
+    // Dynamic partition pruning: orders written partitionBy(priority),
+    // joined to a filtered priority dimension — Spark prunes the
+    // partition DIRECTORIES at runtime from the broadcast join's build
+    // side (plan-asserted in WarehouseOpsSpec: the scan carries a
+    // dynamicpruning subquery). At 100 TB this is the difference between
+    // scanning 2 partitions and scanning them all.
+    Q("q_dpp",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val base = ScratchDirs.forRun(s, "dpp")
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(base)
+        val dim = t(s, d, "orders").select(col("o_orderpriority").as("pri"))
+          .distinct()
+          .filter(col("pri").isin("1-URGENT", "2-HIGH"))
+        s.read.parquet(base)
+          .join(dim, col("o_orderpriority") === col("pri"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("total_cents"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Incremental aggregation: a stored partial-aggregate snapshot merged
+    // with a new increment by re-aggregation (sums of counts/sums) — the
+    // incremental-ETL contract: merging partials must equal the full
+    // recompute (the oracle), so yesterday's 100 TB is never rescanned.
+    Q("q_incr_agg",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              sum(cents(col("l_extendedprice"))).as("price_cents"))
+        val snapshot = partial(li.filter(col("l_orderkey") % 7 =!= 0))
+        val increment = partial(li.filter(col("l_orderkey") % 7 === 0))
+        snapshot.unionByName(increment)
+          .groupBy("l_returnflag")
+          .agg(sum(col("n")).cast("long").as("n"),
+            sum(col("price_cents")).cast("long").as("price_cents"))
+          .orderBy("l_returnflag")
+      }),
+
     // Fixed-width histogram: quantity binned into 10 buckets of 5 with
     // explicit floor arithmetic (identical in any engine; no reliance on
     // a width_bucket builtin). Pure partial-aggregable scan.

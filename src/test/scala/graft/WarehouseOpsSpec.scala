@@ -75,6 +75,41 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a x", "a xyz")))
   }
 
+  test("compaction reduces file count and loses no rows") {
+    import graft.operators.Compact
+    val base = sys.props("java.io.tmpdir") + s"/graft_compact_spec_${System.nanoTime()}"
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      docs.write.mode("overwrite").option("maxRecordsPerFile", 25)
+        .parquet(base + "/frag")
+      def fileCount(dir: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = fileCount(base + "/frag")
+      val compacted = Compact.rewrite(spark, base + "/frag", base + "/out",
+        targetFileBytes = 64L * 1024 * 1024)
+      assert(fileCount(base + "/out") == 1, "one target-size file expected for tiny input")
+      assert(before > 10, s"fragmented write should produce many files, got $before")
+      assert(compacted.count() == docs.count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("dpp query prunes partition directories at runtime") {
+    spark.catalog.clearCache()
+    val plan = SparkEntry.queries("q_dpp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"partitioned scan carries no dynamic pruning subquery:\n$plan")
+  }
+
   test("MAD outliers flag a planted tail point that inflates the mean") {
     import spark.implicits._
     // 9 points near 10, one at 1000: stddev-based z<2 would mask it less
