@@ -43,10 +43,17 @@ object Cdc {
   def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
       tieCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    // null-SAFE change detection: a plain =!= evaluates NULL against a
+    // value as NULL and the filter would drop transitions into (or out
+    // of) a null attribute, silently erasing those history periods. With
+    // <=>, the first row (prev = null marker via lag over no row) is a
+    // change unless the attribute itself is null-equal, and null periods
+    // become intervals of their own.
     val changes = df
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col(attrCol) =!= col("__prev"))
-      .drop("__prev")
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(attrCol) <=> col("__prev")))
+      .drop("__prev", "__first")
     changes
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))

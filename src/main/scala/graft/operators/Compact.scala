@@ -17,20 +17,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compact {
 
-  /** Total byte size of the parquet files under `dir` from the listing
-    * only.
+  /** Recursive listing of the parquet data files under `dir` — the ONE
+    * file-matching rule compaction sizing and its tests share.
     */
-  def dirBytes(spark: SparkSession, dir: String): Long = {
+  def parquetFiles(spark: SparkSession, dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
-    var total = 0L
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      if (f.getPath.getName.endsWith(".parquet")) buf += f
     }
-    total
+    buf.result()
   }
+
+  /** Total byte size of the parquet files under `dir` from the listing
+    * only.
+    */
+  def dirBytes(spark: SparkSession, dir: String): Long =
+    parquetFiles(spark, dir).map(_.getLen).sum
 
   private def targetPartitions(spark: SparkSession, inDir: String,
       targetFileBytes: Long): Int = {
@@ -41,13 +47,26 @@ object Compact {
   /** Rewrite `inDir` to `outDir` as ~`targetFileBytes`-sized files
     * (round-robin; no ordering guarantee). Returns the compacted frame's
     * reader.
+    *
+    * Partitioned tables: pass the table's partition columns as
+    * `partitionCols` to KEEP the directory layout (read at the table
+    * ROOT so Spark materializes the partition columns, compact per
+    * partition). Calling this with `Nil` on a partitioned root flattens
+    * the layout (partition values become plain columns — data preserved,
+    * pruning lost), and pointing it at a single LEAF directory drops the
+    * partition column entirely (its value lives only in the directory
+    * name).
     */
   def rewrite(spark: SparkSession, inDir: String, outDir: String,
-      targetFileBytes: Long): DataFrame = {
+      targetFileBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
     val n = targetPartitions(spark, inDir, targetFileBytes)
-    spark.read.parquet(inDir)
-      .repartition(n)
-      .write.mode("overwrite").parquet(outDir)
+    val df = spark.read.parquet(inDir)
+    val writer =
+      (if (partitionCols.isEmpty) df.repartition(n)
+       else df.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*))
+        .write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(outDir)
     spark.read.parquet(outDir)
   }
 

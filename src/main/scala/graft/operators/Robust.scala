@@ -21,6 +21,11 @@ object Robust {
     * than `k` times the group MAD (median absolute deviation). Appends
     * `med`, `mad`, `absdev` columns. Comparisons run on unrounded doubles
     * computed with the same operation order in any engine.
+    *
+    * MAD = 0 (a majority-constant group) degenerates the test — any
+    * nonzero deviation, however tiny, would exceed k*0 — so such groups
+    * flag NOTHING here; callers wanting a floor can clamp the mad column
+    * themselves (the standard Hampel fallback).
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       k: Double): DataFrame = {
@@ -31,6 +36,6 @@ object Robust {
     val mad = withDev.groupBy(groupCol)
       .agg(expr("percentile(absdev, 0.5)").as("mad"))
     withDev.join(broadcast(mad), groupCol)
-      .filter(col("absdev") > lit(k) * col("mad"))
+      .filter(col("mad") > 0 && col("absdev") > lit(k) * col("mad"))
   }
 }

@@ -17,6 +17,17 @@ final case class Q(
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
 
+/** Exact-money canonicalization shared by every oracle-matched query that
+  * aggregates a 2-decimal price column: integer cents, so summation order
+  * cannot perturb the hash (FIXTURES.md §5). ONE definition — the
+  * rounding rule must stay identical across all query surfaces or their
+  * oracle hashes diverge.
+  */
+private[queries] object Money {
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c * 100, 0).cast("long")
+}
+
 /** Scratch directories for queries that exercise the write path: each
   * caller gets a per-JVM-run unique root (keyed by applicationId, so
   * concurrent runs on the same machine never race between one run's

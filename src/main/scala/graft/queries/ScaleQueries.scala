@@ -17,8 +17,7 @@ object ScaleQueries {
 
   private val tfidfTerms = Seq("dup", "vector", "scan")
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import Money.cents
 
   /** DuckDB bit-arithmetic mirror of ZOrder2: interleave the low 16 bits
     * of x (even positions) and y (odd positions), generated as 32 shifted

@@ -12,8 +12,7 @@ import graft.Tables.t
   */
 object TpchQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import Money.cents
 
   val all: Seq[Q] = Seq(
 

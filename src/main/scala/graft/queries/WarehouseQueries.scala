@@ -12,8 +12,7 @@ import graft.operators._
   */
 object WarehouseQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import Money.cents
 
   val all: Seq[Q] = Seq(
 
@@ -63,7 +62,7 @@ object WarehouseQueries {
     // Dictionary fuzzy matching: near-identical part names (edit distance
     // <= 3 within first-token blocks) over DISTINCT values — the
     // entity-resolution shape whose quadratic part is bounded by the
-    // vocabulary (64 names here at EVERY scale factor), never the table.
+    // vocabulary (~62-64 names across SFs), never the table.
     Q("q_fuzzy_names",
       Some("""WITH dict AS (SELECT DISTINCT p_name AS name FROM part),
              |b AS (SELECT name, split_part(lower(name), ' ', 1) AS blk FROM dict)
@@ -91,7 +90,7 @@ object WarehouseQueries {
              |SELECT d.event_id, d.event_type,
              |  CAST(floor(d.absdev * 1e6) AS BIGINT) AS absdev_micros
              |FROM dev d JOIN mad m USING (event_type)
-             |WHERE d.absdev > CAST(3.0 AS DOUBLE) * m.mad
+             |WHERE m.mad > 0 AND d.absdev > CAST(3.0 AS DOUBLE) * m.mad
              |ORDER BY event_id""".stripMargin),
       (s, d) =>
         Robust.madOutliers(t(s, d, "events"), "event_type", "value", k = 3.0)

@@ -279,5 +279,10 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = physical("q_upsert")
     assert(plan.contains("LeftAnti"), s"anti-join missing:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window in upsert:\n$plan")
+    // exactly ONE range exchange: the query's own final orderBy — any
+    // second one means the merge itself started globally sorting the base
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(rangeExchanges == 1,
+      s"expected only the result-ordering range exchange, got $rangeExchanges:\n$plan")
   }
 }

@@ -82,20 +82,64 @@ class WarehouseOpsSpec extends SparkTestBase {
       val docs = Tables.t(spark, sf, "documents")
       docs.write.mode("overwrite").option("maxRecordsPerFile", 25)
         .parquet(base + "/frag")
-      def fileCount(dir: String): Int = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
-        var n = 0
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-        n
-      }
+      // the operator's own lister — counting and sizing share one rule
+      def fileCount(dir: String): Int = Compact.parquetFiles(spark, dir).size
       val before = fileCount(base + "/frag")
       val compacted = Compact.rewrite(spark, base + "/frag", base + "/out",
         targetFileBytes = 64L * 1024 * 1024)
       assert(fileCount(base + "/out") == 1, "one target-size file expected for tiny input")
       assert(before > 10, s"fragmented write should produce many files, got $before")
       assert(compacted.count() == docs.count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("scd2 keeps null-attribute periods as intervals of their own") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 10L, "a", 0.0),
+      (2L, ts(5), 10L, null.asInstanceOf[String], 0.0), // null period
+      (3L, ts(10), 10L, "a", 0.0))                      // back to a
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Cdc.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .select("event_type", "valid_from", "valid_to", "is_current")
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("a", ts(0), ts(5), false),
+      (null, ts(5), ts(10), false),
+      ("a", ts(10), null, true)))
+  }
+
+  test("MAD = 0 groups (majority-constant) flag nothing instead of everything") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(5.0) ++ Seq(5.0000001, 4.9999999)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "grp", "v")
+    assert(Robust.madOutliers(df, "grp", "v", k = 3.0).count() == 0)
+  }
+
+  test("partitioned compaction keeps the directory layout") {
+    import graft.operators.Compact
+    val base = sys.props("java.io.tmpdir") + s"/graft_compact_part_${System.nanoTime()}"
+    try {
+      Tables.t(spark, sf, "orders")
+        .write.mode("overwrite").option("maxRecordsPerFile", 25)
+        .partitionBy("o_orderpriority").parquet(base + "/frag")
+      val compacted = Compact.rewrite(spark, base + "/frag", base + "/out",
+        targetFileBytes = 64L * 1024 * 1024,
+        partitionCols = Seq("o_orderpriority"))
+      // layout preserved: partition directories exist in the output
+      val p = new org.apache.hadoop.fs.Path(base + "/out")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partDirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("o_orderpriority="))
+      assert(partDirs.length >= 2, s"partition dirs missing: ${partDirs.toSeq}")
+      // column survives and rows are lossless
+      assert(compacted.columns.contains("o_orderpriority"))
+      assert(compacted.count() == Tables.t(spark, sf, "orders").count())
     } finally {
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
