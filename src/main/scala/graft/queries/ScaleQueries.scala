@@ -257,6 +257,56 @@ object ScaleQueries {
           .orderBy("source")
       }),
 
+    // Curriculum binning: exact global deciles of the corpus by a quality
+    // proxy (n_chars), then per-bucket stats — the data-mixing prep step
+    // ("train on the top-k deciles first"). Global rank comes from the
+    // two-phase GlobalRank (range-chunked local row_number + broadcast
+    // offsets), NEVER a single-partition ntile window; the oracle's
+    // unpartitioned ntile is exactly what must not run at 100 TB.
+    Q("q_curriculum",
+      Some("""WITH ranked AS (
+             |  SELECT n_chars,
+             |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+             |  FROM documents)
+             |SELECT CAST(decile AS BIGINT) AS decile,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin),
+      (s, d) =>
+        GlobalRank.withRowNumber(
+            t(s, d, "documents").select("doc_id", "n_chars"),
+            col("n_chars"), Seq(col("n_chars"), col("doc_id")), chunks = 32)
+          // ntile(k) with larger-buckets-first: rows 1..(n%k)*ceil get the
+          // extra row — same closed form q_window_analytics pins
+          .withColumn("__base", expr("n_total div 10"))
+          .withColumn("__extra", expr("n_total % 10"))
+          .withColumn("__cut", col("__extra") * (col("__base") + 1))
+          .withColumn("decile",
+            when(col("rn") <= col("__cut"),
+              (col("rn") - 1) / (col("__base") + 1))
+            .otherwise(col("__extra") +
+              (col("rn") - col("__cut") - 1) / col("__base")))
+          .withColumn("decile", (col("decile").cast("long") + 1))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .orderBy("decile")),
+
+    // Explicit cross join (the one join form not yet a row of its own):
+    // fixed-cardinality dimensions only — a cartesian is a deliberate
+    // tool for tiny tables (parameter grids, calendar spines), never for
+    // SF-scaling inputs.
+    Q("q_join_cross",
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin),
+      (s, d) =>
+        t(s, d, "region").select("r_name")
+          .crossJoin(t(s, d, "nation").select("n_name"))
+          .orderBy("r_name", "n_name")),
+
     // OFFSET pagination — the clause the reference's planner rejects
     // outright ("Offset is currently not supported",
     // /root/reference/src/planner/queryplanner.rs:66-69). Deterministic

@@ -71,6 +71,26 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(candidates.size <= 5)
   }
 
+  test("MisraGries superset guarantee holds across random streams and partitionings") {
+    // randomized property: for arbitrary Zipf-ish streams, any key with
+    // count > N/(cap+1) must survive arbitrary partition/merge orders
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val cap = 4 + rnd.nextInt(12)
+      val stream = List.fill(2000)(s"k${math.min(rnd.nextInt(rnd.nextInt(200) + 1), 60)}")
+      val mg = new graft.functions.Aggregators.MisraGries(cap)
+      val parts = stream.grouped(1 + rnd.nextInt(300)).toSeq
+      val buf = rnd.shuffle(parts.map(p => p.foldLeft(mg.zero)(mg.reduce)))
+        .foldLeft(mg.zero)(mg.merge)
+      val candidates = mg.finish(buf).toSet
+      assert(candidates.size <= cap)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 > stream.size.toLong / (cap + 1)).keys.toSet
+      assert(truth.subsetOf(candidates),
+        s"seed=$seed cap=$cap missing=${truth -- candidates}")
+    }
+  }
+
   test("exactByShare equals the naive groupBy-count-filter") {
     import spark.implicits._
     val items = Tables.t(spark, sf, "documents")
