@@ -114,6 +114,29 @@ object GlobalRank {
       .drop("__chunk", "__lrn", "__c2", "__off")
   }
 
+  /** Adds `bucketCol` — exact global NTILE(k) under `order` (larger
+    * buckets first, the SQL standard's distribution) — plus the `rn` /
+    * `n_total` columns, all through [[withRowNumber]]'s two-phase rank:
+    * no single-partition window anywhere. Closed form: the first
+    * n_total%k buckets hold (n_total div k)+1 rows; the `div 0` in the
+    * dead branch is SQL-null, never hit (base == 0 implies cutoff == n
+    * so the first branch always matches).
+    */
+  def withNtile(df: DataFrame, rangeCol: Column, order: Seq[Column], k: Int,
+      bucketCol: String = "bucket", chunks: Int = 64): DataFrame = {
+    require(k > 0, "ntile bucket count must be positive")
+    withRowNumber(df, rangeCol, order, chunks)
+      .withColumn("__base", expr(s"n_total div $k"))
+      .withColumn("__rem", col("n_total") % k)
+      .withColumn("__big", col("__base") + 1)
+      .withColumn("__cutoff", col("__rem") * col("__big"))
+      .withColumn(bucketCol,
+        when(col("rn") <= col("__cutoff"), expr("(rn + __big - 1) div __big"))
+          .otherwise(col("__rem") + expr("(rn - __cutoff + __base - 1) div __base")))
+      .withColumn(bucketCol, col(bucketCol).cast("long"))
+      .drop("__base", "__rem", "__big", "__cutoff")
+  }
+
   /** Adds `cumCol` — the INCLUSIVE global running sum of `size` under
     * `order` — without an unpartitioned window: local per-chunk cumsum
     * plus broadcast per-chunk totals. Same contract as [[withRowNumber]]

@@ -61,21 +61,12 @@ object FunctionQueries {
              |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
              |ORDER BY c_custkey""".stripMargin),
       (s, d) =>
-        graft.operators.GlobalRank.withRowNumber(
+        graft.operators.GlobalRank.withNtile(
             t(s, d, "customer").select("c_custkey", "c_acctbal"),
-            col("c_acctbal"), Seq(col("c_acctbal"), col("c_custkey")), chunks = 32)
-          // ntile(4): first (n mod 4) buckets hold (n div 4)+1 rows; the
-          // `div 0` in the dead branch of `when` is SQL-null, never hit
-          // (when base == 0, cutoff == n >= rn picks the first branch)
-          .withColumn("__base", expr("n_total div 4"))
-          .withColumn("__rem", col("n_total") % 4)
-          .withColumn("__big", col("__base") + 1)
-          .withColumn("__cutoff", col("__rem") * col("__big"))
-          .withColumn("quartile",
-            when(col("rn") <= col("__cutoff"), expr("(rn + __big - 1) div __big"))
-              .otherwise(col("__rem") + expr("(rn - __cutoff + __base - 1) div __base")))
+            col("c_acctbal"), Seq(col("c_acctbal"), col("c_custkey")),
+            k = 4, bucketCol = "quartile", chunks = 32)
           .select(col("c_custkey"),
-            col("quartile").cast("long").as("quartile"),
+            col("quartile"),
             // n = 1 would make (rn-1)/(n-1) NaN; percent_rank defines it 0
             when(col("n_total") > 1,
               (col("rn") - 1).cast("double") /

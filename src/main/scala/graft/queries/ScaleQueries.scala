@@ -275,20 +275,10 @@ object ScaleQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin),
       (s, d) =>
-        GlobalRank.withRowNumber(
+        GlobalRank.withNtile(
             t(s, d, "documents").select("doc_id", "n_chars"),
-            col("n_chars"), Seq(col("n_chars"), col("doc_id")), chunks = 32)
-          // ntile(k) with larger-buckets-first: rows 1..(n%k)*ceil get the
-          // extra row — same closed form q_window_analytics pins
-          .withColumn("__base", expr("n_total div 10"))
-          .withColumn("__extra", expr("n_total % 10"))
-          .withColumn("__cut", col("__extra") * (col("__base") + 1))
-          .withColumn("decile",
-            when(col("rn") <= col("__cut"),
-              (col("rn") - 1) / (col("__base") + 1))
-            .otherwise(col("__extra") +
-              (col("rn") - col("__cut") - 1) / col("__base")))
-          .withColumn("decile", (col("decile").cast("long") + 1))
+            col("n_chars"), Seq(col("n_chars"), col("doc_id")),
+            k = 10, bucketCol = "decile", chunks = 32)
           .groupBy("decile")
           .agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"),
             max("n_chars").as("max_chars"),
