@@ -167,6 +167,93 @@ object WarehouseQueries {
           .orderBy("l_returnflag")
       }),
 
+    // Point-in-time (temporal) lookup against the SCD2 history: "what was
+    // this user's state 7 minutes after each event" — resolved by the
+    // sorted as-of merge (union-tag + one keyed window), NEVER an
+    // interval nested-loop join; the oracle is DuckDB's native ASOF JOIN
+    // over the same recomputed history. Deterministic because (user_id,
+    // ts) is unique in this data (checked; scd2 tie-breaks by event_id).
+    Q("q_scd2_lookup",
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |hist AS (SELECT user_id, event_type AS state, ts AS valid_from
+             |         FROM chg WHERE rn = 1 OR event_type <> prev),
+             |probes AS (SELECT event_id, user_id, ts + INTERVAL 7 MINUTE AS pts
+             |           FROM events)
+             |SELECT p.event_id, h.state FROM probes p
+             |ASOF JOIN hist h ON p.user_id = h.user_id AND p.pts >= h.valid_from
+             |ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hist = Cdc.scd2(ev, "user_id", "event_type", "ts", "event_id")
+          .select(col("user_id"), col("valid_from"),
+            col("event_type").as("state"))
+        val probes = ev.select(col("event_id"), col("user_id"),
+          (col("ts") + expr("INTERVAL 7 MINUTES")).as("pts"))
+        AsOfJoin.backward(probes, hist, "user_id", "pts", "valid_from",
+            Seq("state"))
+          .select("event_id", "state")
+          .orderBy("event_id")
+      }),
+
+    // Conversion funnel: first view -> first subsequent click -> converted
+    // within 30 minutes. Pure grouped-min aggregates joined once — no
+    // window, no per-user iteration; the classic product-analytics query.
+    Q("q_funnel",
+      Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS first_click
+             |  FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+             |  GROUP BY e.user_id)
+             |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+             |  CAST(count(*) AS BIGINT) AS n_clicked_after,
+             |  CAST(sum(CASE WHEN c.first_click <= v2.first_view + INTERVAL 30 MINUTE
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_30m
+             |FROM c JOIN v v2 USING (user_id)""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("first_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("first_view"))
+          .groupBy("user_id").agg(min("ts").as("first_click"))
+        val nViewers = v.agg(count(lit(1)).as("n_viewers"))
+        c.join(v, "user_id")
+          .agg(count(lit(1)).as("n_clicked_after"),
+            sum(when(col("first_click") <=
+                col("first_view") + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L)).as("n_converted_30m"))
+          .crossJoin(broadcast(nViewers))
+          .select("n_viewers", "n_clicked_after", "n_converted_30m")
+      }),
+
+    // Retention cohorts: users grouped by first-active week, activity
+    // counted per week offset — the cohort matrix. Week buckets are
+    // epoch-microsecond integer division (engine-portable; no reliance on
+    // locale week-start). Two grouped aggregates + one distinct count.
+    Q("q_retention",
+      Some("""WITH wk AS (SELECT user_id,
+             |    epoch_us(ts) // 604800000000 AS w FROM events),
+             |cohort AS (SELECT user_id, min(w) AS c FROM wk GROUP BY user_id)
+             |SELECT CAST(c AS BIGINT) AS cohort_week,
+             |  CAST(w - c AS BIGINT) AS week_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+             |FROM wk JOIN cohort USING (user_id)
+             |GROUP BY c, w - c ORDER BY cohort_week, week_offset""".stripMargin),
+      (s, d) => {
+        val wk = t(s, d, "events")
+          .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("w"))
+        val cohort = wk.groupBy("user_id").agg(min("w").as("cohort_week"))
+        wk.join(cohort, "user_id")
+          .withColumn("week_offset", col("w") - col("cohort_week"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      }),
+
     // Fixed-width histogram: quantity binned into 10 buckets of 5 with
     // explicit floor arithmetic (identical in any engine; no reliance on
     // a width_bucket builtin). Pure partial-aggregable scan.

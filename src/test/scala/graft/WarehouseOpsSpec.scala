@@ -114,6 +114,58 @@ class WarehouseOpsSpec extends SparkTestBase {
       ("a", ts(10), null, true)))
   }
 
+  test("scd2 as-of lookup equals the brute-force interval join") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val events = Seq(
+      (1L, ts(0), 10L, "bronze", 0.0),
+      (2L, ts(10), 10L, "silver", 0.0),
+      (3L, ts(20), 10L, "gold", 0.0),
+      (4L, ts(2), 20L, "basic", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hist = Cdc.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("valid_from"), col("valid_to"),
+        col("event_type").as("state"))
+    val probes = Seq((100L, 10L, ts(5)), (101L, 10L, ts(15)),
+      (102L, 10L, ts(25)), (103L, 20L, ts(30)))
+      .toDF("probe_id", "user_id", "pts")
+    val got = AsOfJoin.backward(probes, hist.drop("valid_to"), "user_id",
+        "pts", "valid_from", Seq("state"))
+      .select("probe_id", "state").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute force: interval containment over the same history
+    val brute = probes.join(hist, probes("user_id") === hist("user_id") &&
+        probes("pts") >= hist("valid_from") &&
+        (hist("valid_to").isNull || probes("pts") < hist("valid_to")))
+      .select("probe_id", "state").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == brute)
+    assert(got == Map(100L -> "bronze", 101L -> "silver",
+      102L -> "gold", 103L -> "basic"))
+  }
+
+  test("funnel counts viewers, post-view clicks, and 30-minute conversions") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(10), 1L, "click", 0.0),   // converts
+      (3L, ts(0), 2L, "view", 0.0), (4L, ts(45), 2L, "click", 0.0),   // too late
+      (5L, ts(0), 3L, "view", 0.0),                                   // never clicks
+      (6L, ts(0), 4L, "click", 0.0))                                  // click, no view
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.createOrReplaceTempView("__funnel_events")
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val row = c.join(v, "user_id")
+      .agg(count(lit(1)).as("clicked"),
+        sum(when(col("first_click") <=
+            col("first_view") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L)).as("converted")).first()
+    assert(v.count() == 3 && row.getLong(0) == 2 && row.getLong(1) == 1)
+  }
+
   test("MAD = 0 groups (majority-constant) flag nothing instead of everything") {
     import spark.implicits._
     val df = (Seq.fill(6)(5.0) ++ Seq(5.0000001, 4.9999999)).zipWithIndex
