@@ -214,19 +214,25 @@ object WarehouseQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_30m
              |FROM c JOIN v v2 USING (user_id)""".stripMargin),
       (s, d) => {
+        // ONE scan + ONE user-keyed shuffle: both firsts come from two
+        // stacked windows over the same partitioning (first_click_after
+        // reads first_view, so they can't be one window), then a per-user
+        // collapse and a global conditional aggregate — the naive
+        // aggregate-join form re-reads the events scan 3-4 times
+        val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
         val ev = t(s, d, "events")
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("first_view"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("first_view"))
-          .groupBy("user_id").agg(min("ts").as("first_click"))
-        val nViewers = v.agg(count(lit(1)).as("n_viewers"))
-        c.join(v, "user_id")
-          .agg(count(lit(1)).as("n_clicked_after"),
-            sum(when(col("first_click") <=
-                col("first_view") + expr("INTERVAL 30 MINUTES"), 1L)
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("ts"))).over(wu))
+          .withColumn("first_click",
+            min(when(col("event_type") === "click" &&
+                col("ts") > col("first_view"), col("ts"))).over(wu))
+        ev.groupBy("user_id")
+          .agg(first("first_view").as("fv"), first("first_click").as("fc"))
+          .agg(count(col("fv")).as("n_viewers"),
+            count(when(col("fv").isNotNull, col("fc"))).as("n_clicked_after"),
+            sum(when(col("fv").isNotNull &&
+                col("fc") <= col("fv") + expr("INTERVAL 30 MINUTES"), 1L)
               .otherwise(0L)).as("n_converted_30m"))
-          .crossJoin(broadcast(nViewers))
           .select("n_viewers", "n_clicked_after", "n_converted_30m")
       }),
 

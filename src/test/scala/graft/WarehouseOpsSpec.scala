@@ -132,15 +132,16 @@ class WarehouseOpsSpec extends SparkTestBase {
     val got = AsOfJoin.backward(probes, hist.drop("valid_to"), "user_id",
         "pts", "valid_from", Seq("state"))
       .select("probe_id", "state").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    // brute force: interval containment over the same history
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    // brute force: interval containment over the same history; sequences
+    // (not maps) so a duplicated-row regression cannot hide
     val brute = probes.join(hist, probes("user_id") === hist("user_id") &&
         probes("pts") >= hist("valid_from") &&
         (hist("valid_to").isNull || probes("pts") < hist("valid_to")))
       .select("probe_id", "state").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
     assert(got == brute)
-    assert(got == Map(100L -> "bronze", 101L -> "silver",
+    assert(got == Seq(100L -> "bronze", 101L -> "silver",
       102L -> "gold", 103L -> "basic"))
   }
 
@@ -152,7 +153,6 @@ class WarehouseOpsSpec extends SparkTestBase {
       (5L, ts(0), 3L, "view", 0.0),                                   // never clicks
       (6L, ts(0), 4L, "click", 0.0))                                  // click, no view
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    events.createOrReplaceTempView("__funnel_events")
     val v = events.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("first_view"))
     val c = events.filter(col("event_type") === "click")
