@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * into omitted/omitted_sec. Ascending order inside the map so the
   * heaviest entries sit nearest the end of the line (survive any further
   * truncation).
+  *
+  * Contention hardening: the suite runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 2) and each query reports its MINIMUM across runs — the
+  * minimum is the best available estimate of the code's intrinsic cost
+  * when the sandbox is shared with other tenants (round-5 postmortem: a
+  * single-run bench recorded 2.2x the reproducible time purely from CPU
+  * contention during the run). "runs" and "run_totals" are emitted so a
+  * polluted run remains self-evident in the artifact: if run_totals
+  * diverge wildly, the environment was noisy and "value" (sum of minima)
+  * is the trustworthy figure.
   */
 object Bench {
   private val BudgetChars = 1800
@@ -56,7 +66,18 @@ object Bench {
 
     runOnce("q_scan") // warmup
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // runTimes(r) = per-query times for run r, in `names` order.
+    val runTimes: Seq[Seq[Double]] =
+      (1 to nRuns).map(_ => names.map(runOnce))
+    val runTotals = runTimes.map(_.filter(_ >= 0).sum)
+    // Per-query minimum over the runs where the query succeeded; -1 only
+    // if it failed in every run.
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val ts = runTimes.map(_(i)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
 
@@ -72,7 +93,8 @@ object Bench {
       val fl =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      val rt = runTotals.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)

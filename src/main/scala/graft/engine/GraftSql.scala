@@ -43,7 +43,7 @@ object GraftSql {
     * /root/reference/src/planner/queryplanner.rs:176-191 (NOT NULL honored
     * as nullable=false, :167).
     */
-  private[engine] def parseSchema(defs: String): StructType = {
+  private[graft] def parseSchema(defs: String): StructType = {
     val fields = defs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
       val notNull = d.toUpperCase.contains("NOT NULL")
       val parts = d.split("\\s+")
@@ -52,7 +52,7 @@ object GraftSql {
     StructType(fields)
   }
 
-  private def toSparkType(sqlType: String): DataType = {
+  private[graft] def toSparkType(sqlType: String): DataType = {
     val base = sqlType.toUpperCase.takeWhile(_ != '(')
     base match {
       case "BOOLEAN"                   => BooleanType
@@ -60,6 +60,16 @@ object GraftSql {
       case "SMALLINT"                  => ShortType
       case "INT" | "INTEGER"           => IntegerType
       case "BIGINT"                    => LongType
+      // Unsigned widening, SURVEY §1.2 for the reference's UInt8..UInt64
+      // (/root/reference/src/planner/logicalplan.rs:171-177): Spark has no
+      // unsigned types, so each widens to the next signed type that holds
+      // its full range — the same rule Spark's Parquet reader applies to
+      // unsigned parquet logical types. Both bit-count (UINT8) and
+      // byte-count (UINT1) spellings accepted.
+      case "UINT8" | "UINT1" | "UTINYINT"    => ShortType
+      case "UINT16" | "UINT2" | "USMALLINT"  => IntegerType
+      case "UINT32" | "UINT4" | "UINTEGER"   => LongType
+      case "UINT64" | "UBIGINT"              => DecimalType(20, 0)
       case "FLOAT" | "REAL"            => FloatType
       case "DOUBLE"                    => DoubleType
       case "CHAR" | "VARCHAR" | "TEXT" | "STRING" => StringType

