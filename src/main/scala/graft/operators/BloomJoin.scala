@@ -32,6 +32,11 @@ object BloomJoin {
   /** Distributed Bloom filter over `dim`'s `keyCol` (bigint). Sizing uses
     * one cheap count over the (small) build side — at scale, pass
     * `expectedItems` explicitly to skip it.
+    *
+    * NOT LAZY: the count and `stat.bloomFilter` are ACTIONS — this call
+    * (and any plan built on it) executes real jobs over `dim` before the
+    * caller's own action runs; see the same note on
+    * `HeavyHitters.exactByShare`.
     */
   def bloomOf(dim: DataFrame, keyCol: String, fpp: Double = 0.01,
       expectedItems: Long = -1L): BloomFilter = {

@@ -18,6 +18,15 @@ object Cdc {
     * unmatched update rows are inserts. Exactly MERGE INTO ... WHEN
     * MATCHED UPDATE / WHEN NOT MATCHED INSERT for whole-row updates.
     *
+    * DUPLICATE-KEY CONTRACT: if `updates` holds several rows for one key,
+    * ALL of them land in the output (the base row is removed once; every
+    * update row is kept) — unlike SQL MERGE, which raises on multiple
+    * matches. That is deliberate for append-flavored CDC feeds, but when
+    * MERGE semantics are wanted, pass `strict = true`: duplicate update
+    * keys then fail fast with a count, instead of silently multiplying
+    * rows. (Strictness costs one extra aggregate over `updates` — tiny
+    * next to the anti-join, but not free, hence opt-in.)
+    *
     * Scale shape: ONE anti-join shuffle keyed on `keyCols` (ids+payload
     * on the base side) plus a shuffle-free union — no window, no global
     * sort. At 100 TB: bucket base and updates by the key to make the
@@ -25,10 +34,19 @@ object Cdc {
     * the updates touch (updates are usually a tiny fraction of base).
     * Schemas must match (unionByName enforces).
     */
-  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    if (strict) {
+      val dups = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(dups == 0,
+        s"upsert(strict): $dups update key(s) appear more than once " +
+          "(SQL MERGE would raise); dedup the feed or drop strict")
+    }
     base.join(updates.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
       .unionByName(updates)
+  }
 
   /** SCD type-2 history: collapse an event stream to attribute-CHANGE
     * points and give each a validity interval [valid_from, valid_to),

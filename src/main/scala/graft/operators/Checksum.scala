@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *
   * A 56-bit digest makes an undetected difference vanishingly unlikely
   * (two DIFFERENT multisets collide with probability ~2^-56 per differing
-  * row pair); the mod-2^62 fold keeps the running sum in exact integer
-  * range for up to 2^6 = 64 full-weight rows per unit of headroom — i.e.
-  * any realistic table, since sums are taken mod the same constant on
-  * both sides.
+  * row pair).
+  *
+  * CROSS-ENGINE ACCUMULATION CONTRACT: the partner engine must either
+  * accumulate the 56-bit digests EXACTLY (128-bit/decimal arithmetic —
+  * Spark sums decimal(38,0) here, DuckDB sums to HUGEINT) and apply `%
+  * 2^62` once at the end, or fold `% 2^62` into every partial sum
+  * (per-row modular addition agrees with the end-fold because modular
+  * addition is associative). What it must NOT do is accumulate in
+  * wrapping int64: ~64 max-weight digests overflow 2^63 and the wrapped
+  * sum diverges from the modular one silently.
   */
 object Checksum {
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the table-maintenance pass every long-lived
   * 100 TB dataset needs: streaming ingestion and partitioned writes leave
@@ -44,6 +45,21 @@ object Compact {
     math.max(1, math.ceil(dirBytes(spark, inDir).toDouble / targetFileBytes).toInt)
   }
 
+  /** Per-partition-value byte totals from the listing: relative partition
+    * directory ("p=v" or "p=v/q=w") -> bytes. Directory names are Hive's
+    * escaped string form of the values.
+    */
+  private[graft] def partitionBytes(
+      spark: SparkSession, inDir: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(inDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootStr = fs.makeQualified(root).toString
+    parquetFiles(spark, inDir)
+      .groupBy(f => f.getPath.getParent.toString
+        .stripPrefix(rootStr).stripPrefix("/"))
+      .map { case (rel, fsz) => rel -> fsz.map(_.getLen).sum }
+  }
+
   /** Rewrite `inDir` to `outDir` as ~`targetFileBytes`-sized files
     * (round-robin; no ordering guarantee). Returns the compacted frame's
     * reader.
@@ -51,22 +67,48 @@ object Compact {
     * Partitioned tables: pass the table's partition columns as
     * `partitionCols` to KEEP the directory layout (read at the table
     * ROOT so Spark materializes the partition columns, compact per
-    * partition). Calling this with `Nil` on a partitioned root flattens
-    * the layout (partition values become plain columns — data preserved,
-    * pruning lost), and pointing it at a single LEAF directory drops the
+    * partition). Each partition value gets ceil(partitionBytes /
+    * targetFileBytes) write tasks (a bounded salt on the shuffle key,
+    * sized from the per-directory listing) — so a skewed partition is
+    * rewritten by many tasks into many target-size files instead of one
+    * task producing one arbitrarily large file. Rows whose formatted
+    * partition value doesn't match a listed directory (exotic characters
+    * under Hive path escaping) fall back to salt 1 — correct output,
+    * single file for that value.
+    *
+    * Calling this with `Nil` on a partitioned root flattens the layout
+    * (partition values become plain columns — data preserved, pruning
+    * lost), and pointing it at a single LEAF directory drops the
     * partition column entirely (its value lives only in the directory
     * name).
     */
   def rewrite(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
-    val n = targetPartitions(spark, inDir, targetFileBytes)
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val df = spark.read.parquet(inDir)
-    val writer =
-      (if (partitionCols.isEmpty) df.repartition(n)
-       else df.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*))
-        .write.mode("overwrite")
-    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
-      .parquet(outDir)
+    if (partitionCols.isEmpty) {
+      val n = targetPartitions(spark, inDir, targetFileBytes)
+      df.repartition(n).write.mode("overwrite").parquet(outDir)
+    } else {
+      import spark.implicits._
+      val salts = partitionBytes(spark, inDir).toSeq.map { case (rel, bytes) =>
+        rel -> math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)
+      }
+      val saltDf = salts.toDF("__pv", "__salts")
+      val n = math.max(1L, salts.map(_._2).sum).min(Int.MaxValue.toLong).toInt
+      // Rebuild each row's relative partition dir to join the salt counts;
+      // the salt spreads rows of one value across its task budget.
+      val pv = concat_ws("/", partitionCols.map(c =>
+        concat_ws("=", lit(c), col(c).cast("string"))): _*)
+      val dataCols = df.columns.map(col)
+      df.withColumn("__pv", pv)
+        .join(broadcast(saltDf), Seq("__pv"), "left")
+        .withColumn("__salt",
+          pmod(xxhash64(struct(dataCols.toSeq: _*)), coalesce(col("__salts"), lit(1L))))
+        .repartition(n, partitionCols.map(col) :+ col("__salt"): _*)
+        .select(dataCols.toSeq: _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+    }
     spark.read.parquet(outDir)
   }
 

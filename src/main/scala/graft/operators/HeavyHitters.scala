@@ -24,6 +24,14 @@ object HeavyHitters {
   /** Keys of `keyCol` (string) occurring with frequency >= N/share, with
     * their exact counts: (key, cnt), ordered by key. `capacity` bounds
     * the sketch (default = 4*share for slack well past the MG bound).
+    *
+    * NOT LAZY: pass 1 (the MG sketch + total count) executes EAGERLY via
+    * `.first()` during this call — inherent to a two-pass algorithm whose
+    * second plan depends on pass-1 results. Building the returned
+    * DataFrame (or just explaining it) therefore runs a full Spark job
+    * over `items`; callers timing plan construction separately from
+    * execution (ExplainDump, plan audits) are timing pass 1 too. The
+    * same applies to `BloomJoin.bloomOf` (count + bloomFilter actions).
     */
   def exactByShare(items: DataFrame, keyCol: Column, share: Long,
       capacity: Int = -1): DataFrame = {

@@ -33,6 +33,21 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(got.length == 2 && got.forall(_.getLong(0) == 1L))
   }
 
+  test("strict upsert raises on duplicate update keys (MERGE semantics)") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val dups = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.upsert(base, dups, Seq("k"), strict = true)
+    }
+    assert(e.getMessage.contains("more than once"))
+    // clean feed passes strict unchanged
+    val clean = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val got = Cdc.upsert(base, clean, Seq("k"), strict = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "x", 2L -> "y"))
+  }
+
   test("scd2 collapses runs and builds contiguous validity intervals") {
     import spark.implicits._
     val events = Seq(
@@ -75,6 +90,38 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a x", "a xyz")))
   }
 
+  test("length-band blocking is no-miss vs the unbanded block join (hot token)") {
+    import spark.implicits._
+    // A hot first token ("acme") with lengths spread across band
+    // boundaries for every w in 1..4 — incl. pairs whose lengths straddle
+    // a band edge (the case naive single-band blocking silently loses).
+    val base = Seq(
+      "acme a", "acme ab", "acme abc", "acme abcd", "acme abcde",
+      "acme abcdef", "acme abcdefg", "acme abcdefgh", "acme abXdefgh",
+      "acme zz", "acme zzz", "other a", "other ab")
+    val df = base.toDF("name")
+    for (maxDist <- 1 to 4) {
+      // ground truth: same first token, dist <= maxDist, over distinct names
+      val names = base.distinct
+      val blk = (s: String) => s.toLowerCase.split(" ")(0)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expect = (for {
+        a <- names; b <- names
+        if a < b && blk(a) == blk(b) && lev(a, b) <= maxDist
+      } yield (a, b, lev(a, b))).toSet
+      val got = FuzzyJoin.dictionaryPairs(df, "name", maxDist)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == expect, s"maxDist=$maxDist: missing=${expect.diff(got)} extra=${got.diff(expect)}")
+    }
+  }
+
   test("compaction reduces file count and loses no rows") {
     import graft.operators.Compact
     val base = sys.props("java.io.tmpdir") + s"/graft_compact_spec_${System.nanoTime()}"
@@ -90,6 +137,38 @@ class WarehouseOpsSpec extends SparkTestBase {
       assert(fileCount(base + "/out") == 1, "one target-size file expected for tiny input")
       assert(before > 10, s"fragmented write should produce many files, got $before")
       assert(compacted.count() == docs.count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("partitioned compaction splits a skewed partition into multiple target-size files") {
+    import graft.operators.Compact
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir") + s"/graft_compact_skew_${System.nanoTime()}"
+    try {
+      // skewed: key "hot" carries 50k rows with fat payloads, "cold" 100
+      val hot = spark.range(50000).select(lit("hot").as("k"),
+        col("id"), concat_ws("", Seq.fill(40)(lit("payload-x")): _*).as("pad"))
+      val cold = spark.range(100).select(lit("cold").as("k"), col("id"),
+        lit("tiny").as("pad"))
+      hot.union(cold).write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000).partitionBy("k").parquet(base + "/frag")
+      val hotBytes = Compact.partitionBytes(spark, base + "/frag")("k=hot")
+      val target = hotBytes / 4 // expect ~4 files for the hot partition
+      val out = Compact.rewrite(spark, base + "/frag", base + "/out",
+        targetFileBytes = target, partitionCols = Seq("k"))
+      val hotFiles = Compact.parquetFiles(spark, base + "/out")
+        .filter(_.getPath.toString.contains("k=hot"))
+      val coldFiles = Compact.parquetFiles(spark, base + "/out")
+        .filter(_.getPath.toString.contains("k=cold"))
+      assert(hotFiles.size >= 3 && hotFiles.size <= 8,
+        s"hot partition should split into ~4 files, got ${hotFiles.size}")
+      assert(coldFiles.size == 1, s"cold partition should stay one file, got ${coldFiles.size}")
+      // lossless, layout kept
+      assert(out.count() == 50100)
+      assert(out.filter(col("k") === "hot").count() == 50000)
     } finally {
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
