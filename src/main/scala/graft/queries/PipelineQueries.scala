@@ -881,8 +881,26 @@ object PipelineQueries {
             round(graft.functions.char_entropy(col("text")), 6).as("entropy"))
           .orderBy("doc_id")),
 
-    // Document fingerprints: whole-doc xxhash64 + winnowing set size.
-    Q("q_fingerprint", None,
+    // Document fingerprint, ORACLED: a 56-bit md5 digest both engines can
+    // compute byte-identically (same construction as Checksum.rowDigest).
+    // The xxhash-based fingerprint64 + winnow set live in q_winnow
+    // (rows-only: no xxhash64 in DuckDB), spec-bounded in PropertySpec /
+    // TextAnalysisSpec.
+    Q("q_fingerprint",
+      Some("""SELECT doc_id,
+             |  CAST(CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS BIGINT) AS fp56
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            conv(substring(md5(col("text")), 1, 14), 16, 10)
+              .cast("long").as("fp56"))
+          .orderBy("doc_id")),
+
+    // Whole-doc xxhash64 + winnowing fingerprint-set size (Schleimer et
+    // al., SIGMOD'03). Rows-only: xxhash64 has no DuckDB counterpart;
+    // determinism and selection properties are spec-pinned instead.
+    Q("q_winnow", None,
       (s, d) =>
         t(s, d, "documents")
           .select(col("doc_id"),
@@ -1042,7 +1060,45 @@ object PipelineQueries {
       }),
 
     // Frame sampling over binary payloads (every 2nd 64-byte frame).
-    Q("q_frames", None,
+    // ORACLED including the FNV-1a-64 frame checksum: DuckDB re-derives it
+    // with a recursive CTE over the hex-encoded payload — per-byte
+    // xor-then-multiply in HUGEINT, folded mod 2^64 (the wrap Scala's Long
+    // multiply applies implicitly), sign-adjusted at the end. Recursion
+    // depth = frame size (64), width = kept frames, so the oracle is
+    // O(total kept bytes).
+    Q("q_frames",
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |f0 AS (
+             |  SELECT doc_id, hx, n,
+             |         unnest(generate_series(0,
+             |           CAST(GREATEST(CEIL(n / 64.0), 1) AS INT) - 1, 2)) AS g
+             |  FROM d),
+             |f AS (
+             |  SELECT doc_id, CAST(g AS INT) AS frame_idx, hx,
+             |         CAST(g AS INT) * 64 AS start,
+             |         LEAST(CAST(g AS INT) * 64 + 64, n) AS stop
+             |  FROM f0),
+             |h(doc_id, frame_idx, hx, stop, pos, acc) AS (
+             |  SELECT doc_id, frame_idx, hx, stop, start,
+             |         CAST(1469598103934665603 AS HUGEINT)
+             |  FROM f
+             |  UNION ALL
+             |  SELECT doc_id, frame_idx, hx, stop, pos + 1,
+             |         ((acc - (acc % 256)
+             |           + CAST(xor(CAST(acc % 256 AS BIGINT),
+             |                      CAST('0x' || substr(hx, 2 * pos + 1, 2) AS BIGINT)) AS HUGEINT))
+             |          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+             |  FROM h WHERE pos < stop)
+             |SELECT doc_id, frame_idx,
+             |  CAST(stop - frame_idx * 64 AS BIGINT) AS frame_bytes,
+             |  CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+             |            THEN acc - CAST('18446744073709551616' AS HUGEINT)
+             |            ELSE acc END AS BIGINT) AS checksum
+             |FROM h WHERE pos = stop
+             |ORDER BY doc_id, frame_idx""".stripMargin),
       (s, d) =>
         Multimodal.sampleFrames(
             Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),

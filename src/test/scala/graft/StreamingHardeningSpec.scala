@@ -89,4 +89,72 @@ class StreamingHardeningSpec extends SparkTestBase {
     } finally q.stop()
     assert(spark.read.parquet(s"$outDir/batch=0").count() == 2)
   }
+
+  test("chaos: query dies mid-batch (after write, before commit), restart is exactly-once over RocksDB state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chaos")
+      .toFile.getAbsolutePath
+    val ckpt = s"$dir/ckpt"; val outDir = s"$dir/out"
+    val mem = MemoryStream[Ev]
+    // The sink crashes the whole QUERY on the chosen batch at the worst
+    // moment: after the data write, before the commit marker — exactly a
+    // process kill mid-sink. The stateful agg keeps running counts in
+    // RocksDB, so the restart must ALSO recover state at the right version
+    // (a re-aggregation from zero or a double-count both change the
+    // numbers and fail the assertion).
+    @volatile var killOnBatch: Long = -1L
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      if (!IdempotentSink.committed(outDir, id)) {
+        df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        if (id == killOnBatch) {
+          killOnBatch = -1L
+          throw new RuntimeException(s"chaos: killed mid-batch $id")
+        }
+        val marker = new java.io.File(s"$outDir/_graft_commits/$id")
+        marker.getParentFile.mkdirs()
+        marker.createNewFile(): Unit
+      }
+    def start() = mem.toDF()
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink _)
+      .start()
+    try {
+      val q1 = start()
+      mem.addData(Ev(ts(0), 1, "a", 1.0), Ev(ts(1), 2, "b", 2.0))
+      q1.processAllAvailable() // batch 0 commits clean
+      assert(IdempotentSink.committed(outDir, 0L))
+      killOnBatch = 1L
+      mem.addData(Ev(ts(2), 1, "a", 10.0), Ev(ts(3), 3, "c", 30.0))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(!q1.isActive, "query should be dead after the mid-batch kill")
+      assert(!IdempotentSink.committed(outDir, 1L),
+        "crash landed after the marker — the chaos point moved")
+      // restart from the same checkpoint: batch 1 replays, the overwrite
+      // erases the orphaned data files, and the marker finally commits
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(IdempotentSink.committed(outDir, 1L))
+      val batch1 = spark.read.parquet(s"$outDir/batch=1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // cumulative counts prove state version recovery: user 1 carries its
+      // batch-0 row (n=2, sv=11.0); user 3 is new (n=1, sv=30.0); user 2
+      // unchanged in batch 1 -> not re-emitted under update mode
+      assert(batch1 == Set((1L, 2L, 11.0), (3L, 1L, 30.0)),
+        s"batch-1 replay diverged: $batch1")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
