@@ -69,4 +69,29 @@ object Mixture {
       .map(r => r.getString(0) -> math.min(1.0, r.getDouble(1))).toMap
     df.stat.sampleBy(sourceCol, fr, seed)
   }
+
+  /** Content-hash train/valid/test split: bucket = md5(id) mod 1000,
+    * cut by cumulative per-mille weights. Unlike seeded `randomSplit`,
+    * the assignment is a pure function of the row's id — stable across
+    * engines, runs, partitionings and row order, which is what a
+    * production pipeline needs for a split that must never leak when
+    * the corpus is re-processed (and what makes it DuckDB-oracle-able:
+    * both engines compute the identical md5 bucket). Weights must sum
+    * to ~1; each row lands in exactly one split.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 1000)
+    }.tail
+    val expr = splits.map(_._1).zip(cuts).foldRight(lit(splits.last._1)) {
+      case ((name, cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -221,6 +221,22 @@ object TextAnalysis {
     s"($alpha * ${d("0.3")} + $lenOk * ${d("0.2")} + $diverse * ${d("0.2")} + $stopOk * ${d("0.3")})"
   }
 
+  /** The SAME language prediction as [[langId]] in DuckDB SQL (for
+    * oracles): struct max over per-language (score, prio, lang), score =
+    * |tokens ∩ stopwords| — DuckDB compares structs field-by-field
+    * exactly like Spark's array_max over structs.
+    */
+  def langIdSql(textCol: String): String = {
+    val toks = s"string_split_regex(lower($textCol), '[\\s\\x0b]+')"
+    val structs = stopwords.zipWithIndex.map { case ((lang, words), idx) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': CAST(len(list_intersect($toks, $lst)) AS INT), " +
+        s"'prio': ${stopwords.length - idx}, 'lang': '$lang'}"
+    }
+    val best = structs.mkString("list_aggregate([", ", ", "], 'max')")
+    s"(CASE WHEN ($best).score > 0 THEN ($best).lang ELSE 'und' END)"
+  }
+
   /** Overlapping token-window chunking — the standard context-window prep
     * for LLM training: windows of `chunkTokens` every `strideTokens`. A
     * per-row explode over a bounded index sequence (no UDF, no shuffle);

@@ -447,8 +447,15 @@ object PipelineQueries {
         flags.unionAll(lines).orderBy("column", "item")
       }),
 
-    // Language id + quality score — heuristic internals, rows-only.
-    Q("q_text_quality", None,
+    // Language id + quality score. ORACLED: DuckDB mirrors both heuristics
+    // exactly — langId as a struct max over per-language stopword-overlap
+    // scores, quality as the shared IEEE-ordered formula (qualityScoreSql).
+    Q("q_text_quality", {
+      Some(s"""SELECT doc_id, lang,
+              |  ${TextAnalysis.langIdSql("text")} AS pred_lang,
+              |  round(${TextAnalysis.qualityScoreSql("text")}, 6) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
       (s, d) => {
         val toks = TextAnalysis.tokens(col("text"))
         t(s, d, "documents")
@@ -1046,6 +1053,27 @@ object PipelineQueries {
             Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.10), 42L)
           .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
           .orderBy("l_returnflag")),
+
+    // Content-hash train/valid/test split — assignment is a pure function
+    // of doc_id (md5 bucket mod 1000), so it is stable across engines,
+    // runs and partitionings: the split a production corpus needs to
+    // avoid leakage on re-processing. ORACLED on counts AND membership
+    // (sum of ids per split).
+    Q("q_hash_split",
+      Some("""WITH s AS (SELECT doc_id,
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS b
+             |FROM documents)
+             |SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+             |            ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM s GROUP BY 1 ORDER BY split""".stripMargin),
+      (s, d) =>
+        Mixture.hashSplit(t(s, d, "documents"), "doc_id",
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+          .orderBy("split")),
 
     // Seeded train/validation/test split — per-split counts.
     Q("q_train_test_split", None,

@@ -57,4 +57,30 @@ class MixtureSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(again == out.map(_.getLong(0)).toSet)
   }
+
+  test("hashSplit: total partition, near-target proportions, repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sf, "documents")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Mixture.hashSplit(docs, "doc_id", splits)
+    val n = docs.count()
+    // every row lands in exactly one split
+    assert(out.count() == n)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet.subsetOf(Set("train", "valid", "test")))
+    // proportions within a loose md5-uniformity band
+    assert(math.abs(byName.getOrElse("train", 0L).toDouble / n - 0.8) < 0.1,
+      s"train share drifted: $byName")
+    // assignment is a pure function of the id: any repartitioning/order
+    // yields the identical membership
+    val a = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixture.hashSplit(docs.repartition(13), "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Mixture.hashSplit(docs, "doc_id", Seq("a" -> 0.5)))
+  }
 }
