@@ -471,4 +471,88 @@ object Dedup {
       .select(col("v").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document duplicated-token spans — the ExactSubstr shape from
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL '22), at word-k-gram granularity: a token is *duplicated*
+    * when some k-gram covering it also occurs in at least `minDocs`
+    * distinct documents; maximal runs of duplicated tokens are reported
+    * as (id, span_start, span_end, span_tokens), token positions
+    * 0-based inclusive.
+    *
+    * Scale shape: documents explode to (id, pos, gramHash) — the shuffle
+    * carries 8-byte rolling-poly hashes ([[Decontaminate.ngramHashes]]),
+    * never text, and is keyed by the (uniform) hash. The ≥ minDocs test
+    * is distinct-(hash, id) then a partial-aggregable count — no
+    * count-distinct Expand. Hit positions come from one hash equi-join;
+    * the island merge is a window partitioned BY DOCUMENT (never global).
+    * Gram starts within k-1 of each other produce overlapping token
+    * ranges, so islands break only at gaps ≥ k — the output is exactly
+    * the union of the duplicated grams' token intervals.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("__id"),
+      posexplode(Decontaminate.ngramHashes(col(textCol), k)).as(Seq("pos", "g")))
+    val dup = grams.select("g", "__id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("g")
+    val hits = grams.join(dup, "g").select("__id", "pos")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val islands = hits
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= k - 1, lit(0)).otherwise(lit(1)))
+      .withColumn("__isl", sum("__new").over(w))
+    islands.groupBy(col("__id"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Segment-level exact dedup with document reassembly — the line/
+    * paragraph dedup of the C4 / RefinedWeb pipelines, over fixed
+    * `segTokens`-token windows (this corpus has no line structure; real
+    * corpora pass their own segmentation). Corpus-wide first occurrence
+    * of each distinct segment survives (first = smallest (id, seg_idx));
+    * every later copy is cut, and each document is rebuilt from its
+    * surviving segments in order. Returns (id, clean_text, n_segs) for
+    * documents with ≥1 surviving segment.
+    *
+    * Scale shape: segments shuffle as md5 digests + (id, idx) pairs —
+    * never more than one segment's text per row, and the winner-per-
+    * digest is one partial-aggregable min(struct) (no window over the
+    * digest key). Reassembly groups by document: collect_list is bounded
+    * by the document's own segment count — the per-doc batch shape, not
+    * a driver materialization.
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val toked = docs.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__t"))
+    val segs = toked
+      .filter(size(col("__t")) > 0)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("__t")) - 1) / segTokens).cast("int")),
+        i => concat_ws(" ", slice(col("__t"), i * segTokens + 1, lit(segTokens)))
+      )).as(Seq("seg_idx", "seg")))
+      .filter(col("seg") =!= "")
+      .withColumn("d", md5(col("seg")))
+    val winners = segs.groupBy("d")
+      .agg(min(struct(col("__id"), col("seg_idx"))).as("w"))
+      .select(col("d").as("__wd"), col("w.__id").as("__wid"),
+        col("w.seg_idx").as("__widx"))
+    val kept = segs.join(winners,
+      col("d") === col("__wd") && col("__id") === col("__wid") &&
+        col("seg_idx") === col("__widx"))
+    kept.groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_segs"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_segs"))
+  }
 }

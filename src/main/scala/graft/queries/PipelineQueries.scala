@@ -140,6 +140,66 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Cross-document duplicated-token spans (ExactSubstr shape, Lee et
+    // al. ACL '22): tokens covered by a word-13-gram occurring in >= 2
+    // distinct docs, merged into maximal spans. Spark joins on 8-byte
+    // rolling-poly gram hashes; the oracle re-derives the same spans from
+    // the gram STRINGS — a hash collision would break the hash match, so
+    // the oracle also pins collision-freeness at this scale.
+    Q("q_dup_spans",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest([{'p': i-1, 'g': array_to_string(list_slice(t, i, i+12), ' ')}
+             |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS gr
+             |  FROM toks WHERE len(t) >= 13),
+             |g2 AS (SELECT doc_id, CAST(gr.p AS BIGINT) AS pos, gr.g AS g FROM grams),
+             |dup AS (SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |flags AS (SELECT doc_id, pos,
+             |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+             |         THEN 0 ELSE 1 END AS brk
+             |  FROM g2 WHERE g IN (SELECT g FROM dup)),
+             |isl AS (SELECT doc_id, pos,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                   ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM flags)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 12 AS span_end,
+             |  max(pos) + 12 - min(pos) + 1 AS span_tokens
+             |FROM isl GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin),
+      (s, d) =>
+        Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+            k = 13, minDocs = 2)
+          .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+            col("span_end").cast("long").as("span_end"),
+            col("span_tokens").cast("long").as("span_tokens"))
+          .orderBy("doc_id", "span_start")),
+
+    // Segment-level exact dedup + document reassembly (the line dedup of
+    // C4/RefinedWeb, over fixed 10-token windows on this line-less
+    // corpus): corpus-wide first occurrence of each distinct segment
+    // survives, later copies are cut, docs are rebuilt from surviving
+    // segments in order.
+    Q("q_dedup_segments",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |segs AS (SELECT doc_id,
+             |    unnest([{'i': i, 's': array_to_string(list_slice(t, i*10+1, i*10+10), ' ')}
+             |            FOR i IN range(0, (len(t)+9)//10)]) AS sg
+             |  FROM toks WHERE len(t) > 0),
+             |f AS (SELECT doc_id, CAST(sg.i AS BIGINT) AS seg_idx, sg.s AS s
+             |  FROM segs WHERE sg.s <> ''),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY md5(s)
+             |        ORDER BY doc_id, seg_idx) AS rn FROM f)
+             |SELECT doc_id, string_agg(s, ' ' ORDER BY seg_idx) AS clean_text,
+             |  count(*) AS n_segs
+             |FROM w WHERE rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Dedup.dedupSegments(t(s, d, "documents"), "doc_id", "text",
+            segTokens = 10)
+          .orderBy("doc_id")),
+
     // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
     // band the LSH query's threshold excludes). Bounded to doc_id < 1000:
     // the O(n^2) form is the verification baseline, not the scale path —

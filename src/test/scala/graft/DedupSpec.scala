@@ -343,4 +343,57 @@ class DedupSpec extends SparkTestBase {
       graft.operators.Dedup.resolveClusters(chain, "id_a", "id_b", maxIter = 1)
         .collect())
   }
+
+  test("duplicateSpans finds the shared run and nothing else") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 shared tokens
+    val df = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(df, "id", "text", k = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1: shared run occupies tokens 2..7; its 4-grams fully inside the
+    // run are starts 2,3,4 -> covered tokens 2..7. doc 2: starts 1,2,3 ->
+    // tokens 1..6. doc 3: nothing repeats.
+    assert(spans == Set((1L, 2, 7), (2L, 1, 6)))
+  }
+
+  test("duplicateSpans merges overlapping gram intervals, splits at gap >= k") {
+    import spark.implicits._
+    val runA = (1 to 4).map(i => s"x$i").mkString(" ")
+    val runB = (1 to 4).map(i => s"y$i").mkString(" ")
+    // doc1 carries both runs separated by k unique tokens -> two islands
+    val df = Seq(
+      (1L, s"$runA f1 f2 f3 f4 $runB"),
+      (2L, runA), (3L, runB)).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(df, "id", "text", k = 4, minDocs = 2)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((0, 3), (8, 11)))
+  }
+
+  test("dedupSegments keeps first occurrence and reassembles in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), // segs (k=2): "a b", "c d"
+      (2L, "c d e f"), // "c d" already seen -> only "e f" survives
+      (3L, "a b")      // fully duplicated -> doc vanishes
+    ).toDF("id", "text")
+    val out = Dedup.dedupSegments(df, "id", "text", segTokens = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a b c d", 2L), (2L, "e f", 1L)))
+  }
+
+  test("dedupSegments is lossless on a duplicate-free corpus") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, (1 to 25).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val out = Dedup.dedupSegments(df, "id", "text", segTokens = 10)
+    assert(out.count() == 20)
+    val joined = out.join(df, "id")
+      .filter(col("clean_text") =!= col("text")).count()
+    assert(joined == 0)
+  }
 }
