@@ -200,6 +200,43 @@ object PipelineQueries {
             segTokens = 10)
           .orderBy("doc_id")),
 
+    // URL-canonicalization dedup — the first dedup pass of a web-crawl
+    // pipeline. The corpus has no URLs, so representative ones are
+    // synthesized deterministically per doc_id (the q_redact pattern):
+    // mixed-case scheme/host, utm_* tracking params, a fragment. Spark
+    // canonicalizes via the codegen'd parse_url builtin; the oracle
+    // mirrors with regexes over the same synthesized string.
+    Q("q_url_dedup",
+      Some("""WITH urls AS (SELECT doc_id,
+             |    'https://WWW.host' || (doc_id%7) || '.Example.COM/Path/' || (doc_id%50) ||
+             |    '?utm_source=feed&utm_campaign=c' || (doc_id%3) || '&id=' || (doc_id%25) ||
+             |    '#Sec' || doc_id AS url
+             |  FROM documents),
+             |parts AS (SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS q
+             |  FROM urls),
+             |canon AS (SELECT doc_id,
+             |    scheme || '://' || host || path ||
+             |    CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END
+             |      AS canon_url
+             |  FROM (SELECT *, list_filter(string_split(q, '&'),
+             |          p -> NOT starts_with(p, 'utm_') AND p <> '') AS kept FROM parts))
+             |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin),
+      (s, d) => {
+        val urls = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://WWW.host"), col("doc_id") % 7,
+            lit(".Example.COM/Path/"), col("doc_id") % 50,
+            lit("?utm_source=feed&utm_campaign=c"), col("doc_id") % 3,
+            lit("&id="), col("doc_id") % 25,
+            lit("#Sec"), col("doc_id")).as("url"))
+        UrlCanon.dedupByUrl(urls, "url", "doc_id").orderBy("canon_url")
+      }),
+
     // Exact all-pairs baseline at a looser threshold (picks up the 0.3-0.5
     // band the LSH query's threshold excludes). Bounded to doc_id < 1000:
     // the O(n^2) form is the verification baseline, not the scale path —
@@ -676,6 +713,30 @@ object PipelineQueries {
         "SELECT doc_id, score_micro FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20")),
       (s, d) =>
         Bm25.topK(t(s, d, "documents"), "doc_id", col("text"), bm25Terms, k = 20)),
+
+    // Doc-range-sharded inverted index (operators/Index.scala): the
+    // retrieval primitive behind BM25/TF-IDF serving. Posting lists are
+    // sharded by doc-id block (shard_idx = doc_id/100) so a hot term
+    // never concentrates on one reducer/row — the doc-partitioned layout
+    // of distributed search engines. Postings dump as CSV strings
+    // (engine-portable; array columns hash differently across engines).
+    Q("q_inverted_index",
+      Some("""WITH pairs AS (SELECT DISTINCT doc_id,
+             |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+             |  FROM documents),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+             |shards AS (SELECT term, doc_id // 100 AS shard_idx,
+             |    array_to_string(list_sort(list(doc_id)), ',') AS postings,
+             |    CAST(count(*) AS BIGINT) AS n_in_shard
+             |  FROM pairs GROUP BY term, shard_idx)
+             |SELECT s.term, CAST(s.shard_idx AS BIGINT) AS shard_idx, s.postings,
+             |  s.n_in_shard, d.df
+             |FROM shards s JOIN df d USING (term)
+             |ORDER BY term, shard_idx""".stripMargin),
+      (s, d) =>
+        Index.postingShards(t(s, d, "documents"), "doc_id", "text",
+            blockSpan = 100L)
+          .orderBy("term", "shard_idx")),
 
     // Sequence packing: assign docs to fixed 512-token training shards by
     // a running token budget per source (the T5/GPT concat-and-chunk

@@ -191,7 +191,7 @@ class PlanAuditSpec extends SparkTestBase {
       case w: WindowExec => w +: (w.children ++ w.subqueries).flatMap(windows)
       case other => (other.children ++ other.subqueries).flatMap(windows)
     }
-    Seq("q_window_analytics", "q_pack_global").foreach { q =>
+    Seq("q_window_analytics", "q_pack_global", "q_dup_spans").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val ws = windows(plan)
       assert(ws.nonEmpty, s"expected a chunk-partitioned window in $q")

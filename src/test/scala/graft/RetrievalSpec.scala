@@ -139,4 +139,40 @@ class RetrievalSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept4 == Set(1L, 2L), s"false 4-gram contamination: kept $kept4")
   }
+
+  test("inverted index: shards bounded by block, df spans shards, postings sorted") {
+    import spark.implicits._
+    import graft.operators.Index
+    // "hot" appears in every doc across two id blocks; "only7" in doc 7
+    val docs = (0L to 14L).map(i =>
+      (i, if (i == 7) "hot only7" else s"hot w$i")).toDF("id", "text")
+    val out = Index.postingShards(docs, "id", "text", blockSpan = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val hot = out.filter(_._1 == "hot").sortBy(_._2)
+    assert(hot.map(_._2).toSeq == Seq(0L, 1L)) // two id blocks
+    assert(hot.head._3 == (0L to 9L).mkString(","))
+    assert(hot(1)._3 == (10L to 14L).mkString(","))
+    assert(hot.forall(_._5 == 15L)) // df is corpus-wide on every shard row
+    val only7 = out.filter(_._1 == "only7")
+    assert(only7.toSeq == Seq(("only7", 0L, "7", 1L, 1L)))
+  }
+
+  test("url canonicalization: case, fragment, and utm params normalized away") {
+    import spark.implicits._
+    import graft.operators.UrlCanon
+    val urls = Seq(
+      (1L, "https://WWW.Site.COM/A/b?utm_source=x&id=9#frag"),
+      (2L, "https://www.site.com/A/b?id=9"),
+      (3L, "HTTPS://www.site.com/A/b?utm_campaign=c&id=9#other"),
+      (4L, "https://www.site.com/a/B?id=9"), // path case differs -> distinct
+      (5L, "https://www.site.com/plain")     // no query at all
+    ).toDF("id", "url")
+    val out = UrlCanon.dedupByUrl(urls, "url", "id").orderBy("canon_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("https://www.site.com/A/b?id=9", 1L, 3L),
+      ("https://www.site.com/a/B?id=9", 4L, 1L),
+      ("https://www.site.com/plain", 5L, 1L)))
+  }
 }
