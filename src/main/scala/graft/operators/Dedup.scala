@@ -512,6 +512,48 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The removal half of [[duplicateSpans]] — ExactSubstr dedup proper
+    * (Lee et al., ACL '22): every duplicated k-gram has an OWNER (the
+    * smallest doc id containing it); every token covered by a duplicated
+    * gram owned by ANOTHER doc is cut, so the owner's copy of each
+    * duplicated run survives corpus-wide and later copies don't. Documents are rebuilt from their surviving
+    * tokens (in the tokenizer's canonical lowercase form); a fully-cut
+    * document disappears. Returns (id, clean_text, n_toks).
+    *
+    * Scale shape: everything is keyed by gram hash or by (id, pos) —
+    * owner resolution is one partial-aggregable min per gram; cut
+    * positions explode at most k rows per losing gram occurrence
+    * (bounded by k × duplicated-gram hits, not by corpus size); the
+    * anti-join and reassembly shuffle (id, pos, token) triples, and
+    * collect_list is bounded per document.
+    */
+  def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol).as("__id"),
+      posexplode(Decontaminate.ngramHashes(col(textCol), k)).as(Seq("pos", "g")))
+    val owners = grams.select("g", "__id").distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("__nd"), min(col("__id")).as("__owner"))
+      .filter(col("__nd") >= minDocs)
+      .select("g", "__owner")
+    val cutPos = grams.join(owners, "g")
+      .filter(col("__id") =!= col("__owner"))
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        .as(Seq("pos", "tok")))
+    toks.join(cutPos, Seq("__id", "pos"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_toks"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_toks"))
+  }
+
   /** Segment-level exact dedup with document reassembly — the line/
     * paragraph dedup of the C4 / RefinedWeb pipelines, over fixed
     * `segTokens`-token windows (this corpus has no line structure; real

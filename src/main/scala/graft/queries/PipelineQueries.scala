@@ -176,6 +176,36 @@ object PipelineQueries {
             col("span_tokens").cast("long").as("span_tokens"))
           .orderBy("doc_id", "span_start")),
 
+    // ExactSubstr dedup proper — the removal half of q_dup_spans: each
+    // duplicated 13-gram's OWNER (smallest doc id containing it) keeps
+    // its copy; tokens in other docs covered by that gram are cut and
+    // documents are rebuilt from their surviving tokens.
+    Q("q_cut_dup_spans",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest([{'p': i-1, 'g': array_to_string(list_slice(t, i, i+12), ' ')}
+             |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS gr
+             |  FROM toks WHERE len(t) >= 13),
+             |g2 AS (SELECT doc_id, CAST(gr.p AS BIGINT) AS pos, gr.g AS g FROM grams),
+             |owners AS (SELECT g, min(doc_id) AS owner FROM g2
+             |  GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |cut AS (SELECT DISTINCT g2.doc_id, unnest(range(pos, pos+13)) AS cpos
+             |  FROM g2 JOIN owners USING (g) WHERE g2.doc_id <> owners.owner),
+             |tp AS (SELECT doc_id, unnest(t) AS tok,
+             |    unnest(range(len(t))) AS pos FROM toks),
+             |kept AS (SELECT tp.* FROM tp
+             |  WHERE NOT EXISTS (SELECT 1 FROM cut
+             |    WHERE cut.doc_id = tp.doc_id AND cut.cpos = tp.pos))
+             |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             |  CAST(count(*) AS BIGINT) AS n_toks
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Dedup.cutDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+            k = 13, minDocs = 2)
+          .orderBy("doc_id")),
+
     // Segment-level exact dedup + document reassembly (the line dedup of
     // C4/RefinedWeb, over fixed 10-token windows on this line-less
     // corpus): corpus-wide first occurrence of each distinct segment

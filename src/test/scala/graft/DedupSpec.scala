@@ -373,6 +373,31 @@ class DedupSpec extends SparkTestBase {
     assert(spans == Set((0, 3), (8, 11)))
   }
 
+  test("cutDuplicateSpans keeps the owner's copy, cuts later docs, drops fully-cut docs") {
+    import spark.implicits._
+    val run = (1 to 4).map(i => s"dup$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 $run a3"), // owner of the run -> untouched
+      (2L, s"b1 $run b2"),    // run cut -> "b1 b2"
+      (3L, run)               // nothing but the run -> vanishes
+    ).toDF("id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "id", "text", k = 4, minDocs = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, s"a1 a2 $run a3", 7L),
+      (2L, "b1 b2", 2L)))
+  }
+
+  test("cutDuplicateSpans is identity on a duplicate-free corpus") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i =>
+      (i, (1 to 20).map(j => s"u${i}_$j").mkString(" "))).toDF("id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "id", "text", k = 4)
+    assert(out.count() == 10)
+    assert(out.join(df, "id").filter(col("clean_text") =!= col("text")).count() == 0)
+  }
+
   test("dedupSegments keeps first occurrence and reassembles in order") {
     import spark.implicits._
     val df = Seq(
