@@ -265,4 +265,32 @@ object TextAnalysis {
       .withColumn("n_unique_tokens", size(array_distinct(toksC)).cast("long"))
       .withColumn("tok_est", tokenEstimate(col(textCol)).cast("long"))
   }
+
+  /** Hashed bag-of-words linear scoring — the fastText-classifier shape of
+    * the CCNet/RedPajama quality filters, as ONE per-row expression chain:
+    * token → hashing-trick bucket (first 8 md5 hex chars mod `buckets`,
+    * the engine-portable [[Mixture.hashSplit]] idiom) → integer-micro
+    * weight → per-document sum via a HOF fold. No explode, no shuffle, no
+    * UDF — the score rides the scan stage, which is what lets a learned
+    * quality gate run over 100 TB as a filter pushed against the read.
+    *
+    * The weight table is a pure function of the bucket id (`w(b) =
+    * (b·2654435761) mod 1997 − 998` micro-units) so the pipeline shape is
+    * testable without shipping a model; a real deployment swaps in learned
+    * weights via a 256-entry broadcast map or a `CASE` expression — same
+    * plan either way.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    val toksC = filter(tokens(col(textCol)), t => t =!= "")
+    val weightOf: Column => Column = b =>
+      pmod(b * lit(2654435761L), lit(1997L)) - lit(998L)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val scoreMicro = aggregate(
+      transform(toksC, t => weightOf(bucketOf(t))),
+      lit(0L), (acc, x) => acc + x)
+    df.select(col(idCol), scoreMicro.as("score_micro"),
+      size(toksC).cast("long").as("n_toks"))
+  }
 }

@@ -694,6 +694,26 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Hashed bag-of-words linear scoring — the fastText-classifier shape
+    // of the CCNet/RedPajama quality filters as one per-row expression
+    // chain (token -> md5 hashing-trick bucket -> integer-micro weight ->
+    // HOF fold). No explode, no shuffle; the weight table is a pure
+    // function of the bucket id so both engines recompute it exactly.
+    Q("q_linear_score",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(coalesce(list_sum(
+             |    [(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 256) * 2654435761 % 1997 - 998
+             |     FOR x IN t]), 0) AS BIGINT) AS score_micro,
+             |  CAST(len(t) AS BIGINT) AS n_toks
+             |FROM toks ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
+            buckets = 256)
+          .orderBy("doc_id")),
+
     // Benchmark decontamination: drop corpus docs sharing any word 13-gram
     // with the benchmark set (src0 stands in for an eval suite) — the
     // GPT-3/PaLM decontamination rule. Spark joins on xxhash64(gram)

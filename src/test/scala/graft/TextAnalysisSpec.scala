@@ -288,4 +288,30 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(dist == fast)
   }
+
+  test("hashedLinearScore matches a hand-rolled md5-bucket scorer") {
+    import spark.implicits._
+    val df = Seq((1L, "Alpha beta gamma"), (2L, "beta beta"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(df, "doc_id", "text", buckets = 256)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(t: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 256
+      b * 2654435761L % 1997L - 998L
+    }
+    def score(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(weight).sum
+    val want = Seq(
+      (1L, score("Alpha beta gamma"), 3L),
+      (2L, score("beta beta"), 2L),
+      (3L, score("x"), 1L))
+    assert(got == want)
+    // repeated token contributes twice; case is folded before hashing
+    assert(got(1)._2 == 2 * weight("beta"))
+  }
 }
