@@ -493,8 +493,13 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 13, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The gram table feeds two consumers (the >= minDocs derivation and
+    // the hit join); persist it so tokenize+hash runs once — at 100 TB
+    // this intermediate is (id, pos, hash8) triples, ~2% of corpus bytes,
+    // and spills to disk (the q_quality_filter pattern).
     val grams = docs.select(col(idCol).as("__id"),
       posexplode(Decontaminate.ngramHashes(col(textCol), k)).as(Seq("pos", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.select("g", "__id").distinct()
       .groupBy("g").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -520,31 +525,48 @@ object Dedup {
     * tokens (in the tokenizer's canonical lowercase form); a fully-cut
     * document disappears. Returns (id, clean_text, n_toks).
     *
-    * Scale shape: everything is keyed by gram hash or by (id, pos) —
-    * owner resolution is one partial-aggregable min per gram; cut
-    * positions explode at most k rows per losing gram occurrence
-    * (bounded by k × duplicated-gram hits, not by corpus size); the
-    * anti-join and reassembly shuffle (id, pos, token) triples, and
-    * collect_list is bounded per document.
+    * Scale shape: everything is keyed by gram hash or by document —
+    * owner resolution is one partial-aggregable min per gram; losing
+    * gram STARTS (never the k-wide position sets) merge into covered
+    * intervals with the [[duplicateSpans]] per-document island window,
+    * collapse to one small interval list per document, and tokens are
+    * filtered by a per-row HOF against that list — no position-level
+    * explode, no k× row blow-up; reassembly's collect_list is bounded
+    * per document.
     */
   def cutDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 13, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Shared by owner resolution and the losing-occurrence join — persist
+    // so tokenize+hash runs once (see [[duplicateSpans]]).
     val grams = docs.select(col(idCol).as("__id"),
       posexplode(Decontaminate.ngramHashes(col(textCol), k)).as(Seq("pos", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val owners = grams.select("g", "__id").distinct()
       .groupBy("g")
       .agg(count(lit(1)).as("__nd"), min(col("__id")).as("__owner"))
       .filter(col("__nd") >= minDocs)
       .select("g", "__owner")
-    val cutPos = grams.join(owners, "g")
+    // losing gram starts -> merged covered intervals (gap < k overlaps)
+    val losers = grams.join(owners, "g")
       .filter(col("__id") =!= col("__owner"))
-      .select(col("__id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
-      .distinct()
+      .select("__id", "pos")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val cutIvs = losers
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= k - 1, lit(0)).otherwise(lit(1)))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("pos").as("__s"), (max("pos") + lit(k - 1)).as("__e"))
+      .groupBy("__id")
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__ivs"))
     val toks = docs.select(col(idCol).as("__id"),
       posexplode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
         .as(Seq("pos", "tok")))
-    toks.join(cutPos, Seq("__id", "pos"), "left_anti")
+    toks.join(cutIvs, Seq("__id"), "left")
+      .filter(col("__ivs").isNull ||
+        !exists(col("__ivs"),
+          iv => col("pos") >= iv("__s") && col("pos") <= iv("__e")))
       .groupBy("__id")
       .agg(
         array_join(transform(
@@ -582,6 +604,8 @@ object Dedup {
       )).as(Seq("seg_idx", "seg")))
       .filter(col("seg") =!= "")
       .withColumn("d", md5(col("seg")))
+      // two consumers (winner derivation + keep join): segment once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val winners = segs.groupBy("d")
       .agg(min(struct(col("__id"), col("seg_idx"))).as("w"))
       .select(col("d").as("__wd"), col("w.__id").as("__wid"),
