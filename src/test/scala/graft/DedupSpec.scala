@@ -421,4 +421,124 @@ class DedupSpec extends SparkTestBase {
       .filter(col("clean_text") =!= col("text")).count()
     assert(joined == 0)
   }
+
+  // ---- differential properties: gram ops vs brute-force references ----
+  // Seeded random corpora over a 5-symbol vocabulary: duplicate grams are
+  // dense, planted shared runs force cross-doc spans, zero-length docs
+  // and whole-doc copies exercise the vanish paths. The references work
+  // on token tuples (no hashing), so agreement also certifies that the
+  // 64-bit gram hashes are collision-free on these inputs.
+
+  private def tokenize(t: String): Vector[String] =
+    t.toLowerCase.split("\\s+").filterNot(_.isEmpty).toVector
+
+  private def gramDocs(toks: Map[Long, Vector[String]], k: Int) = {
+    val m = scala.collection.mutable.Map
+      .empty[Seq[String], scala.collection.mutable.Set[Long]]
+    for ((id, ts) <- toks; i <- 0 to ts.length - k)
+      m.getOrElseUpdate(ts.slice(i, i + k),
+        scala.collection.mutable.Set.empty) += id
+    m
+  }
+
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int,
+      minDocs: Int): Set[(Long, Int, Int)] = {
+    val toks = docs.map { case (id, t) => id -> tokenize(t) }.toMap
+    val dup = gramDocs(toks, k).collect {
+      case (g, ids) if ids.size >= minDocs => g
+    }.toSet
+    docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val starts = (0 to ts.length - k).filter(i => dup(ts.slice(i, i + k)))
+      // islands of starts with consecutive gaps <= k-1 (operator's rule)
+      val islands = starts.foldLeft(Vector.empty[Vector[Int]]) { (acc, s) =>
+        if (acc.nonEmpty && s - acc.last.last <= k - 1)
+          acc.init :+ (acc.last :+ s)
+        else acc :+ Vector(s)
+      }
+      islands.map(g => (id, g.head, g.last + k - 1))
+    }.toSet
+  }
+
+  private def bruteCut(docs: Seq[(Long, String)], k: Int,
+      minDocs: Int): Set[(Long, String, Long)] = {
+    val toks = docs.map { case (id, t) => id -> tokenize(t) }.toMap
+    val owners = gramDocs(toks, k).collect {
+      case (g, ids) if ids.size >= minDocs => (g, ids.min)
+    }.toMap
+    docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      val cut = Array.fill(ts.length)(false)
+      for (i <- 0 to ts.length - k)
+        owners.get(ts.slice(i, i + k)).foreach { o =>
+          if (o != id) (i until i + k).foreach(cut(_) = true)
+        }
+      val kept = ts.indices.filterNot(cut).map(ts)
+      if (kept.isEmpty) None
+      else Some((id, kept.mkString(" "), kept.length.toLong))
+    }.toSet
+  }
+
+  private def bruteSegments(docs: Seq[(Long, String)],
+      segTokens: Int): Set[(Long, String, Long)] = {
+    val occs = docs.flatMap { case (id, t) =>
+      if (t.isEmpty) Vector.empty
+      else t.split(" ", -1).toVector.grouped(segTokens).zipWithIndex
+        .map { case (c, i) => (id, i, c.mkString(" ")) }.toVector
+    }.filter(_._3.nonEmpty)
+    val winner = occs.groupBy(_._3).map { case (s, os) =>
+      s -> os.minBy(o => (o._1, o._2))
+    }
+    occs.filter(o => winner(o._3) == o).groupBy(_._1).map { case (id, os) =>
+      (id, os.sortBy(_._2).map(_._3).mkString(" "), os.length.toLong)
+    }.toSet
+  }
+
+  private def seededCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 3 + rnd.nextInt(6)
+    val run = Vector.fill(4)(s"w${rnd.nextInt(5)}")
+    (1L to n).map { id =>
+      val ts = Vector.fill(rnd.nextInt(25))(s"w${rnd.nextInt(5)}")
+      val planted =
+        if (rnd.nextBoolean()) {
+          val at = if (ts.isEmpty) 0 else rnd.nextInt(ts.length)
+          ts.take(at) ++ run ++ ts.drop(at)
+        } else ts
+      (id, planted.mkString(" "))
+    }
+  }
+
+  test("duplicateSpans matches the brute-force reference over seeded corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11, 22, 33, 44)) {
+      val docs = seededCorpus(seed)
+      val got = Dedup.duplicateSpans(docs.toDF("id", "text"), "id", "text",
+          k = 3, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == bruteSpans(docs, 3, 2), s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("cutDuplicateSpans matches the brute-force ExactSubstr reference over seeded corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11, 22, 33, 44)) {
+      val docs = seededCorpus(seed)
+      val got = Dedup.cutDuplicateSpans(docs.toDF("id", "text"), "id", "text",
+          k = 3, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == bruteCut(docs, 3, 2), s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("dedupSegments matches the brute-force first-occurrence reference over seeded corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11, 22, 33, 44)) {
+      val docs = seededCorpus(seed)
+      val got = Dedup.dedupSegments(docs.toDF("id", "text"), "id", "text",
+          segTokens = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == bruteSegments(docs, 3), s"seed=$seed docs=$docs")
+    }
+  }
 }
