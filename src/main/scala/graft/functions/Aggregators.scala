@@ -91,6 +91,29 @@ object Aggregators {
     * of the distribution head; k values per buffer regardless of input
     * size.
     */
+  /** Grouped top-k as a merge-able bounded sketch: the k largest
+    * (value, id) pairs per group, value-desc then id-asc (the id is the
+    * deterministic tie-break). Buffers hold at most k pairs regardless
+    * of group size, so partial aggregation reduces map-side and the
+    * shuffle carries ≤ k pairs per (group, map task) — grouped top-k
+    * WITHOUT the per-group window sort that would shuffle every row.
+    */
+  final class TopKPairs(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def top(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sortBy { case (v, id) => (-v, id) }.take(k)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      top(b :+ x)
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      top(a ++ b)
+    override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   final class BottomK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     override def zero: Seq[Double] = Vector.empty
     override def reduce(b: Seq[Double], x: Double): Seq[Double] =

@@ -53,6 +53,32 @@ object ScaleQueries {
           .orderBy("o_custkey")
       }),
 
+    // Grouped top-k via the merge-able TopKPairs sketch: "keep the 3
+    // longest documents per source" with bounded k-pair buffers that
+    // reduce map-side, so the shuffle carries <= k pairs per (group, map
+    // task). A window rank computes the same answer but shuffles and
+    // per-group-sorts EVERY row — this is the grouped top-k shape that
+    // survives 100 TB. Oracle = the window-rank formulation (doc_id is
+    // the deterministic tie-break on both sides).
+    Q("q_topk_grouped",
+      Some("""SELECT source, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) WHERE rn <= 3
+             |ORDER BY source, doc_id, n_chars""".stripMargin),
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopKPairs(3))
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(topk(col("n_chars").cast("long"), col("doc_id").cast("long"))
+            .as("tk"))
+          .select(col("source"), explode(col("tk")).as("p"))
+          .select(col("source"), col("p._2").as("doc_id"),
+            col("p._1").as("n_chars"))
+          .orderBy("source", "doc_id", "n_chars")
+      }),
+
     // TF-IDF scoring of the corpus against a fixed term set — same
     // shuffle-free shape as BM25 (per-term tf columns + one broadcast
     // stats aggregate), the pre-BM25 classic weighting.

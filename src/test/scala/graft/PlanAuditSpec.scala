@@ -275,6 +275,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"MG pass should plan partial+final object aggregates, got $stages:\n$plan")
   }
 
+  test("grouped top-k plans as partial object aggregates, never a window sort") {
+    val p = physical("q_topk_grouped")
+    assert(!p.contains("Window"),
+      s"grouped top-k must not fall back to a per-group window sort:\n$p")
+    val stages = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(stages >= 2,
+      s"TopKPairs should plan partial+final object aggregates, got $stages:\n$p")
+  }
+
   test("upsert plans as anti-join + union, no window or global sort of base") {
     val plan = physical("q_upsert")
     assert(plan.contains("LeftAnti"), s"anti-join missing:\n$plan")

@@ -63,6 +63,25 @@ class PropertySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("TopKPairs aggregator matches window rank and is partitioning-invariant") {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+    val topk = udaf(new graft.functions.Aggregators.TopKPairs(3))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("source").agg(topk(col("n_chars"), col("doc_id")).as("tk"))
+      .select(col("source"), explode(col("tk")).as("p"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getLong(1))).toSet
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val want = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1))).toSet
+    assert(run(docs) == want)
+    assert(run(docs.repartition(13)) == want, "merge must be order-insensitive")
+  }
+
   test("GeoMean aggregator is invariant to partitioning (merge correctness)") {
     import org.apache.spark.sql.functions.udaf
     val geo = udaf(graft.functions.Aggregators.GeoMean)
