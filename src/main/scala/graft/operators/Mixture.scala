@@ -70,6 +70,40 @@ object Mixture {
     df.stat.sampleBy(sourceCol, fr, seed)
   }
 
+  /** Deterministic size-proportional (PPS) systematic sampling: k stride
+    * boundaries laid over the cumulative-weight axis (row order =
+    * `orderCol`, which must be total); a row is selected iff a boundary
+    * falls inside its weight interval — `floor(cum·k/W) >
+    * floor((cum−w)·k/W)` — with multiplicity `n_strides` when a heavy
+    * row absorbs several boundaries (Σ n_strides = k). ALL arithmetic is
+    * integer (`div` on exact cumulative sums): no RNG, no floats, so the
+    * selection is bit-identical across engines, runs and partitionings
+    * while inclusion probability stays ∝ weight — the reproducible
+    * "sample k docs proportional to length/quality" a curation pipeline
+    * wants (the [[hashSplit]] philosophy applied to weighted sampling).
+    *
+    * Shape at 100 TB: the inclusive running sum is
+    * [[GlobalRank.withRunningSum]] (per-chunk cumsum + broadcast chunk
+    * offsets — never an unpartitioned window); W is one broadcast
+    * one-row aggregate. The table is scanned twice, both map-side.
+    * Returns the selected rows with `n_strides` appended.
+    */
+  def ppsSample(df: DataFrame, orderCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"stride count must be positive: $k")
+    val withW = df.withColumn("__w", col(weightCol).cast("long"))
+    val cum = GlobalRank.withRunningSum(withW, col(orderCol),
+      Seq(col(orderCol)), col("__w"), cumCol = "__cum")
+    val total = df.select(col(weightCol).cast("long").as("__tw"))
+      .agg(sum(col("__tw")).cast("long").as("__wtotal"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("__hi", expr(s"(__cum * $k) div __wtotal"))
+      .withColumn("__lo", expr(s"((__cum - __w) * $k) div __wtotal"))
+      .filter(col("__hi") > col("__lo"))
+      .withColumn("n_strides", (col("__hi") - col("__lo")).cast("long"))
+      .drop("__w", "__cum", "__wtotal", "__hi", "__lo")
+  }
+
   /** Content-hash train/valid/test split: bucket = md5(id) mod 1000,
     * cut by cumulative per-mille weights. Unlike seeded `randomSplit`,
     * the assignment is a pure function of the row's id — stable across

@@ -1246,6 +1246,33 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
           .orderBy("split")),
 
+    // Deterministic size-proportional (PPS) systematic sampling: 10 stride
+    // boundaries over the cumulative n_chars axis (doc_id order); a doc is
+    // selected iff a boundary lands in its weight interval, multiplicity
+    // n_strides when a heavy doc absorbs several. All-integer div on exact
+    // cumulative sums — no RNG, no floats — so the sample is bit-identical
+    // across engines and fully ORACLED (DuckDB // mirrors Spark div; the
+    // Spark running sum is the two-phase GlobalRank shape, the oracle's is
+    // a plain window).
+    Q("q_sample_pps",
+      Some("""WITH c AS (
+             |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             |    sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS tot
+             |  FROM documents)
+             |SELECT doc_id, w,
+             |  CAST(cum * 10 // tot - (cum - w) * 10 // tot AS BIGINT) AS n_strides
+             |FROM c WHERE cum * 10 // tot > (cum - w) * 10 // tot
+             |ORDER BY doc_id, w, n_strides""".stripMargin),
+      (s, d) =>
+        Mixture.ppsSample(
+            t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", k = 10)
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+            col("n_strides"))
+          .orderBy("doc_id", "w", "n_strides")),
+
     // Seeded train/validation/test split — per-split counts.
     Q("q_train_test_split", None,
       (s, d) => {

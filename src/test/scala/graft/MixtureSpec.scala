@@ -83,4 +83,30 @@ class MixtureSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Mixture.hashSplit(docs, "doc_id", Seq("a" -> 0.5)))
   }
+
+  test("ppsSample: strides sum to k, heavy rows absorb several, repartition-stable") {
+    import spark.implicits._
+    // one row carries half the total weight -> it must absorb ~k/2 strides
+    val df = (Seq((1L, 100L), (2L, 700L)) ++
+      (3L to 9L).map(i => (i, 100L))).toDF("id", "w")
+    val out = Mixture.ppsSample(df, "id", "w", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.values.sum == 8L, s"strides must sum to k: $out")
+    assert(out(2L) == 4L, s"the half-weight row must absorb k/2 strides: $out")
+    // brute-force check of every selected row and multiplicity
+    val rows = (Seq((1L, 100L), (2L, 700L)) ++ (3L to 9L).map(i => (i, 100L)))
+      .sortBy(_._1)
+    val W = rows.map(_._2).sum
+    var cum = 0L
+    val want = rows.flatMap { case (id, w) =>
+      val lo = cum * 8 / W; cum += w; val hi = cum * 8 / W
+      if (hi > lo) Some(id -> (hi - lo)) else None
+    }.toMap
+    assert(out == want, s"got $out want $want")
+    // purely arithmetic selection: partitioning cannot change it
+    val re = Mixture.ppsSample(df.repartition(7), "id", "w", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(re == out)
+    intercept[IllegalArgumentException](Mixture.ppsSample(df, "id", "w", 0))
+  }
 }
