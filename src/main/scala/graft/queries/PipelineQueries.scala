@@ -1246,6 +1246,34 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
           .orderBy("split")),
 
+    // Deterministic per-group k-sample: "5 pseudo-random example docs per
+    // source", stable across engines/runs/partitionings — rank by the
+    // md5-hash of the id (the q_hash_split trick) inside each group, keep
+    // the top 5 via the merge-able TopKPairs sketch (bounded buffers, no
+    // per-group window sort). Fully ORACLED against the window-rank
+    // formulation over the same hash.
+    Q("q_sample_group",
+      Some("""WITH h AS (SELECT source, doc_id,
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+             |FROM documents)
+             |SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY hv DESC, doc_id) AS rn
+             |  FROM h) WHERE rn <= 5
+             |ORDER BY source, doc_id""".stripMargin),
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopKPairs(5))
+        val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(topk(hv, col("doc_id").cast("long")).as("tk"))
+          .select(col("source"), explode(col("tk")).as("p"))
+          .select(col("source"), col("p._2").as("doc_id"))
+          .orderBy("source", "doc_id")
+      }),
+
     // Deterministic size-proportional (PPS) systematic sampling: 10 stride
     // boundaries over the cumulative n_chars axis (doc_id order); a doc is
     // selected iff a boundary lands in its weight interval, multiplicity

@@ -9,8 +9,12 @@ import graft.plans.PlanLint
   */
 class LintSpec extends SparkTestBase {
 
-  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    // other suites cache these tables; InMemoryTableScan would hide the
+    // parquet scans the scan-level rules inspect (the PlanAuditSpec rule)
+    spark.catalog.clearCache()
     PlanLint.lint(df).map(_.rule).toSet
+  }
 
   test("UNPARTITIONED_WINDOW fires on a global window, not on a keyed one") {
     import org.apache.spark.sql.expressions.Window
@@ -53,6 +57,7 @@ class LintSpec extends SparkTestBase {
   }
 
   test("BIG_BROADCAST catches a hinted broadcast over the limit") {
+    spark.catalog.clearCache()
     val li = Tables.t(spark, sf, "lineitem")
     val o = Tables.t(spark, sf, "orders")
     val joined = li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
