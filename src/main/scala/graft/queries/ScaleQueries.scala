@@ -53,6 +53,32 @@ object ScaleQueries {
           .orderBy("o_custkey")
       }),
 
+    // Key-skew diagnostics, the measurement behind the salting decision:
+    // exact hottest-key profile (partial-aggregable count, top-N lowered
+    // to TakeOrderedAndProject, integer ppm shares) ...
+    Q("q_skew_profile",
+      Some("""WITH c AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS nrows FROM lineitem)
+             |SELECT k, cnt, CAST(cnt * 1000000 // nrows AS BIGINT) AS share_ppm
+             |FROM c, t ORDER BY cnt DESC, k LIMIT 20""".stripMargin),
+      (s, d) =>
+        SkewStats.keyProfile(
+            t(s, d, "lineitem").select(col("l_suppkey").as("k")), "k", 20)),
+
+    // ... and the one-row summary whose hot_salt = ceil(max_cnt * P /
+    // n_rows) is the SkewJoin salt factor for P reducers (all-integer).
+    Q("q_skew_summary",
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1)
+             |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+             |  CAST((max(cnt) * 32 + sum(cnt) - 1) // sum(cnt) AS BIGINT) AS hot_salt
+             |FROM c""".stripMargin),
+      (s, d) =>
+        SkewStats.summary(t(s, d, "events"), "user_id", partitions = 32)),
+
     // Grouped top-k via the merge-able TopKPairs sketch: "keep the 3
     // longest documents per source" with bounded k-pair buffers that
     // reduce map-side, so the shuffle carries <= k pairs per (group, map

@@ -274,4 +274,35 @@ class ScaleOpsSpec extends SparkTestBase {
       .offset(117).limit(42).collect().map(_.getLong(0)).toSeq
     assert(page == all.slice(117, 159))
   }
+
+  // ---- skew diagnostics --------------------------------------------------
+
+  test("SkewStats: hot_salt sizes the hottest key in even-partition units") {
+    import spark.implicits._
+    import graft.operators.SkewStats
+    // 100 rows of key 1 (half the table) + 100 spread keys: with 8 even
+    // partitions the hot key fills ceil(0.5 * 8) = 4 of them
+    val df = (Seq.fill(100)(1L) ++ (2L to 101L)).toDF("k")
+    val row = SkewStats.summary(df, "k", partitions = 8).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((200L, 101L, 100L, 4L)))
+    // a uniform table needs no salt
+    val uni = (1L to 64L).toDF("k")
+    assert(SkewStats.summary(uni, "k", 8).collect()(0).getLong(3) == 1L)
+    // profile head: hottest first, exact integer ppm share
+    val head = SkewStats.keyProfile(df, "k", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(head.head == ((1L, 100L, 500000L)), s"got $head")
+    assert(head.tail.forall(_._2 == 1L) &&
+      head.tail.map(_._1) == head.tail.map(_._1).sorted,
+      s"ties must break by key: $head")
+  }
+
+  test("skew profile plans as partial count + TakeOrderedAndProject") {
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("q_skew_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"head not lowered:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
 }
