@@ -517,6 +517,31 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The curation end of [[resolveClusters]]: pick each cluster's
+    * CANONICAL member — highest quality, ties to the smallest id —
+    * instead of blindly keeping the smallest id (min-id deletion can
+    * throw away the best copy of a near-dup chain and keep a truncated
+    * one). `clusters` = (idCol, clusterCol) as produced by
+    * [[resolveClusters]]; `quality` = (qIdCol, qualityCol), one row per
+    * id. Returns (clusterCol, canonical_id, quality).
+    *
+    * Scale shape: one equi-join on the id plus ONE partial-aggregable
+    * max(struct(quality, −id)) per cluster — the arg-max never windows
+    * or sorts; ids must be numeric (the [[resolveClusters]] contract).
+    */
+  def canonicalPerCluster(clusters: DataFrame, idCol: String,
+      clusterCol: String, quality: DataFrame, qIdCol: String,
+      qualityCol: String): DataFrame = {
+    val j = clusters.select(col(idCol).as("__cid"), col(clusterCol))
+      .join(quality.select(col(qIdCol).as("__qid"), col(qualityCol)),
+        col("__cid") === col("__qid"))
+    j.groupBy(col(clusterCol))
+      .agg(max(struct(col(qualityCol).as("__q"),
+        (-col("__cid")).as("__nid"))).as("w"))
+      .select(col(clusterCol), (-col("w.__nid")).as("canonical_id"),
+        col("w.__q").as("quality"))
+  }
+
   /** The removal half of [[duplicateSpans]] — ExactSubstr dedup proper
     * (Lee et al., ACL '22): every duplicated k-gram has an OWNER (the
     * smallest doc id containing it); every token covered by a duplicated

@@ -140,6 +140,45 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Cluster-canonical selection — the curation end of near-dedup: keep
+    // each cluster's BEST copy (highest n_chars, ties to smallest id)
+    // instead of the smallest id, via one partial-aggregable
+    // max(struct(quality, -id)) per cluster (no window). Oracle re-derives
+    // the clusters with the recursive closure and arg-maxes with a window
+    // rank.
+    Q("q_dedup_canonical",
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |cl AS (SELECT v, CAST(min(r) AS BIGINT) AS cluster_rep
+              |       FROM reach GROUP BY v),
+              |j AS (SELECT cl.cluster_rep, cl.v, CAST(d.n_chars AS BIGINT) AS q
+              |      FROM cl JOIN documents d ON d.doc_id = cl.v)
+              |SELECT cluster_rep, v AS canonical_id, q AS quality FROM (
+              |  SELECT cluster_rep, v, q, row_number() OVER (
+              |    PARTITION BY cluster_rep ORDER BY q DESC, v) AS rn FROM j)
+              |WHERE rn = 1 ORDER BY cluster_rep, canonical_id, quality""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+        val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
+        Dedup.canonicalPerCluster(clusters, "v", "cluster_rep",
+            docs.select(col("doc_id"), col("n_chars").cast("long").as("q")),
+            "doc_id", "q")
+          .select(col("cluster_rep"), col("canonical_id"),
+            col("quality").as("quality"))
+          .orderBy("cluster_rep", "canonical_id", "quality")
+      }),
+
     // Cross-document duplicated-token spans (ExactSubstr shape, Lee et
     // al. ACL '22): tokens covered by a word-13-gram occurring in >= 2
     // distinct docs, merged into maximal spans. Spark joins on 8-byte

@@ -344,6 +344,20 @@ class DedupSpec extends SparkTestBase {
         .collect())
   }
 
+  test("canonicalPerCluster keeps the best-quality member, ties to smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("v", "cluster_rep")
+    val quality = Seq((1L, 10L), (2L, 90L), (3L, 90L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonicalPerCluster(clusters, "v", "cluster_rep",
+        quality, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cluster 1: ids 2 and 3 tie at q=90 -> smallest id 2 wins (NOT the
+    // min-id member 1, whose quality is lower); cluster 7: tie -> id 7
+    assert(got == Set((1L, 2L, 90L), (7L, 7L, 5L)))
+  }
+
   test("duplicateSpans finds the shared run and nothing else") {
     import spark.implicits._
     val shared = (1 to 6).map(i => s"dup$i").mkString(" ") // 6 shared tokens
