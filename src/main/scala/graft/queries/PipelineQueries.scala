@@ -394,6 +394,59 @@ object PipelineQueries {
           .orderBy("vec_id")
       }),
 
+    // Per-dimension embedding moments (VectorStats.moments): ONE
+    // constant-buffer mergeable aggregate (count + two dim-length long
+    // arrays) — the naive posexplode+groupBy(dim) alternative multiplies
+    // the row count by dim and shuffles all of it; here nothing shuffles
+    // but the buffers. Exact integer micro-units (floor, never round) so
+    // the oracle — which DOES unnest, affordable in DuckDB at oracle
+    // scale — matches bit-for-bit. Feeds VectorStats.standardize.
+    Q("q_embed_moments",
+      Some("""WITH m AS (
+             |  SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS mi
+             |  FROM embeddings)
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(mi) AS BIGINT) AS sum_micro,
+             |  CAST(sum(mi * mi) AS BIGINT) AS sumsq_micro
+             |FROM m GROUP BY dim ORDER BY dim""".stripMargin),
+      (s, d) =>
+        VectorStats.moments(t(s, d, "embeddings"), col("embedding"), dim = 64)
+          .select(col("dim").cast("long").as("dim"), col("n"),
+            col("sum_micro"), col("sumsq_micro"))
+          .orderBy("dim")),
+
+    // Z-score standardization (VectorStats.standardize) — oracled even
+    // though the output is doubles: mean/std derive from EXACT integer
+    // moments, so every z is the same order-independent IEEE expression
+    // in both engines; the oracle mirrors the formula op-for-op
+    // (left-assoc divisions, greatest-with-0, sqrt) and compares the
+    // per-vector sum of floor(z * 1000) — exact long arithmetic.
+    Q("q_embed_standardize",
+      Some("""WITH m AS (
+             |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS mi
+             |  FROM embeddings),
+             |mo AS (
+             |  SELECT dim, CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(mi) AS DOUBLE) AS sm, CAST(sum(mi * mi) AS DOUBLE) AS sq
+             |  FROM m GROUP BY dim),
+             |st AS (
+             |  SELECT dim, sm / n / 1000000.0 AS mu,
+             |    sqrt(greatest(sq / n - (sm / n) * (sm / n), 0.0)) / 1000000.0 AS sd
+             |  FROM mo)
+             |SELECT m.vec_id, CAST(sum(CAST(floor((CASE WHEN st.sd = 0.0 THEN 0.0
+             |    ELSE (CAST(m.mi AS DOUBLE) / 1000000.0 - st.mu) / st.sd END) * 1000.0) AS BIGINT)) AS BIGINT) AS z_milli_sum
+             |FROM m JOIN st USING (dim)
+             |GROUP BY m.vec_id ORDER BY vec_id""".stripMargin),
+      (s, d) =>
+        VectorStats.standardize(t(s, d, "embeddings"), col("embedding"), dim = 64)
+          .select(col("vec_id"),
+            aggregate(transform(col("std_vec"),
+                z => floor(z * lit(1000.0)).cast("long")),
+              lit(0L), (a, x) => a + x).as("z_milli_sum"))
+          .orderBy("vec_id")),
+
     // Per-label centroid accumulation (the reduce step of k-means / class
     // prototypes): posexplode to (label, dim) and aggregate exact integer
     // micros — order-independent, so the result is identical at any

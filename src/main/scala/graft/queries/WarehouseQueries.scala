@@ -273,6 +273,78 @@ object WarehouseQueries {
           .groupBy(floor((col("l_quantity") - lit(1.0)) / lit(5.0)).as("bucket"))
           .agg(count(lit(1)).as("n"),
             sum(cents(col("l_extendedprice"))).as("price_cents"))
-          .orderBy("bucket"))
+          .orderBy("bucket")),
+
+    // One-scan column profiler (Profile.profile): every per-column
+    // measure — nulls, exact distinct, native-typed min/max, rendered
+    // length mass — from a single partial-aggregable global aggregate,
+    // exploded into long format. The oracle recomputes each column's
+    // row independently.
+    Q("q_profile",
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+             |  CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT) AS len_sum
+             |FROM documents""".stripMargin
+        Seq("doc_id", "lang", "n_chars", "source").map(one)
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      },
+      (s, d) =>
+        Profile.profile(t(s, d, "documents"),
+            Seq("doc_id", "lang", "n_chars", "source"))
+          .orderBy("col_name")),
+
+    // Snapshot diff (TableDiff.diff): what changed between two table
+    // versions, answered from two per-group checksum summaries and a
+    // tiny full-outer join — output proportional to the CHANGE. The
+    // "after" snapshot flips URGENT statuses (changed), drops 5-LOW
+    // (removed), and clones 3-MEDIUM under a new priority (added); the
+    // oracle rebuilds both group summaries arithmetically.
+    Q("q_table_diff",
+      Some("""WITH aft AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |    o_orderpriority
+             |  FROM orders WHERE o_orderpriority <> '5-LOW'
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, '9-NEW' FROM orders
+             |  WHERE o_orderpriority = '3-MEDIUM'),
+             |bse AS (
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+             |bd AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(('0x' || substr(md5(
+             |    coalesce(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR), '-') ||
+             |    coalesce(CAST(length(o_orderstatus) AS VARCHAR) || ':' || o_orderstatus, '-')
+             |  ), 1, 14)) AS BIGINT)) % 4611686018427387904 AS ck
+             |  FROM bse GROUP BY o_orderpriority),
+             |ad AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(('0x' || substr(md5(
+             |    coalesce(CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR), '-') ||
+             |    coalesce(CAST(length(o_orderstatus) AS VARCHAR) || ':' || o_orderstatus, '-')
+             |  ), 1, 14)) AS BIGINT)) % 4611686018427387904 AS ck
+             |  FROM aft GROUP BY o_orderpriority)
+             |SELECT coalesce(bd.o_orderpriority, ad.o_orderpriority) AS o_orderpriority,
+             |  CASE WHEN bd.ck IS NULL THEN 'added'
+             |       WHEN ad.ck IS NULL THEN 'removed' ELSE 'changed' END AS status,
+             |  CAST(coalesce(bd.n, 0) AS BIGINT) AS rows_before,
+             |  CAST(coalesce(ad.n, 0) AS BIGINT) AS rows_after
+             |FROM bd FULL OUTER JOIN ad ON bd.o_orderpriority = ad.o_orderpriority
+             |WHERE NOT (bd.ck IS NOT DISTINCT FROM ad.ck)
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val base = t(s, d, "orders")
+        val after = base.filter(col("o_orderpriority") =!= "5-LOW")
+          .withColumn("o_orderstatus",
+            when(col("o_orderpriority") === "1-URGENT", lit("U"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(base.filter(col("o_orderpriority") === "3-MEDIUM")
+            .withColumn("o_orderpriority", lit("9-NEW")))
+        TableDiff.diff(base, after, Seq("o_orderpriority"),
+            Seq(col("o_orderkey").cast("string"), col("o_orderstatus")))
+          .orderBy("o_orderpriority")
+      })
   )
 }
