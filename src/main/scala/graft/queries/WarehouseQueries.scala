@@ -345,6 +345,37 @@ object WarehouseQueries {
         TableDiff.diff(base, after, Seq("o_orderpriority"),
             Seq(col("o_orderkey").cast("string"), col("o_orderstatus")))
           .orderBy("o_orderpriority")
-      })
+      }),
+
+    // Per-key OLS trend (Trend.olsPerGroup): slope/intercept of value
+    // over time per event type from five exact integer sums — one
+    // partial-aggregable pass, no window. Inputs quantized (epoch
+    // seconds, floored cents), sums exact decimals, closed form in
+    // doubles — the same IEEE expression both engines (oracle mirrors
+    // it op-for-op), compared on floored nano/milli scalings.
+    Q("q_ols_trend",
+      Some("""WITH d AS (SELECT event_type,
+             |    CAST(epoch_ns(ts) // 1000000000 AS HUGEINT) AS x,
+             |    CAST(floor(value * 100.0) AS HUGEINT) AS y
+             |  FROM events),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM d GROUP BY event_type),
+             |f AS (SELECT event_type, n,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+             |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy
+             |  FROM s)
+             |SELECT event_type, n,
+             |  CAST(floor(slope * 1000000000.0) AS BIGINT) AS slope_nano,
+             |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS intercept_milli
+             |FROM f ORDER BY event_type""".stripMargin),
+      (s, d) =>
+        Trend.olsPerGroup(t(s, d, "events"), Seq("event_type"),
+            expr("unix_micros(ts) div 1000000"), floor(col("value") * lit(100.0)))
+          .select(col("event_type"), col("n"),
+            floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
+            floor(col("intercept") * lit(1000.0)).cast("long").as("intercept_milli"))
+          .orderBy("event_type"))
   )
 }
