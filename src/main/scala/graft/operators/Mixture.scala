@@ -128,4 +128,19 @@ object Mixture {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic k-fold assignment — [[hashSplit]]'s cross-validation
+    * counterpart: fold = md5-bucket(id) mod k, a pure function of the
+    * row's id. Re-processing the corpus, changing partitioning, or
+    * running in another engine reproduces the exact folds, so no
+    * example ever migrates between train and held-out across runs (the
+    * leak that invalidates a CV estimate). Pure per-row expression —
+    * rides the scan, nothing shuffles.
+    */
+  def kfold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold", pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(k.toLong)))
+  }
 }

@@ -1338,6 +1338,25 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
           .orderBy("split")),
 
+    // Deterministic k-fold assignment (Mixture.kfold): fold = md5-bucket
+    // mod k — hashSplit's cross-validation counterpart, reproducible in
+    // any engine so no example migrates between train and held-out
+    // across runs. Oracled on per-fold counts AND an id-digest checksum
+    // (membership, not just sizes).
+    Q("q_kfold",
+      Some("""SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS BIGINT) AS fold,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT))
+             |    % 4611686018427387904 AS BIGINT) AS member_ck
+             |FROM documents GROUP BY fold ORDER BY fold""".stripMargin),
+      (s, d) =>
+        Mixture.kfold(t(s, d, "documents"), "doc_id", 5)
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n"),
+            (sum(Checksum.rowDigest(col("doc_id").cast("string")))
+              % lit(Checksum.Modulus)).cast("long").as("member_ck"))
+          .orderBy("fold")),
+
     // Deterministic per-group k-sample: "5 pseudo-random example docs per
     // source", stable across engines/runs/partitionings — rank by the
     // md5-hash of the id (the q_hash_split trick) inside each group, keep

@@ -109,4 +109,18 @@ class MixtureSpec extends SparkTestBase {
     assert(re == out)
     intercept[IllegalArgumentException](Mixture.ppsSample(df, "id", "w", 0))
   }
+
+  test("kfold: total partition into k folds, repartition-stable, pure id function") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val folds = Mixture.kfold(df, "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folds.length == 500) // every row assigned exactly once
+    assert(folds.forall { case (_, f) => f >= 0 && f < 5 })
+    assert(folds.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val re = Mixture.kfold(df.repartition(7), "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re == folds.toMap) // pure function of the id
+    intercept[IllegalArgumentException](Mixture.kfold(df, "id", 1))
+  }
 }
