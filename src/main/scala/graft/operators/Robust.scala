@@ -38,4 +38,40 @@ object Robust {
     withDev.join(broadcast(mad), groupCol)
       .filter(col("mad") > 0 && col("absdev") > lit(k) * col("mad"))
   }
+
+  /** Rolling z-score anomaly detection — the streaming-monitor shape in
+    * batch: each row is scored against the mean/std of its own group's
+    * PREVIOUS `k` rows (never itself — no self-masking), over a
+    * deterministic (orderCol, tieCol) frame. Appends `n_prev` and `z`
+    * (null until the trailing window holds >= 2 rows or when its
+    * variance is 0).
+    *
+    * Scale shape: ONE keyed shuffle (the window partition); the frame
+    * sums are O(1)-state sliding aggregates, not per-row rescans.
+    *
+    * Determinism (the [[Trend]] recipe): `valueInt` MUST be an
+    * integer-quantized column — frame sums are then exact longs, and
+    * mean/std/z are the same IEEE double expression in every engine, so
+    * even the z-scores are oracle-able. Σv² needs |v|·√k < 2^31.5 to
+    * stay in long range; quantize accordingly.
+    */
+  def rollingZScore(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueInt: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(-k, -1)
+    val v = valueInt.cast("long")
+    val d = df.withColumn("__v", v)
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = col("__ss").cast("double") / n - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    d.withColumn("n_prev", col("__n"))
+      .withColumn("z",
+        when(col("__n") >= 2 && std > 0.0, (col("__v") - mean) / std))
+      .drop("__v", "__n", "__s", "__ss")
+  }
 }

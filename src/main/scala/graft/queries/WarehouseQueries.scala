@@ -376,6 +376,35 @@ object WarehouseQueries {
           .select(col("event_type"), col("n"),
             floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
             floor(col("intercept") * lit(1000.0)).cast("long").as("intercept_milli"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // Rolling z-score anomaly detection (Robust.rollingZScore): each
+    // event scored against its type's previous-100 frame — one keyed
+    // shuffle, O(1)-state sliding sums. Exact integer cents in the
+    // frame, IEEE z mirrored op-for-op, so even the z-scores oracle;
+    // null-guarded (std=0 -> null, never inf) on both sides.
+    Q("q_events_anomaly",
+      Some("""WITH d AS (SELECT event_id, event_type, ts,
+             |    CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+             |w AS (SELECT event_id, event_type, v,
+             |    count(v) OVER fr AS n, sum(v) OVER fr AS s, sum(v * v) OVER fr AS ss
+             |  FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, event_type, n,
+             |    sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd,
+             |    CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev
+             |  FROM w WHERE n = 100)
+             |SELECT event_id, event_type,
+             |  CAST(floor(dev / sd * 1000.0) AS BIGINT) AS z_milli
+             |FROM z WHERE sd > 0.0 AND abs(dev / sd) > 3.0
+             |ORDER BY event_id, event_type, z_milli""".stripMargin),
+      (s, d) =>
+        Robust.rollingZScore(t(s, d, "events"), "event_type", "ts", "event_id",
+            floor(col("value") * lit(100.0)), k = 100)
+          .filter(col("n_prev") === 100 && abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"),
+            floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
+          .orderBy("event_id", "event_type", "z_milli"))
   )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Robust
+
+class RobustRollingSpec extends SparkTestBase {
+
+  test("rollingZScore scores against the previous-k frame only") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 0L), ("g", 2L, 2L), ("g", 3L, 0L), ("g", 4L, 2L), ("g", 5L, 20L),
+      ("h", 1L, 5L) // lone row in its own group
+    ).toDF("grp", "seq", "v")
+    val out = Robust.rollingZScore(df, "grp", "seq", "seq", col("v"), k = 3)
+      .select("grp", "seq", "n_prev", "z")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("g", 1L))._1 == 0 && out(("g", 1L))._2.isEmpty)
+    assert(out(("g", 2L))._1 == 1 && out(("g", 2L))._2.isEmpty) // n_prev < 2
+    assert(out(("h", 1L))._2.isEmpty)
+    // row 5: prev frame [2,0,2] -> mean 4/3, pop-var 8/9
+    val mean = 4.0 / 3.0
+    val std = math.sqrt(8.0 / 9.0)
+    val z5 = out(("g", 5L))._2.get
+    assert(out(("g", 5L))._1 == 3)
+    assert(math.abs(z5 - (20.0 - mean) / std) < 1e-12)
+  }
+
+  test("rollingZScore: zero-variance frame yields null, not infinity") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 99L))
+      .toDF("grp", "seq", "v")
+    val z4 = Robust.rollingZScore(df, "grp", "seq", "seq", col("v"), k = 3)
+      .filter(col("seq") === 4).select("z").collect()(0)
+    assert(z4.isNullAt(0)) // prev frame constant -> std 0 -> null
+  }
+}
