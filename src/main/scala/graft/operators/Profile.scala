@@ -54,4 +54,46 @@ object Profile {
       coalesce(col(s"__len_$n"), lit(0L)).as("len_sum"))): _*)
     one.select(explode(perCol).as("p")).select(col("p.*"))
   }
+
+  /** Pairwise Pearson correlation matrix over integer-quantized columns,
+    * from ONE scan: a single partial-aggregable aggregate folds every
+    * row into n + 2k per-column sums + k(k−1)/2 cross sums (all exact
+    * decimal(38,0) — order-independent at any parallelism), and the
+    * closed form is evaluated in doubles from those exact sums — the
+    * [[Trend]] determinism recipe, so the correlations themselves are
+    * engine-stable. Zero-variance columns yield NULL (never ±inf/NaN).
+    *
+    * `cols` = (name, integer-valued column) — the caller quantizes
+    * (cents, micros), which is what makes the sums exact. Output: one
+    * row per unordered pair (col_a < col_b): (col_a, col_b, n, corr).
+    */
+  def correlations(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least 2 columns")
+    val names = cols.map(_._1)
+    val quant = df.select(cols.map { case (n, c) =>
+      c.cast("decimal(38,0)").as(s"__q_$n") }: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val measures: Seq[Column] =
+      count(lit(1)).as("__n") +:
+      (names.flatMap(n => Seq(
+        sum(col(s"__q_$n")).as(s"__s_$n"),
+        sum(col(s"__q_$n") * col(s"__q_$n")).as(s"__ss_$n"))) ++
+       pairs.map { case (a, b) =>
+         sum(col(s"__q_$a") * col(s"__q_$b")).as(s"__sp_${a}__$b") })
+    val one = quant.agg(measures.head, measures.tail: _*)
+    val n = col("__n").cast("double")
+    def varTerm(c: String): Column =
+      n * col(s"__ss_$c").cast("double") -
+        col(s"__s_$c").cast("double") * col(s"__s_$c").cast("double")
+    val perPair = array(pairs.map { case (a, b) =>
+      val cov = n * col(s"__sp_${a}__$b").cast("double") -
+        col(s"__s_$a").cast("double") * col(s"__s_$b").cast("double")
+      val den = sqrt(varTerm(a)) * sqrt(varTerm(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(den > 0.0, cov / den).as("corr"))
+    }: _*)
+    one.select(explode(perPair).as("p")).select(col("p.*"))
+  }
 }

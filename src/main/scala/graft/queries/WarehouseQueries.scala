@@ -405,6 +405,47 @@ object WarehouseQueries {
           .filter(col("n_prev") === 100 && abs(col("z")) > 3.0)
           .select(col("event_id"), col("event_type"),
             floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
-          .orderBy("event_id", "event_type", "z_milli"))
+          .orderBy("event_id", "event_type", "z_milli")),
+
+    // Pairwise Pearson correlation matrix (Profile.correlations): all 6
+    // pairs over 4 quantized lineitem measures from ONE scan — n + 2k
+    // per-column sums + k(k-1)/2 cross sums, exact decimals, closed form
+    // in doubles (the Trend recipe). Oracle rebuilds the same sums and
+    // mirrors the formula; compared on floored micro scalings.
+    Q("q_corr_matrix",
+      Some {
+        val quant = Map(
+          "discount" -> "CAST(floor(l_discount * 100.0) AS HUGEINT)",
+          "price" -> "CAST(floor(l_extendedprice * 100.0) AS HUGEINT)",
+          "quantity" -> "CAST(floor(l_quantity) AS HUGEINT)",
+          "tax" -> "CAST(floor(l_tax * 100.0) AS HUGEINT)")
+        val names = quant.keys.toSeq.sorted
+        val pairs = for { i <- names.indices; j <- (i + 1) until names.size }
+          yield (names(i), names(j))
+        val sumCols = names.flatMap(c => Seq(
+          s"CAST(sum(${c}q) AS DOUBLE) AS s_$c",
+          s"CAST(sum(${c}q * ${c}q) AS DOUBLE) AS ss_$c")) ++
+          pairs.map { case (a, b) => s"CAST(sum(${a}q * ${b}q) AS DOUBLE) AS sp_${a}_$b" }
+        val pairSel = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, nn AS n,
+             |  CAST(floor((n * sp_${a}_$b - s_$a * s_$b) /
+             |    (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b))
+             |    * 1000000.0) AS BIGINT) AS corr_micro FROM s""".stripMargin
+        }
+        s"""WITH d AS (SELECT ${names.map(c => s"${quant(c)} AS ${c}q").mkString(", ")} FROM lineitem),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS nn,
+           |  ${sumCols.mkString(", ")} FROM d)
+           |SELECT * FROM (${pairSel.mkString(" UNION ALL ")})
+           |ORDER BY col_a, col_b""".stripMargin
+      },
+      (s, d) =>
+        Profile.correlations(t(s, d, "lineitem"), Seq(
+            "discount" -> floor(col("l_discount") * lit(100.0)),
+            "price" -> floor(col("l_extendedprice") * lit(100.0)),
+            "quantity" -> floor(col("l_quantity")),
+            "tax" -> floor(col("l_tax") * lit(100.0))))
+          .select(col("col_a"), col("col_b"), col("n"),
+            floor(col("corr") * lit(1000000.0)).cast("long").as("corr_micro"))
+          .orderBy("col_a", "col_b"))
   )
 }

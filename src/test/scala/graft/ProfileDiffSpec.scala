@@ -31,6 +31,22 @@ class ProfileDiffSpec extends SparkTestBase {
     assert(!plan.contains("Expand"))
   }
 
+  test("correlations: perfect +/- correlation, zero-variance nulls, partition-stable") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L, 7L), (2L, 4L, 2L, 7L), (3L, 6L, 1L, 7L))
+      .toDF("x", "y", "z", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.correlations(d,
+          Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "w" -> col("w")))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val got = run(df)
+    assert(math.abs(got(("x", "y")).get - 1.0) < 1e-12)  // y = 2x
+    assert(math.abs(got(("x", "z")).get + 1.0) < 1e-12)  // z = 4 - x
+    assert(got(("x", "w")).isEmpty && got(("y", "w")).isEmpty) // w constant
+    assert(run(df.repartition(3)) == got)
+  }
+
   test("tableDiff reports only added/removed/changed groups") {
     import spark.implicits._
     val before = Seq(
