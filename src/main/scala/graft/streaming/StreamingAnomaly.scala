@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Input/state/output rows for [[RollingZProcessor]]. Top-level so Catalyst
+  * codegen can instantiate them from generated deserializers.
+  */
+case class AnomalyPoint(key: String, ts: Timestamp, tie: Long, v: Long)
+case class RollingWindow(values: Seq[Long])
+case class ScoredPoint(key: String, ts: Timestamp, tie: Long, v: Long,
+    n_prev: Long, z: Option[Double])
+
+/** Streaming rolling z-score — the monitor form of
+  * `Robust.rollingZScore`, with BIT-IDENTICAL scores: each point is
+  * scored against its key's previous `k` points (never itself), using
+  * the same exact-long frame sums and the same IEEE mean/std/z
+  * expression as the batch operator, so a streaming monitor and a batch
+  * backfill agree on every score (parity is pinned by
+  * `StreamingAnomalySpec`).
+  *
+  * State per key is ONE ring of ≤ k longs in the state store (RocksDB),
+  * keyed and partitioned by `key` — a 1000-executor cluster shards it
+  * horizontally; nothing is ever rescanned. Within a micro-batch, rows
+  * are processed in (ts, tie) order; across batches the stream's
+  * arrival order per key is the scoring order, which is the streaming
+  * contract (a monitor scores what it has seen so far).
+  */
+class RollingZProcessor(k: Int)
+    extends StatefulProcessor[String, AnomalyPoint, ScoredPoint] {
+
+  @transient private var ring: ValueState[RollingWindow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState("ring",
+      Encoders.product[RollingWindow], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[AnomalyPoint],
+      timers: TimerValues): Iterator[ScoredPoint] = {
+    var buf: Vector[Long] =
+      if (ring.exists()) ring.get().values.toVector else Vector.empty
+    val out = rows.toArray.sortBy(p => (p.ts.getTime, p.tie)).map { p =>
+      val n = buf.length.toLong
+      // Same IEEE expression as Robust.rollingZScore: exact long sums,
+      // then double mean/var/std in the identical operation order.
+      val z: Option[Double] = if (n >= 2) {
+        var s = 0L; var ss = 0L
+        buf.foreach { x => s += x; ss += x * x }
+        val nd = n.toDouble
+        val mean = s.toDouble / nd
+        val variance = ss.toDouble / nd - mean * mean
+        val std = math.sqrt(math.max(variance, 0.0))
+        if (std > 0.0) Some((p.v.toDouble - mean) / std) else None
+      } else None
+      buf = (buf :+ p.v).takeRight(k)
+      ScoredPoint(key, p.ts, p.tie, p.v, n, z)
+    }
+    ring.update(RollingWindow(buf))
+    out.iterator
+  }
+}
+
+object StreamingAnomaly {
+
+  /** Score a stream (or a batch frame in streaming tests) of
+    * (keyCol, tsCol, tieCol, valueInt) points: appends each point's
+    * n_prev and z against its key's previous-k ring. `valueInt` must be
+    * integer-quantized, exactly as in `Robust.rollingZScore` — that is
+    * what makes stream and backfill agree bit-for-bit.
+    */
+  def score(points: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueInt: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        valueInt.cast("long").as("v"))
+      .as[AnomalyPoint]
+      .groupByKey(_.key)
+      .transformWithState(new RollingZProcessor(k),
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+}
