@@ -113,13 +113,24 @@ object Mixture {
     * both engines compute the identical md5 bucket). Weights must sum
     * to ~1; each row lands in exactly one split.
     */
+  /** The md5 bucket shared by [[hashSplit]] and [[kfold]]: first 8 hex
+    * chars of md5(id) as a 32-bit int, mod `m`. ONE definition — the
+    * recipe is an engine contract (DuckDB oracles recompute it), so it
+    * must not fork. NOTE: both consumers derive from the SAME 32-bit
+    * value, so when k divides 1000, kfold strata are fully correlated
+    * with hashSplit buckets (fold = bucket mod k) — by design: the
+    * point is reproducibility, not independence. Callers needing
+    * independent assignments should salt the id.
+    */
+  private def md5Bucket(idCol: String, m: Long) = pmod(
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+    lit(m))
+
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1: $splits")
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(1000L))
+    val bucket = md5Bucket(idCol, 1000L)
     val cuts = splits.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * 1000)
     }.tail
@@ -139,8 +150,6 @@ object Mixture {
     */
   def kfold(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
-    df.withColumn("fold", pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(k.toLong)))
+    df.withColumn("fold", md5Bucket(idCol, k.toLong))
   }
 }

@@ -57,6 +57,7 @@ object Robust {
     */
   def rollingZScore(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, valueInt: Column, k: Int): DataFrame = {
+    require(k >= 2, s"rolling z-score needs a frame of k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(col(orderCol), col(tieCol))
       .rowsBetween(-k, -1)

@@ -362,8 +362,10 @@ object WarehouseQueries {
              |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
              |  FROM d GROUP BY event_type),
              |f AS (SELECT event_type, n,
-             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+             |    CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL
+             |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
              |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy
              |  FROM s)
              |SELECT event_type, n,
@@ -427,10 +429,11 @@ object WarehouseQueries {
           s"CAST(sum(${c}q * ${c}q) AS DOUBLE) AS ss_$c")) ++
           pairs.map { case (a, b) => s"CAST(sum(${a}q * ${b}q) AS DOUBLE) AS sp_${a}_$b" }
         val pairSel = pairs.map { case (a, b) =>
+          val den = s"sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)"
           s"""SELECT '$a' AS col_a, '$b' AS col_b, nn AS n,
-             |  CAST(floor((n * sp_${a}_$b - s_$a * s_$b) /
-             |    (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b))
-             |    * 1000000.0) AS BIGINT) AS corr_micro FROM s""".stripMargin
+             |  CASE WHEN $den > 0.0 THEN
+             |    CAST(floor((n * sp_${a}_$b - s_$a * s_$b) / ($den)
+             |      * 1000000.0) AS BIGINT) ELSE NULL END AS corr_micro FROM s""".stripMargin
         }
         s"""WITH d AS (SELECT ${names.map(c => s"${quant(c)} AS ${c}q").mkString(", ")} FROM lineitem),
            |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS nn,

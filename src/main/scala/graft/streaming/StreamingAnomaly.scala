@@ -8,10 +8,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 /** Input/state/output rows for [[RollingZProcessor]]. Top-level so Catalyst
   * codegen can instantiate them from generated deserializers.
   */
-case class AnomalyPoint(key: String, ts: Timestamp, tie: Long, v: Long)
-case class RollingWindow(values: Seq[Long])
-case class ScoredPoint(key: String, ts: Timestamp, tie: Long, v: Long,
-    n_prev: Long, z: Option[Double])
+case class AnomalyPoint(key: String, ts: Timestamp, tie: Option[Long],
+    v: Option[Long])
+case class RollingWindow(values: Seq[Option[Long]])
+case class ScoredPoint(key: String, ts: Timestamp, tie: Option[Long],
+    v: Option[Long], n_prev: Long, z: Option[Double])
 
 /** Streaming rolling z-score — the monitor form of
   * `Robust.rollingZScore`, with BIT-IDENTICAL scores: each point is
@@ -39,21 +40,28 @@ class RollingZProcessor(k: Int)
 
   override def handleInputRows(key: String, rows: Iterator[AnomalyPoint],
       timers: TimerValues): Iterator[ScoredPoint] = {
-    var buf: Vector[Long] =
+    var buf: Vector[Option[Long]] =
       if (ring.exists()) ring.get().values.toVector else Vector.empty
-    val out = rows.toArray.sortBy(p => (p.ts.getTime, p.tie)).map { p =>
-      val n = buf.length.toLong
+    // Null-tolerance mirrors the batch operator exactly: a null-valued
+    // row still OCCUPIES a frame slot (the batch frame is positional,
+    // ROWS BETWEEN -k AND -1) but contributes nothing to the sums
+    // (sum/count skip nulls), and is itself emitted unscored. Null tie
+    // sorts first (Spark's default asc_nulls_first).
+    val out = rows.toArray
+      .sortBy(p => (p.ts.getTime, p.tie.getOrElse(Long.MinValue))).map { p =>
+      val present = buf.flatten
+      val n = present.length.toLong
       // Same IEEE expression as Robust.rollingZScore: exact long sums,
       // then double mean/var/std in the identical operation order.
-      val z: Option[Double] = if (n >= 2) {
+      val z: Option[Double] = p.v.filter(_ => n >= 2).flatMap { v =>
         var s = 0L; var ss = 0L
-        buf.foreach { x => s += x; ss += x * x }
+        present.foreach { x => s += x; ss += x * x }
         val nd = n.toDouble
         val mean = s.toDouble / nd
         val variance = ss.toDouble / nd - mean * mean
         val std = math.sqrt(math.max(variance, 0.0))
-        if (std > 0.0) Some((p.v.toDouble - mean) / std) else None
-      } else None
+        if (std > 0.0) Some((v.toDouble - mean) / std) else None
+      }
       buf = (buf :+ p.v).takeRight(k)
       ScoredPoint(key, p.ts, p.tie, p.v, n, z)
     }

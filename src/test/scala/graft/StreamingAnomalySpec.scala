@@ -8,6 +8,7 @@ import graft.streaming.StreamingAnomaly
 
 /** Top-level for Catalyst codegen deserializers. */
 case class Pt(key: String, ts: Timestamp, tie: Long, v: Long)
+case class PtN(key: String, ts: Timestamp, tie: Long, v: Option[Long])
 
 class StreamingAnomalySpec extends SparkTestBase {
 
@@ -47,6 +48,44 @@ class StreamingAnomalySpec extends SparkTestBase {
       // constant-free frame [5,5,7] then scores the 41 as a clear anomaly
       assert(streamed(("b", 3L))._2.isEmpty && streamed(("b", 5L))._2.isEmpty)
       assert(streamed(("b", 9L))._2.exists(_ > 3.0))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("null values occupy frame slots but score nothing — exactly like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the null at tie=3 sits INSIDE later frames (positional ROWS frame)
+    val pts = Seq(PtN("a", ts(0), 1, Some(10L)), PtN("a", ts(1), 2, Some(14L)),
+      PtN("a", ts(2), 3, None), PtN("a", ts(3), 4, Some(12L)),
+      PtN("a", ts(4), 5, Some(50L)))
+    val mem = MemoryStream[PtN]
+    val out = graft.streaming.StreamingAnomaly.score(
+      mem.toDF(), "key", "ts", "tie", col("v"), k = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anomn_out").start()
+    try {
+      mem.addData(pts: _*); q.processAllAvailable()
+      val streamed = spark.table("anomn_out").collect()
+        .map(r => r.getLong(2) ->
+          (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      val batch = graft.operators.Robust.rollingZScore(
+          pts.toDF("key", "ts", "tie", "v"), "key", "ts", "tie", col("v"), k = 3)
+        .collect().map(r => r.getLong(2) ->
+          (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed(3L)._2.isEmpty)           // the null row scores nothing
+      // tie=5's frame is [14, null, 12]: n_prev counts only the 2 values
+      assert(streamed(5L)._1 == 2 && streamed(5L)._2.isDefined)
     } finally {
       q.stop()
       prev match {
