@@ -195,6 +195,59 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("tableDiff equals the brute-force per-group multiset comparison") {
+    import spark.implicits._
+    import graft.operators.TableDiff
+    forAllSeeds(Seq(1, 7, 42)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val groups = ('A' to 'F').map(_.toString)
+      val before = (1 to 200).map(i =>
+        (groups(rnd.nextInt(groups.size)), i.toLong, rnd.nextInt(5).toString))
+      // mutate: drop one whole group, perturb some values, add a new group
+      val dropped = groups(rnd.nextInt(groups.size))
+      val after = before.filterNot(_._1 == dropped).map { case (g, id, v) =>
+        if (rnd.nextInt(10) == 0) (g, id, v + "'") else (g, id, v)
+      } ++ (1 to 5).map(i => ("Z", 1000L + i, "new"))
+      def bf(): Set[(String, String)] = {
+        val bm = before.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sorted).toMap
+        val am = after.groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sorted).toMap
+        (bm.keySet ++ am.keySet).flatMap { g =>
+          (bm.get(g), am.get(g)) match {
+            case (Some(b), Some(a)) if b == a => None
+            case (Some(_), Some(_))           => Some(g -> "changed")
+            case (Some(_), None)              => Some(g -> "removed")
+            case (None, Some(_))              => Some(g -> "added")
+            case _                            => None
+          }
+        }
+      }
+      val got = TableDiff.diff(
+          before.toDF("g", "id", "v"), after.toDF("g", "id", "v"),
+          Seq("g"), Seq(col("id").cast("string"), col("v")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == bf(), s"seed $seed: got $got want ${bf()}")
+    }
+  }
+
+  test("profile measures equal independently computed aggregates") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, if (rnd.nextInt(4) == 0) None else Some(s"v${rnd.nextInt(20)}"))
+    }
+    val df = rows.toDF("id", "s")
+    val got = Profile.profile(df, Seq("s")).collect()(0)
+    val vals = rows.flatMap(_._2)
+    assert(got.getLong(1) == 300L)                     // n_rows
+    assert(got.getLong(2) == 300L - vals.size)         // n_nulls
+    assert(got.getLong(3) == vals.distinct.size.toLong) // n_distinct
+    assert(got.getString(4) == vals.min && got.getString(5) == vals.max)
+    assert(got.getLong(6) == vals.map(_.length.toLong).sum) // len_sum
+  }
+
   test("minhash estimator is unbiased-ish across generated token sets") {
     import spark.implicits._
     forAllSeeds(Seq(0, 3, 9, 14, 19)) { sv =>
