@@ -28,12 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Profile `cols` of `df` in one scan. Returns one row per column:
-    * (col_name, n_rows, n_nulls, n_distinct, min_str, max_str, len_sum)
-    * where len_sum = total rendered length of non-null values.
-    */
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
-    val measures: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { n =>
+  private def measureCols(cols: Seq[String], exact: Boolean): Seq[Column] =
+    count(lit(1)).as("__n") +: cols.flatMap { n =>
       val c = col(n)
       Seq(
         count(c).as(s"__nn_$n"),
@@ -43,8 +39,9 @@ object Profile {
         max(c).cast("string").as(s"__max_$n"),
         sum(length(c.cast("string"))).cast("long").as(s"__len_$n"))
     }
-    val one = df.agg(measures.head, measures.tail: _*)
-    val perCol = array(cols.map(n => struct(
+
+  private def perColStructs(cols: Seq[String]): Column = array(cols.map(n =>
+    struct(
       lit(n).as("col_name"),
       col("__n").as("n_rows"),
       (col("__n") - col(s"__nn_$n")).as("n_nulls"),
@@ -52,7 +49,31 @@ object Profile {
       col(s"__min_$n").as("min_str"),
       col(s"__max_$n").as("max_str"),
       coalesce(col(s"__len_$n"), lit(0L)).as("len_sum"))): _*)
-    one.select(explode(perCol).as("p")).select(col("p.*"))
+
+  /** Profile `cols` of `df` in one scan. Returns one row per column:
+    * (col_name, n_rows, n_nulls, n_distinct, min_str, max_str, len_sum)
+    * where len_sum = total rendered length of non-null values.
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val measures = measureCols(cols, exact)
+    val one = df.agg(measures.head, measures.tail: _*)
+    one.select(explode(perColStructs(cols)).as("p")).select(col("p.*"))
+  }
+
+  /** Per-GROUP profile — the per-partition report card ("how does
+    * yesterday's web shard compare to books?"): same single-scan
+    * measures as [[profile]], grouped by `groupCols`. Still one
+    * partial-aggregable aggregate (one buffer per group per executor);
+    * output is one row per (group, column). The per-group explode
+    * multiplies only the GROUP-count rows, never the data.
+    */
+  def profileBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    val measures = measureCols(cols, exact)
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
+    g.select(groupCols.map(col) :+ explode(perColStructs(cols)).as("p"): _*)
+      .select(groupCols.map(col) :+ col("p.*"): _*)
   }
 
   /** Pairwise Pearson correlation matrix over integer-quantized columns,

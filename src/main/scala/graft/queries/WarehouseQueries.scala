@@ -297,6 +297,26 @@ object WarehouseQueries {
             Seq("doc_id", "lang", "n_chars", "source"))
           .orderBy("col_name")),
 
+    // Per-group profile (Profile.profileBy): the per-shard report card —
+    // same one-scan measures, one buffer per (group, executor), output
+    // one row per (group, column).
+    Q("q_profile_by",
+      Some {
+        def one(c: String) =
+          s"""SELECT source, '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str,
+             |  CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT) AS len_sum
+             |FROM documents GROUP BY source""".stripMargin
+        Seq("doc_id", "lang", "n_chars").map(one)
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY source, col_name")
+      },
+      (s, d) =>
+        Profile.profileBy(t(s, d, "documents"), Seq("source"),
+            Seq("doc_id", "lang", "n_chars"))
+          .orderBy("source", "col_name")),
+
     // Snapshot diff (TableDiff.diff): what changed between two table
     // versions, answered from two per-group checksum summaries and a
     // tiny full-outer join — output proportional to the CHANGE. The

@@ -31,6 +31,18 @@ class ProfileDiffSpec extends SparkTestBase {
     assert(!plan.contains("Expand"))
   }
 
+  test("profileBy groups the same measures per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", 1L, Option("aa")), ("web", 2L, None),
+      ("book", 3L, Option("zz"))
+    ).toDF("src", "id", "name")
+    val got = Profile.profileBy(df, Seq("src"), Seq("name"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("web", "name", 2L, 1L, 1L), ("book", "name", 1L, 0L, 1L)))
+  }
+
   test("correlations: perfect +/- correlation, zero-variance nulls, partition-stable") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L, 7L), (2L, 4L, 2L, 7L), (3L, 6L, 1L, 7L))
