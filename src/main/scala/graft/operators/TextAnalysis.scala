@@ -162,6 +162,62 @@ object TextAnalysis {
     }
   }
 
+  /** Bigram conditional NLL per document — one rung up the n-gram LM
+    * ladder from [[unigramNll]]: cost(w1 w2) = −log(c(w1,w2) / c(w1)),
+    * i.e. the MLE conditional P(w2|w1), summed over a document's
+    * adjacent pairs. Catches locally-improbable SEQUENCES (word-salad,
+    * shuffled boilerplate) that unigram frequency scoring cannot, since
+    * it conditions on the previous word.
+    *
+    * Same two-path shape and determinism contract as [[unigramNll]]:
+    * the bigram cost table is one vocab-bounded aggregate joined to the
+    * unigram counts; under `maxBroadcastVocab` it broadcasts as a map
+    * and scoring is a per-row HOF fold over the document's bigram array
+    * (no explode, no shuffle of documents); past it, explode + join +
+    * re-aggregate, all data-parallel. Per-bigram micros are rounded
+    * BEFORE the per-doc sum, so both paths agree bit-for-bit.
+    * Documents with < 2 tokens score (0, 0).
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = 2L << 20): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    def bigramsOf(t: Column): Column = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = df.select(explode(bigramsOf(toks)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("__c2"))
+    val firsts = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).cast("double").as("__c1"))
+    val costs = pairs
+      .withColumn("__w", split(col("__b"), " ").getItem(0))
+      .join(firsts, "__w")
+      .select(col("__b"),
+        round(-log(col("__c2") / col("__c1")) * lit(1e6), 0).cast("long").as("__cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = costs.count()
+    if (vocab <= maxBroadcastVocab) {
+      val costMap = costs.agg(
+        map_from_arrays(collect_list(col("__b")), collect_list(col("__cost"))).as("__m"))
+      df.crossJoin(broadcast(costMap))
+        .select(col(idCol),
+          greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
+          aggregate(bigramsOf(toks), lit(0L),
+            (acc, b) => acc + element_at(col("__m"), b)).as("nll_micro"))
+    } else {
+      val scored = df.select(col(idCol), explode(bigramsOf(toks)).as("__b"))
+        .join(costs, "__b")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(col("__cost")).as("nll_micro"))
+      // docs with < 2 tokens have no bigrams to join — restore as (0, 0)
+      df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+    }
+  }
+
   /** Canonical text normalization for dedup keys and matching: accent-fold
     * (codegen'd NFD strip), lowercase, non-alphanumerics to spaces, collapse
     * runs, trim. Mirrors DuckDB lower(strip_accents(..)) + regexp cleanup.

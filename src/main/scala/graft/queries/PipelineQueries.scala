@@ -1026,6 +1026,29 @@ object PipelineQueries {
         TextAnalysis.unigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Bigram conditional NLL (TextAnalysis.bigramNll): cost(w1 w2) =
+    // -ln(c(w1,w2)/c(w1)) summed over adjacent pairs — catches
+    // improbable SEQUENCES unigram scoring cannot. Broadcast cost map +
+    // per-row HOF fold; per-bigram micros rounded before the sum.
+    Q("q_lm_score_bigram",
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS b FROM toks),
+             |c2 AS (SELECT b, CAST(count(*) AS DOUBLE) AS c2 FROM bg GROUP BY b),
+             |c1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1 FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY w),
+             |cost AS (SELECT b, CAST(round(-ln(c2.c2 / c1.c1) * CAST(1e6 AS DOUBLE), 0) AS BIGINT) AS cost
+             |  FROM c2 JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w),
+             |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(cost) AS BIGINT) AS nll_micro
+             |  FROM bg JOIN cost USING (b) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(s.nll_micro, 0) AS nll_micro
+             |FROM documents d LEFT JOIN scored s USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // Domain-mixture reweighting: per-source downsampling fractions that
     // realize a 50/30/20 target mixture (downsample-only — the scarcest
     // source caps the total). Counts are exact; frac/n_keep are the same

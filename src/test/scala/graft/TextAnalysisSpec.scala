@@ -289,6 +289,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(dist == fast)
   }
 
+  test("bigram NLL matches a hand-computed conditional LM, incl. a 1-token doc") {
+    import spark.implicits._
+    // bigrams: "a a"×1, "a b"×2; firsts: a=3 b=2 c=1
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c")).toDF("id", "text")
+    val got = TextAnalysis.bigramNll(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val costAA = math.round(-math.log(1.0 / 3.0) * 1e6)
+    val costAB = math.round(-math.log(2.0 / 3.0) * 1e6)
+    assert(got(1L) == ((2L, costAA + costAB)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, costAB)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L)), s"doc3 (no bigrams): ${got(3L)}")
+  }
+
+  test("bigram NLL distributed path (vocab > broadcast cap) is bit-identical") {
+    val docs = Tables.t(spark, sf, "documents")
+    val fast = TextAnalysis.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dist = TextAnalysis.bigramNll(docs, "doc_id", "text", maxBroadcastVocab = 1L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dist == fast)
+  }
+
   test("hashedLinearScore matches a hand-rolled md5-bucket scorer") {
     import spark.implicits._
     val df = Seq((1L, "Alpha beta gamma"), (2L, "beta beta"), (3L, "x"))
