@@ -122,10 +122,13 @@ object TextAnalysis {
     * broadcast literal map and scoring is a per-row HOF fold over the
     * token array — documents are never exploded and never shuffled. A
     * web-scale vocabulary overflows both the single-row `collect_list`
-    * and the broadcast, with an opaque failure — so past the threshold
-    * the operator switches to the distributed path: explode tokens, join
-    * the cost table on the word, re-aggregate per doc (two shuffles, but
-    * every stage is data-parallel and spillable). The vocab count that
+    * and the broadcast, with an opaque failure — and long before that,
+    * `element_at` on a literal map is a LINEAR scan per lookup, so
+    * per-token cost grows with the vocabulary (the default cap of 512
+    * reflects the measured crossover, not the overflow bound). Past the
+    * threshold the operator switches to the distributed path: explode
+    * tokens, join the cost table on the word, re-aggregate per doc (two
+    * shuffles, but every stage is data-parallel and spillable). The vocab count that
     * picks the path is one eager action on the persisted vocab-sized
     * cost table. Per-token costs are rounded to micros BEFORE the
     * per-doc sum, so both paths return bit-identical,
@@ -134,7 +137,7 @@ object TextAnalysis {
     * scoring foreign text would need an OOV fallback cost.
     */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
-      maxBroadcastVocab: Long = 2L << 20): DataFrame = {
+      maxBroadcastVocab: Long = 512L): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val unigrams = df
       .select(explode(toks).as("__w"))
@@ -177,9 +180,16 @@ object TextAnalysis {
     * re-aggregate, all data-parallel. Per-bigram micros are rounded
     * BEFORE the per-doc sum, so both paths agree bit-for-bit.
     * Documents with < 2 tokens score (0, 0).
+    *
+    * The default cap is LOW (512, like [[unigramNll]]'s) because the
+    * map path's `element_at` on a literal map is a LINEAR scan per
+    * lookup — measured at sf0.1, a 931-entry bigram map costs 11 s
+    * against the explode+join's 1.2 s. The distributed path is the
+    * fast one for anything beyond a small closed vocabulary; the map
+    * path exists for the tiny-vocab case where it avoids two shuffles.
     */
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
-      maxBroadcastVocab: Long = 2L << 20): DataFrame = {
+      maxBroadcastVocab: Long = 512L): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     def bigramsOf(t: Column): Column = zip_with(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))),
