@@ -228,6 +228,30 @@ object TextAnalysis {
     }
   }
 
+  /** Per-group Zipf fit — "does this shard's term distribution look like
+    * natural language?": OLS slope of ln(freq) on ln(rank) over the
+    * group's term-frequency table, ≈ −s for a Zipf exponent s (natural
+    * corpora: s ≈ 1; machine-generated/spam text deviates — a cheap
+    * corpus-health gate). Composition of existing pieces: term counts
+    * (one corpus aggregate), per-group rank (a window over the
+    * VOCAB-sized table, never the corpus), then [[Trend.olsPerGroup]]
+    * on micro-quantized logs — ln of exact integer counts is the same
+    * IEEE double everywhere, so the fit oracles like `q_ols_trend`.
+    * Returns (group, vocab = n, slope, intercept) from Trend.
+    */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__w"))
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__f"))
+    val ranked = tf.withColumn("__r", row_number().over(
+      Window.partitionBy("__g").orderBy(col("__f").desc, col("__w"))))
+    Trend.olsPerGroup(ranked, Seq("__g"),
+        floor(log(col("__r").cast("double")) * lit(1e6)),
+        floor(log(col("__f").cast("double")) * lit(1e6)))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Canonical text normalization for dedup keys and matching: accent-fold
     * (codegen'd NFD strip), lowercase, non-alphanumerics to spaces, collapse
     * runs, trim. Mirrors DuckDB lower(strip_accents(..)) + regexp cleanup.

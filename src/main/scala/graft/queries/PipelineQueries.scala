@@ -1049,6 +1049,42 @@ object PipelineQueries {
         TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Per-source Zipf fit (TextAnalysis.zipfFit): OLS slope of ln(freq)
+    // on ln(rank) over each source's term table — natural corpora fit
+    // slope ~ -1; deviation flags synthetic/spam shards. Composes term
+    // counts + vocab-sized rank window + Trend.olsPerGroup; ln of exact
+    // integer counts is the same IEEE double everywhere, so the fit
+    // oracles exactly (floored nano/milli scalings).
+    Q("q_zipf",
+      Some("""WITH tf AS (SELECT g, w, CAST(count(*) AS BIGINT) AS f FROM (
+             |    SELECT source AS g, unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents) GROUP BY g, w),
+             |rk AS (SELECT g, f, row_number() OVER (PARTITION BY g ORDER BY f DESC, w) AS r FROM tf),
+             |d AS (SELECT g,
+             |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS HUGEINT) AS x,
+             |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0) AS HUGEINT) AS y
+             |  FROM rk),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM d GROUP BY g),
+             |f AS (SELECT g, n,
+             |    CASE WHEN n < 2 OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN NULL
+             |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+             |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy
+             |  FROM s)
+             |SELECT g AS source, n AS vocab,
+             |  CAST(floor(slope * 1000000000.0) AS BIGINT) AS slope_nano,
+             |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS intercept_milli
+             |FROM f ORDER BY source""".stripMargin),
+      (s, d) =>
+        TextAnalysis.zipfFit(t(s, d, "documents"), "source", "text")
+          .select(col("source"), col("n").as("vocab"),
+            floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
+            floor(col("intercept") * lit(1000.0)).cast("long").as("intercept_milli"))
+          .orderBy("source")),
+
     // Domain-mixture reweighting: per-source downsampling fractions that
     // realize a 50/30/20 target mixture (downsample-only — the scarcest
     // source caps the total). Counts are exact; frac/n_keep are the same

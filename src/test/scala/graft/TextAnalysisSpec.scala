@@ -311,6 +311,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(dist == fast)
   }
 
+  test("zipfFit recovers slope -1 on an exactly-Zipfian term distribution") {
+    import spark.implicits._
+    // term freqs 12,6,4,3 = 12/r at consecutive ranks 1..4: ln f =
+    // ln 12 - ln r, a perfect slope of -1 (up to log micro-quantization)
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).mkString(" ")
+    val df = Seq(("web", text)).toDF("src", "text")
+    val r = TextAnalysis.zipfFit(df, "src", "text").collect()(0)
+    assert(r.getString(0) == "web" && r.getLong(1) == 4L) // vocab
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-3, s"slope ${r.getDouble(2)}")
+  }
+
   test("hashedLinearScore matches a hand-rolled md5-bucket scorer") {
     import spark.implicits._
     val df = Seq((1L, "Alpha beta gamma"), (2L, "beta beta"), (3L, "x"))
