@@ -526,6 +526,29 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // Product-quantization ANN (Pq): deterministic codebooks (exact-micro
+    // Lloyd step), 8-byte codes, ADC top-k by literal lookup table —
+    // rows-only (approximation), recall spec-bounded vs exact L2 in
+    // PqSpec. Plan construction trains the codebooks (eager, like
+    // HeavyHitters' pass 1).
+    Q("q_embed_knn_pq", None,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ks = 16)
+        val encoded = emb.select(col("vec_id"),
+          Pq.encodeExpr(col("embedding"), books).as("pq_code"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        queries.map { case (qid, qv) =>
+          Pq.adcTopK(encoded.filter(col("vec_id") =!= qid),
+              "vec_id", "pq_code", qv, books, k = 10)
+            .select(lit(qid).as("q_id"), col("vec_id").as("c_id"),
+              floor(col("adc_dist") * lit(1e6)).cast("long").as("adc_dist_micro"))
+        }.reduce(_ unionAll _).orderBy("q_id", "adc_dist_micro", "c_id")
+      }),
+
     // ---- text analysis --------------------------------------------------
 
     Q("q_text_stats",
