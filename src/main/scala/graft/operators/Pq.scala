@@ -47,12 +47,16 @@ object Pq {
         graft.functions.euclidean_dist(subvec(s), typedLit(c.toSeq)).as("d"),
         lit(i).as("i"))
     }: _*)).getField("i")
-    // one union'd (subspace, cell, micro-subvector) frame -> ONE grouped
-    // aggregate with a constant-size mergeable buffer per (s, cell)
-    val assigned = (0 until m).map { s =>
-      corpus.select(lit(s).as("s"), cellOf(s).as("cell"),
-        VectorStats.microUnits(subvec(s), scale).as("mv"))
-    }.reduce(_ unionAll _)
+    // ONE corpus scan: each row emits its m (subspace, cell,
+    // micro-subvector) assignments via a per-row explode (small structs),
+    // then one grouped aggregate with a constant-size mergeable buffer
+    // per (s, cell). (A union of m per-subspace selects would scan the
+    // corpus m times — measured 3x slower at sf1.)
+    val assigned = corpus.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), cellOf(s).as("cell"),
+          VectorStats.microUnits(subvec(s), scale).as("mv"))
+      }: _*)).as("e"))
+      .select(col("e.s"), col("e.cell"), col("e.mv"))
     val agg = udaf(new VectorStats.VecMoments(d0))
     val sums = assigned.groupBy("s", "cell").agg(agg(col("mv")).as("mo"))
       .select(col("s"), col("cell"), col("mo._1").as("n"), col("mo._2").as("sums"))

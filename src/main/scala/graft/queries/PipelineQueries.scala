@@ -538,6 +538,8 @@ object PipelineQueries {
           dim = 64, m = 8, ks = 16)
         val encoded = emb.select(col("vec_id"),
           Pq.encodeExpr(col("embedding"), books).as("pq_code"))
+          // 5 per-query top-k branches share one encode pass
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = emb.filter(col("vec_id") < 5)
           .select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
