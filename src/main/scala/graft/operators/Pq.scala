@@ -42,11 +42,7 @@ object Pq {
     }
     def subvec(s: Int): Column =
       slice(col(vecCol), lit(s * d0 + 1), lit(d0))
-    def cellOf(s: Int): Column = array_min(array(seeds(s).zipWithIndex.map {
-      case (c, i) => struct(
-        graft.functions.euclidean_dist(subvec(s), typedLit(c.toSeq)).as("d"),
-        lit(i).as("i"))
-    }: _*)).getField("i")
+    def cellOf(s: Int): Column = nearestCell(subvec(s), seeds(s))
     // ONE corpus scan: each row emits its m (subspace, cell,
     // micro-subvector) assignments via a per-row explode (small structs),
     // then one grouped aggregate with a constant-size mergeable buffer
@@ -71,6 +67,19 @@ object Pq {
     books
   }
 
+  /** Nearest-centroid argmin by (distance, index) — ONE definition
+    * shared by training assignment and encoding: if the metric or
+    * tie-break ever changed in one but not the other, training cells
+    * and codes would silently disagree and recall would degrade with
+    * nothing pointing at the cause.
+    */
+  private def nearestCell(sub: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.euclidean_dist(sub, typedLit(c.toSeq)).as("d"),
+        lit(i).as("i"))
+    }: _*)).getField("i")
+
   /** PQ encode: array of `m` per-subspace nearest-centroid ids — a pure
     * per-row expression (no shuffle, rides the scan).
     */
@@ -78,12 +87,7 @@ object Pq {
     val m = books.length
     val d0 = books(0)(0).length
     array((0 until m).map { s =>
-      array_min(array(books(s).zipWithIndex.map { case (c, i) =>
-        struct(
-          graft.functions.euclidean_dist(
-            slice(vec, lit(s * d0 + 1), lit(d0)), typedLit(c.toSeq)).as("d"),
-          lit(i).as("i"))
-      }: _*)).getField("i")
+      nearestCell(slice(vec, lit(s * d0 + 1), lit(d0)), books(s))
     }: _*)
   }
 

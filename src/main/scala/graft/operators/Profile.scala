@@ -62,10 +62,13 @@ object Profile {
 
   /** Per-GROUP profile — the per-partition report card ("how does
     * yesterday's web shard compare to books?"): same single-scan
-    * measures as [[profile]], grouped by `groupCols`. Still one
-    * partial-aggregable aggregate (one buffer per group per executor);
-    * output is one row per (group, column). The per-group explode
-    * multiplies only the GROUP-count rows, never the data.
+    * measures as [[profile]], grouped by `groupCols`; output is one row
+    * per (group, column). The per-group explode multiplies only the
+    * GROUP-count rows, never the data. The same exact/approx trade as
+    * [[profile]] applies: the default `exact = true` plans an Expand
+    * (input replicated once per count-distinct column) — at a 100 TB
+    * per-shard profile pass `exact = false` for the single-pass HLL++
+    * aggregate with no Expand.
     */
   def profileBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String],
       exact: Boolean = true): DataFrame = {

@@ -140,28 +140,44 @@ object TextAnalysis {
       maxBroadcastVocab: Long = 512L): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val unigrams = df
-      .select(explode(toks).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).cast("double").as("__c"))
+      .select(explode(toks).as("__k"))
+      .groupBy("__k").agg(count(lit(1)).cast("double").as("__c"))
     val total = unigrams.agg(sum(col("__c")).as("__t"))
     val costs = unigrams.crossJoin(broadcast(total))
-      .select(col("__w"),
+      .select(col("__k"),
         round(-log(col("__c") / col("__t")) * lit(1e6), 0).cast("long").as("__cost"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = costs.count()
+    scoreByCostTable(df, idCol, toks, costs, maxBroadcastVocab,
+      "n_tokens", "nll_micro")
+  }
+
+  /** The shared two-path scorer behind [[unigramNll]] and [[bigramNll]]:
+    * `costs` = (__k string key, __cost long) derived from the same
+    * corpus. Both paths emit every input row (null/empty term arrays
+    * score (0, 0)) and, because per-term costs are integral, agree
+    * bit-for-bit at any vocab size — path choice is performance only.
+    */
+  private def scoreByCostTable(df: DataFrame, idCol: String, terms: Column,
+      costs: DataFrame, maxBroadcastVocab: Long,
+      nName: String, sumName: String): DataFrame = {
+    val persisted = costs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = persisted.count()
     if (vocab <= maxBroadcastVocab) {
-      val costMap = costs.agg(
-        map_from_arrays(collect_list(col("__w")), collect_list(col("__cost"))).as("__m"))
+      val costMap = persisted.agg(
+        map_from_arrays(collect_list(col("__k")), collect_list(col("__cost"))).as("__m"))
       df.crossJoin(broadcast(costMap))
         .select(col(idCol),
-          size(toks).cast("long").as("n_tokens"),
-          aggregate(toks, lit(0L),
-            (acc, w) => acc + element_at(col("__m"), w)).as("nll_micro"))
+          coalesce(size(terms), lit(0)).cast("long").as(nName),
+          coalesce(aggregate(terms, lit(0L),
+            (acc, t) => acc + element_at(col("__m"), t)), lit(0L)).as(sumName))
     } else {
-      df.select(col(idCol), explode(toks).as("__w"))
-        .join(costs, "__w")
+      val scored = df.select(col(idCol), explode(terms).as("__k"))
+        .join(persisted, "__k")
         .groupBy(col(idCol))
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          sum(col("__cost")).as("nll_micro"))
+        .agg(count(lit(1)).cast("long").as(nName), sum(col("__cost")).as(sumName))
+      // rows whose term array was null/empty have nothing to join — restore
+      df.select(col(idCol)).join(scored, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col(nName), lit(0L)).as(nName),
+          coalesce(col(sumName), lit(0L)).as(sumName))
     }
   }
 
@@ -202,30 +218,10 @@ object TextAnalysis {
     val costs = pairs
       .withColumn("__w", split(col("__b"), " ").getItem(0))
       .join(firsts, "__w")
-      .select(col("__b"),
+      .select(col("__b").as("__k"),
         round(-log(col("__c2") / col("__c1")) * lit(1e6), 0).cast("long").as("__cost"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = costs.count()
-    if (vocab <= maxBroadcastVocab) {
-      val costMap = costs.agg(
-        map_from_arrays(collect_list(col("__b")), collect_list(col("__cost"))).as("__m"))
-      df.crossJoin(broadcast(costMap))
-        .select(col(idCol),
-          greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
-          aggregate(bigramsOf(toks), lit(0L),
-            (acc, b) => acc + element_at(col("__m"), b)).as("nll_micro"))
-    } else {
-      val scored = df.select(col(idCol), explode(bigramsOf(toks)).as("__b"))
-        .join(costs, "__b")
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum(col("__cost")).as("nll_micro"))
-      // docs with < 2 tokens have no bigrams to join — restore as (0, 0)
-      df.select(col(idCol)).join(scored, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
-    }
+    scoreByCostTable(df, idCol, bigramsOf(toks), costs, maxBroadcastVocab,
+      "n_bigrams", "nll_micro")
   }
 
   /** Per-group Zipf fit — "does this shard's term distribution look like
@@ -237,7 +233,10 @@ object TextAnalysis {
     * VOCAB-sized table, never the corpus), then [[Trend.olsPerGroup]]
     * on micro-quantized logs — ln of exact integer counts is the same
     * IEEE double everywhere, so the fit oracles like `q_ols_trend`.
-    * Returns (group, vocab = n, slope, intercept) from Trend.
+    * Returns (group, vocab = n, slope, intercept) from Trend. UNITS:
+    * the 1e6 log quantization cancels in `slope` (µ/µ — natural units,
+    * ≈ −s) but NOT in `intercept`, which comes back in MICRO-ln units
+    * (divide by 1e6 for ln c).
     */
   def zipfFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

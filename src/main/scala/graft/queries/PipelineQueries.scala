@@ -1101,13 +1101,14 @@ object PipelineQueries {
              |  FROM s)
              |SELECT g AS source, n AS vocab,
              |  CAST(floor(slope * 1000000000.0) AS BIGINT) AS slope_nano,
-             |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 1000.0) AS BIGINT) AS intercept_milli
+             |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 0.001) AS BIGINT) AS intercept_milli
              |FROM f ORDER BY source""".stripMargin),
       (s, d) =>
         TextAnalysis.zipfFit(t(s, d, "documents"), "source", "text")
           .select(col("source"), col("n").as("vocab"),
             floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
-            floor(col("intercept") * lit(1000.0)).cast("long").as("intercept_milli"))
+            // zipfFit intercept is in MICRO-ln units; ×0.001 → milli-ln
+            floor(col("intercept") * lit(0.001)).cast("long").as("intercept_milli"))
           .orderBy("source")),
 
     // Domain-mixture reweighting: per-source downsampling fractions that
