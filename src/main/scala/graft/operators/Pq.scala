@@ -18,8 +18,20 @@ import org.apache.spark.sql.functions._
   * parallelism, the [[Similarity.kmeansStep]] recipe), then collected
   * under the bounded centroid-table contract (Similarity.scala).
   * Encoding and ADC are pure per-row expressions (array lookups are
-  * O(1)); top-k lowers to TakeOrderedAndProject. Nothing about the
-  * corpus ever shuffles.
+  * O(1)); top-k lowers to a per-partition bounded heap + keyed finish.
+  * Nothing about the corpus ever shuffles beyond (#queries × k) rows
+  * per partition.
+  *
+  * Query surface (batch-native — a queries DataFrame, never a driver
+  * loop):
+  *  - [[adcTopKBatch]]: flat ADC — every query's m·ks lookup table is
+  *    computed IN the plan from the literal codebooks, the (small) query
+  *    side is broadcast, and one corpus-code scan serves the whole batch.
+  *  - [[ivfPqTopK]]: the 100 TB layout — IVF coarse cells + PQ codes of
+  *    the RESIDUAL (vec − cell centroid). Queries probe their nProbe
+  *    nearest cells and the candidate generation is an equi-join on
+  *    `cell`, so un-probed cells' codes are never ranked (and with the
+  *    encoded index written partitioned by `cell`, never read).
   */
 object Pq {
 
@@ -27,21 +39,38 @@ object Pq {
     * lowest-id corpus rows (deterministic, no RNG), then run one Lloyd
     * step with exact integer-micro accumulation so the result is
     * identical at any partitioning. Returns books[m][ks][dim/m]; empty
-    * cells keep their seed.
+    * cells keep their seed. Accepts array<float> or array<double>.
     */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, ks: Int, scale: Long = 1000000L): Array[Array[Array[Double]]] = {
+      dim: Int, m: Int, ks: Int, scale: Long = 1000000L): Array[Array[Array[Double]]] =
+    trainOn(corpus, idCol, col(vecCol).cast("array<double>"), dim, m, ks, scale)
+
+  /** Codebooks for the IVF-PQ layout: trained on RESIDUALS
+    * (vec − nearest coarse centroid), the quantity [[ivfPqTopK]] ranks.
+    * Same one-scan exact-micro Lloyd step; the coarse assignment rides
+    * the same scan as a per-row expression.
+    */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], m: Int, ks: Int,
+      scale: Long = 1000000L): Array[Array[Array[Double]]] = {
+    require(cents.nonEmpty, "no coarse centroids")
+    val dim = cents(0).length
+    trainOn(corpus, idCol, residualExpr(col(vecCol), cents), dim, m, ks, scale)
+  }
+
+  private def trainOn(corpus: DataFrame, idCol: String, vec: Column,
+      dim: Int, m: Int, ks: Int, scale: Long): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val d0 = dim / m
     val seeds: Array[Array[Array[Double]]] = {
       val rows = corpus.orderBy(col(idCol)).limit(ks)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .select(vec).collect()
+        .map(_.getSeq[Double](0).toArray)
       require(rows.length == ks, s"need $ks seed vectors, corpus has ${rows.length}")
       Array.tabulate(m)(s => rows.map(_.slice(s * d0, (s + 1) * d0)))
     }
     def subvec(s: Int): Column =
-      slice(col(vecCol), lit(s * d0 + 1), lit(d0))
+      slice(vec, lit(s * d0 + 1), lit(d0))
     def cellOf(s: Int): Column = nearestCell(subvec(s), seeds(s))
     // ONE corpus scan: each row emits its m (subspace, cell,
     // micro-subvector) assignments via a per-row explode (small structs),
@@ -68,10 +97,10 @@ object Pq {
   }
 
   /** Nearest-centroid argmin by (distance, index) — ONE definition
-    * shared by training assignment and encoding: if the metric or
-    * tie-break ever changed in one but not the other, training cells
-    * and codes would silently disagree and recall would degrade with
-    * nothing pointing at the cause.
+    * shared by training assignment, encoding, and the IVF coarse
+    * quantizer: if the metric or tie-break ever changed in one but not
+    * the other, training cells and codes would silently disagree and
+    * recall would degrade with nothing pointing at the cause.
     */
   private def nearestCell(sub: Column, centroids: Array[Array[Double]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
@@ -80,6 +109,16 @@ object Pq {
         lit(i).as("i"))
     }: _*)).getField("i")
 
+  /** vec − centroid[cell], with the coarse assignment inlined: a pure
+    * per-row expression (the centroid table is a literal 2-D array).
+    */
+  private def residualExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+    val vecD = vec.cast("array<double>")
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    zip_with(vecD, element_at(centLit, nearestCell(vecD, cents) + 1),
+      (a, b) => a - b)
+  }
+
   /** PQ encode: array of `m` per-subspace nearest-centroid ids — a pure
     * per-row expression (no shuffle, rides the scan).
     */
@@ -87,15 +126,68 @@ object Pq {
     val m = books.length
     val d0 = books(0)(0).length
     array((0 until m).map { s =>
-      nearestCell(slice(vec, lit(s * d0 + 1), lit(d0)), books(s))
+      nearestCell(slice(vec.cast("array<double>"), lit(s * d0 + 1), lit(d0)), books(s))
     }: _*)
   }
 
-  /** ADC top-k for one query vector over a PQ-encoded corpus: the
-    * query's per-subspace distance table (m·ks doubles, computed on the
-    * driver) becomes a literal 2-D array; each candidate's approximate
-    * distance is an O(m) fold of O(1) lookups. Returns (idCol, adc_dist),
-    * the k smallest by (distance, id) — lowers to TakeOrderedAndProject.
+  /** Per-query ADC lookup table, computed IN the plan: an m×ks array of
+    * squared L2 distances between the query's s-th subvector and each
+    * codeword. O(m·ks·d0) per QUERY row (≈1k flops at m=8/ks=16/d0=8) —
+    * paid once per query, never per corpus code.
+    */
+  def lutExpr(qvec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val ks = books(0).length
+    val d0 = books(0)(0).length
+    val b = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq) // m × ks × d0
+    val q = qvec.cast("array<double>")
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(ks - 1)), c =>
+        aggregate(sequence(lit(0), lit(d0 - 1)), lit(0.0), (acc, i) => {
+          val qi = element_at(q, s * lit(d0) + i + 1)
+          val ci = element_at(element_at(element_at(b, s + 1), c + 1), i + 1)
+          acc + (qi - ci) * (qi - ci)
+        })))
+  }
+
+  /** Approximate distance of one code against a query's LUT: an O(m)
+    * fold of O(1) lookups.
+    */
+  private def adcDist(lut: Column, code: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(lut, s + 1), element_at(code, s + 1) + 1))
+
+  /** Batch flat-ADC top-k: ranks a QUERIES DATAFRAME against a
+    * PQ-encoded corpus in one pass. Each query row carries its LUT
+    * ([[lutExpr]]); the query side is broadcast; the corpus-code scan
+    * happens ONCE for the whole batch; per-partition bounded heaps cap
+    * the shuffle at (#queries × k) rows per partition
+    * ([[Similarity.partialTopK]]). Self-pairs (same id) are excluded.
+    * Returns (q_id, c_id, rn, adc_dist), k smallest by (adc_dist, c_id).
+    */
+  def adcTopKBatch(encoded: DataFrame, queries: DataFrame, idCol: String,
+      codeCol: String, vecCol: String, books: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val q = queries.select(col(idCol).as("q_id"),
+      lutExpr(col(vecCol), books).as("lut"))
+    val scored = encoded.select(col(idCol).as("c_id"), col(codeCol).as("code"))
+      .crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        negate(adcDist(col("lut"), col("code"), m)).as("sim"))
+      .as[Scored]
+    Similarity.partialTopK(scored, k)
+      .select(col("q_id"), col("c_id"), col("rn"), negate(col("sim")).as("adc_dist"))
+  }
+
+  /** Single-vector convenience over [[adcTopKBatch]]'s plan shape — the
+    * per-subspace distance table becomes a literal; kept for callers
+    * with one ad-hoc query. Returns (idCol, adc_dist), the k smallest
+    * by (distance, id) — lowers to TakeOrderedAndProject.
     */
   def adcTopK(encoded: DataFrame, idCol: String, codeCol: String,
       query: Array[Double], books: Array[Array[Array[Double]]], k: Int): DataFrame = {
@@ -110,11 +202,60 @@ object Pq {
       }
     }
     val tbl = typedLit(table)
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => acc +
-        element_at(element_at(tbl, s + 1), element_at(col(codeCol), s + 1) + 1))
-    encoded.select(col(idCol), dist.as("adc_dist"))
+    encoded.select(col(idCol), adcDist(tbl, col(codeCol), m).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Build the IVF-PQ index: every corpus row gets its coarse cell
+    * (nearest centroid by L2) and the PQ code of its RESIDUAL. A pure
+    * per-row projection — write this partitioned by `cell` and a query
+    * never reads an un-probed cell's codes.
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol),
+      nearestCell(vecD, cents).as("cell"),
+      encodeExpr(residualExpr(col(vecCol), cents), books).as("pq_code"))
+  }
+
+  /** IVF-PQ batch top-k — the composed 100 TB ANN shape. Queries find
+    * their nProbe nearest coarse cells; for EACH probed cell the query's
+    * LUT is built from its residual against THAT cell's centroid (the
+    * quantity the codes encode); candidates come from an EQUI-JOIN on
+    * `cell` — no per-query full-code scan, no cross join. The probed
+    * query side (#queries × nProbe rows, each with an m·ks LUT) is
+    * broadcast. Returns (q_id, c_id, rn, adc_dist).
+    */
+  def ivfPqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val vecD = col(vecCol).cast("array<double>")
+    // nProbe nearest cells, ascending (d, cell): array_sort on structs
+    val cellDists = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(graft.functions.euclidean_dist(vecD, typedLit(cv.toSeq)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = queries
+      .select(col(idCol).as("q_id"), vecD.as("q_vec"),
+        explode(slice(array_sort(cellDists), 1, math.min(nProbe, cents.length)))
+          .as("p"))
+      .select(col("q_id"), col("p.cell").as("cell"),
+        zip_with(col("q_vec"), element_at(centLit, col("p.cell") + 1),
+          (a, b) => a - b).as("q_resid"))
+      .select(col("q_id"), col("cell"),
+        lutExpr(col("q_resid"), books).as("lut"))
+    val scored = encoded.join(broadcast(probed), "cell")
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id").cast("long"), col(idCol).cast("long").as("c_id"),
+        negate(adcDist(col("lut"), col("pq_code"), m)).as("sim"))
+      .as[Scored]
+    Similarity.partialTopK(scored, k)
+      .select(col("q_id"), col("c_id"), col("rn"), negate(col("sim")).as("adc_dist"))
   }
 }

@@ -38,9 +38,18 @@ object Similarity {
       .select(col("q_id").cast("long"), col("c_id").cast("long"),
         cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
       .as[Scored]
-    // Partial top-k per partition: a bounded heap per query keeps the
-    // shuffle at (#queries * k) rows per partition regardless of corpus
-    // size — the map-side-combine of top-k.
+    partialTopK(scored, k)
+  }
+
+  /** Partial top-k per partition, then global finish: a bounded heap per
+    * query keeps the shuffle at (#queries * k) rows per partition
+    * regardless of corpus size — the map-side-combine of top-k. Keeps the
+    * k LARGEST `sim` per `q_id`, ties to the smaller `c_id`. Shared by
+    * [[bruteForceKnn]] and the batch ADC path ([[Pq.adcTopKBatch]],
+    * which negates distance into `sim`).
+    */
+  private[operators] def partialTopK(scored: Dataset[Scored], k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
     val partial = scored.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[Scored]]
       // min-heap by (sim asc, c_id desc): head is the weakest entry.
@@ -178,6 +187,41 @@ object Similarity {
       .agg(first(col("n")).as("n_assigned"),
         transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("centroid"))
+  }
+
+  /** Multi-iteration Lloyd training: iterate [[kmeansStep]] until the
+    * centroids stop moving (max per-dim shift ≤ tol) or maxIters. Each
+    * iteration is one corpus scan + one exact-integer aggregate; the
+    * centroid table round-trips through the driver between iterations
+    * (nCentroids × dim floats — KBs — the bounded centroid-table
+    * contract), so the next iteration's plan starts fresh from the scan
+    * and lineage never grows. Cells that lose all members keep their
+    * previous centroid. Deterministic at any partitioning (exact-micro
+    * accumulation) — the trained table feeds [[ivfKnnWithCentroids]] and
+    * [[Pq.trainResidualCodebooks]].
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Array[(Int, Seq[Float])], maxIters: Int,
+      tol: Double = 1e-4): Array[(Int, Seq[Float])] = {
+    var cents = seed
+    var it = 0
+    var moved = true
+    while (it < maxIters && moved) {
+      val stepped = kmeansStep(corpus, idCol, vecCol, cents)
+        .select(col("cell").cast("int"),
+          expr("transform(centroid, x -> cast(x as float))"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .toMap
+      val next = cents.map { case (id, old) => id -> stepped.getOrElse(id, old) }
+      val shift = cents.iterator.zip(next.iterator).map { case ((_, a), (_, b)) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => math.abs(x - y).toDouble }.max
+      }.max
+      moved = shift > tol
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket, then exact

@@ -538,17 +538,35 @@ object PipelineQueries {
           dim = 64, m = 8, ks = 16)
         val encoded = emb.select(col("vec_id"),
           Pq.encodeExpr(col("embedding"), books).as("pq_code"))
-          // 5 per-query top-k branches share one encode pass
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val queries = emb.filter(col("vec_id") < 5)
-          .select("vec_id", "embedding").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-        queries.map { case (qid, qv) =>
-          Pq.adcTopK(encoded.filter(col("vec_id") =!= qid),
-              "vec_id", "pq_code", qv, books, k = 10)
-            .select(lit(qid).as("q_id"), col("vec_id").as("c_id"),
-              floor(col("adc_dist") * lit(1e6)).cast("long").as("adc_dist_micro"))
-        }.reduce(_ unionAll _).orderBy("q_id", "adc_dist_micro", "c_id")
+        // batch-native flat ADC: one corpus-code scan serves all queries
+        // (per-query LUTs are broadcast; no driver loop, no plan branch
+        // per query)
+        Pq.adcTopKBatch(encoded, emb.filter(col("vec_id") < 5),
+            "vec_id", "pq_code", "embedding", books, k = 10)
+          .select(col("q_id"), col("c_id"),
+            floor(col("adc_dist") * lit(1e6)).cast("long").as("adc_dist_micro"))
+          .orderBy("q_id", "adc_dist_micro", "c_id")
+      }),
+
+    // IVF-PQ — the composed 100 TB ANN layout: trained coarse quantizer
+    // (multi-iteration exact-micro Lloyd), PQ codes of the residual,
+    // candidate generation by equi-join on probed cells only. Rows-only
+    // (approximation); recall and parity spec-bounded in PqSpec.
+    Q("q_embed_knn_ivfpq", None,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val seed = Similarity.centroidRows(
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+        val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          seed, maxIters = 3)
+        val cents = trained.map(_._2.map(_.toDouble).toArray)
+        val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+          cents, m = 8, ks = 16)
+        val encoded = Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
+        Pq.ivfPqTopK(encoded, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), col("rn"))
+          .orderBy("q_id", "rn")
       }),
 
     // ---- text analysis --------------------------------------------------
