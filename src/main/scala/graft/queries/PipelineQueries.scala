@@ -27,6 +27,37 @@ object PipelineQueries {
 
   private val bm25Terms = Seq("dup", "vector", "scan")
 
+  /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
+    * text, perRound = 16, rounds = 3)`, inlined as a literal so the
+    * DuckDB oracle applies the IDENTICAL chain (training itself is
+    * deterministic at any partitioning, BpeSpec; the training signal is
+    * oracled separately as q_bpe_pairs).
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "e r", "i n", "o w", "o r", "s t", "m e", "t o", "a t", "l u", "a l",
+    "r o", "t a", "a s", "u e", "a r", "p a", "m er", "p ar", "j o",
+    "o in", "as h", "h as", "r ow", "at c", "b at", "c h", "a n", "c a",
+    "s c", "c o", "c u", "lu m", "jo in", "h ash", "atc h", "b atc",
+    "sc an", "co lum", "cu st", "lum n", "o mer", "st o", "f i", "i l",
+    "l t", "t er", "al l", "m al")
+    .map { s => val i = s.indexOf(' '); (s.substring(0, i), s.substring(i + 1)) }
+
+  /** DuckDB spaced-representation expression (the Spark side is
+    * [[Bpe.spacedRepr]]; regex semantics align — `\\1` vs `$1` is the
+    * only dialect difference).
+    */
+  private val bpeBaseSql =
+    """' ' || trim(regexp_replace(regexp_replace(regexp_replace(lower(text), """ +
+      """'[^a-z0-9]+', ' | ', 'g'), '([a-z0-9])', '\1 ', 'g'), ' +', ' ', 'g')) || ' '"""
+
+  /** The full merge chain as nested DuckDB `replace` calls — same
+    * leftmost-non-overlapping semantics as Spark's `replace`.
+    */
+  private val bpeAppliedSql =
+    BpeMerges.foldLeft(bpeBaseSql) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+
   /** DuckDB BM25 oracle CTE (k1=1.2, b=0.75, scores in integer micros),
     * mirroring Bm25.scoreMicros literal-for-literal — same association
     * order, CASTs on every decimal literal (DuckDB decimals would
@@ -939,6 +970,63 @@ object PipelineQueries {
         Pack.byBudget(
             t(s, d, "documents").select(col("doc_id"), col("source"),
               size(split(col("text"), " ")).cast("long").as("n_toks")),
+            col("source"), col("doc_id"), col("n_toks"), budget = 512L)
+          .withColumnRenamed("offset", "start_off")
+          .orderBy("doc_id")),
+
+    // BPE training signal: adjacent-token pair counts over the spaced
+    // representation — the one-scan partial-aggregable groupBy each
+    // training round runs. Top-32 by (count desc, pair asc) is a total
+    // order, so the LIMIT is deterministic and hash-oracled.
+    Q("q_bpe_pairs",
+      Some(s"""WITH t AS (SELECT string_split(trim($bpeBaseSql), ' ') AS l FROM documents),
+              |p AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr FROM t)
+              |SELECT pr[1] AS x, pr[2] AS y, CAST(count(*) AS BIGINT) AS c FROM p
+              |WHERE pr[1] <> '|' AND pr[2] <> '|' AND pr[1] <> '' AND pr[2] <> ''
+              |GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 32""".stripMargin),
+      (s, d) =>
+        Bpe.pairCounts(t(s, d, "documents"), col("text"))
+          .select(col("x"), col("y"), col("c").cast("long").as("c"))
+          .orderBy(col("c").desc, col("x").asc, col("y").asc)
+          .limit(32)),
+
+    // BPE encode under the learned merge table (inlined literal — trained
+    // once at sf0.01 by Bpe.trainMerges(docs, text, 16, 3), reproducible
+    // byte-for-byte per BpeSpec's determinism test). The oracle re-applies
+    // the IDENTICAL leftmost-non-overlapping replace chain: Spark
+    // `replace` and DuckDB `replace` share Java-String.replace semantics,
+    // so token arrays hash-match exactly.
+    Q("q_bpe_encode",
+      Some(s"""WITH a AS (SELECT doc_id, $bpeAppliedSql AS ap FROM documents),
+              |tk AS (SELECT doc_id, list_filter(string_split(trim(ap), ' '),
+              |  t -> t <> '|' AND t <> '') AS toks FROM a)
+              |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+              |  array_to_string(toks[1:12], ',') AS head
+              |FROM tk WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = Bpe.encode(col("text"), BpeMerges)
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe"),
+            array_join(slice(toks, 1, 12), ",").as("head"))
+          .orderBy("doc_id")
+      }),
+
+    // Packing with SUBWORD-real budgets: q_pack's window-cumsum shape,
+    // but sized by the BPE token count instead of the whitespace estimate.
+    Q("q_pack_bpe",
+      Some(s"""WITH a AS (SELECT doc_id, source, $bpeAppliedSql AS ap FROM documents),
+              |d AS (SELECT doc_id, source, CAST(len(list_filter(string_split(trim(ap), ' '),
+              |  t -> t <> '|' AND t <> '')) AS BIGINT) AS n_toks FROM a)
+              |SELECT doc_id, source, n_toks,
+              |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
+              |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
+              |FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Pack.byBudget(
+            t(s, d, "documents").select(col("doc_id"), col("source"),
+              Bpe.tokenCount(col("text"), BpeMerges).cast("long").as("n_toks")),
             col("source"), col("doc_id"), col("n_toks"), budget = 512L)
           .withColumnRenamed("offset", "start_off")
           .orderBy("doc_id")),

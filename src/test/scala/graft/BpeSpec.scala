@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Pack}
+
+class BpeSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.t(spark, sf, "documents").cache()
+
+  test("spaced representation round-trips the normalized text") {
+    // concat of non-boundary tokens == the alnum chars of lower(text),
+    // for any merge table (merges only ever join adjacent in-word tokens)
+    val merges = Bpe.trainMerges(docs.limit(200), col("text"), 8, 2)
+    val bad = docs.limit(200)
+      .select(
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("want"),
+        array_join(Bpe.encode(col("text"), merges), "").as("got"))
+      .filter(col("want") =!= col("got"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("training is deterministic at any partitioning") {
+    val m1 = Bpe.trainMerges(docs, col("text"), 16, 2)
+    val m2 = Bpe.trainMerges(docs.repartition(7), col("text"), 16, 2)
+    assert(m1 == m2)
+    // merges must be unique (a repeated merge would be a no-op pass)
+    assert(m1.distinct.size == m1.size)
+  }
+
+  test("multi-round merges compose into multi-char tokens and compress") {
+    val merges = Bpe.trainMerges(docs, col("text"), 16, 3)
+    // later rounds must build on earlier merges: some merged symbol is
+    // itself a merge product (length > 2 result)
+    assert(merges.exists { case (x, y) => (x + y).length > 2 })
+    val counts = docs.select(
+      Bpe.tokenCount(col("text"), merges).cast("long").as("bpe"),
+      Bpe.tokenCount(col("text"), Nil).cast("long").as("chars"))
+      .agg(sum("bpe"), sum("chars")).collect()(0)
+    val (bpe, chars) = (counts.getLong(0), counts.getLong(1))
+    // 48 learned merges must compress the corpus well below raw chars
+    assert(bpe < chars * 0.8, s"bpe=$bpe not < 0.8 * chars=$chars")
+  }
+
+  test("hand example: merges apply in order, leftmost non-overlapping") {
+    val df = spark.createDataFrame(Seq(Tuple1("aba abab! ab"))).toDF("t")
+    // spaced: " a b a | a b a b | a b "
+    val got = df.select(
+      array_join(Bpe.encode(col("t"), Seq(("a", "b"), ("ab", "a"))), ",")
+        .as("g")).collect()(0).getString(0)
+    // merge (a,b), non-overlapping: " ab a | ab a b | ab " (the shared
+    // space between adjacent occurrences blocks the second of a pair);
+    // merge (ab,a): " aba | aba b | ab "
+    assert(got == "aba,aba,b,ab", got)
+  }
+
+  test("pack budgets hold under BPE token counts (property)") {
+    val merges = Bpe.trainMerges(docs, col("text"), 16, 2)
+    val sized = docs.select(col("doc_id"), col("source"),
+      Bpe.tokenCount(col("text"), merges).cast("long").as("n_toks"))
+    // every doc's starting offset lies in [shard*512, (shard+1)*512)
+    val badCnt = Pack.byBudget(sized, col("source"), col("doc_id"),
+      col("n_toks"), 512L)
+      .filter(col("offset") < col("shard") * 512L ||
+        col("offset") >= (col("shard") + 1) * 512L)
+      .count()
+    assert(badCnt == 0L)
+    // offsets are consecutive: offset(next) = offset(prev) + n_toks(prev)
+    val rows = Pack.byBudget(sized, col("source"), col("doc_id"),
+      col("n_toks"), 512L)
+      .orderBy("source", "doc_id").collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) == a.getLong(3) + a.getLong(2))
+        case _ =>
+      }
+    }
+  }
+}
