@@ -149,6 +149,47 @@ object PipelineQueries {
     // the same components with a recursive CTE over the exact all-pairs
     // graph (LSH completeness at these thresholds established by
     // q_dedup_minhash's equivalence).
+    // Native recursive CTE (Spark 4 WITH RECURSIVE) computing the same
+    // near-dup closure — the reference rejects the clause outright
+    // (queryplanner.rs:39-47); here it runs. Spark supports UNION ALL
+    // recursion only, so the closure is min-label propagation: labels
+    // spread only to LARGER-id vertices (the component min is the unique
+    // survivor of the final min()), per-level DISTINCT keeps the frontier
+    // set-sized, and the depth guard bounds iteration the way
+    // resolveClusters' maxIter does — near-dup components are planted
+    // clique-ish clusters of diameter 1-2, so depth 12 is a wide margin.
+    // The DuckDB oracle runs the true UNION fixpoint over the exact
+    // all-pairs graph; hash-equality IS the convergence check.
+    Q("q_recursive_cte",
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v)
+              |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+              |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+        pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+          .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+          .createOrReplaceTempView("graft_rcte_edges")
+        s.sql("""WITH RECURSIVE reach(v, r, d) AS (
+                |  SELECT DISTINCT a AS v, a AS r, 0 AS d FROM graft_rcte_edges
+                |  UNION ALL
+                |  SELECT DISTINCT e.a, reach.r, reach.d + 1
+                |  FROM graft_rcte_edges e JOIN reach ON e.b = reach.v
+                |  WHERE reach.r < e.a AND reach.d < 12)
+                |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+                |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
+      }),
+
     Q("q_dedup_clusters",
       Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
               |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -263,6 +263,27 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("native recursive CTE closure == resolveClusters (incl. a chain)") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, exercises multi-level recursion) + pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .createOrReplaceTempView("graft_rcte_edges")
+    val got = spark.sql("""WITH RECURSIVE reach(v, r, d) AS (
+        |  SELECT DISTINCT a AS v, a AS r, 0 AS d FROM graft_rcte_edges
+        |  UNION ALL
+        |  SELECT DISTINCT e.a, reach.r, reach.d + 1
+        |  FROM graft_rcte_edges e JOIN reach ON e.b = reach.v
+        |  WHERE reach.r < e.a AND reach.d < 12)
+        |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+        |FROM reach GROUP BY v""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup.resolveClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"rcte $got != resolveClusters $want")
+  }
+
   test("dropNearDuplicates keeps exactly one representative per cluster") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "text")
