@@ -55,7 +55,14 @@ object Pq {
       scale: Long = 1000000L): Array[Array[Array[Double]]] = {
     require(cents.nonEmpty, "no coarse centroids")
     val dim = cents(0).length
-    trainOn(corpus, idCol, residualExpr(col(vecCol), cents), dim, m, ks, scale)
+    // STAGE the residual behind a projection: trainOn references its vec
+    // column ~2m times (per-subspace cell + micro slices), and inlining
+    // the zip_with + nearestCell chain that many times makes the training
+    // scan O(m·nCents·dim) per row instead of O(nCents·dim)
+    // (measured 5.4 s -> ~0.6 s on 20k×64 at sf0.1).
+    val staged = corpus.select(col(idCol),
+      residualExpr(col(vecCol), cents).as("__rvec"))
+    trainOn(staged, idCol, col("__rvec"), dim, m, ks, scale)
   }
 
   private def trainOn(corpus: DataFrame, idCol: String, vec: Column,
@@ -214,10 +221,16 @@ object Pq {
     */
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): DataFrame = {
-    val vecD = col(vecCol).cast("array<double>")
-    corpus.select(col(idCol),
-      nearestCell(vecD, cents).as("cell"),
-      encodeExpr(residualExpr(col(vecCol), cents), books).as("pq_code"))
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    // staged projections: assign the cell once, subtract the centroid
+    // once, THEN encode — encodeExpr slices its input m times, and each
+    // stage's alias is an attribute (not a re-inlined expression chain)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell", nearestCell(col("__v"), cents))
+      .withColumn("__rvec",
+        zip_with(col("__v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col(idCol), col("cell"),
+        encodeExpr(col("__rvec"), books).as("pq_code"))
   }
 
   /** IVF-PQ batch top-k — the composed 100 TB ANN shape. Queries find

@@ -58,15 +58,71 @@ object Robust {
   def rollingZScore(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, valueInt: Column, k: Int): DataFrame = {
     require(k >= 2, s"rolling z-score needs a frame of k >= 2, got $k")
+    // Spark evaluates a ROWS BETWEEN -k AND -1 frame WITHOUT retraction:
+    // each row re-aggregates its k predecessors, O(k)/row. Negligible at
+    // monitor-sized k; at large k the prefix-difference form below is the
+    // same answer in O(1)/row. Both ride ONE keyed shuffle + sort; the
+    // finishing arithmetic is shared, so the two paths are bit-identical
+    // (pinned by RobustRollingSpec) and the crossover is an internal
+    // detail.
+    if (k <= DirectFrameMaxK) rollingZDirect(df, groupCol, orderCol, tieCol, valueInt, k)
+    else rollingZPrefix(df, groupCol, orderCol, tieCol, valueInt, k)
+  }
+
+  /** Measured crossover (BASELINE.md sf1 soak): direct frame wins on
+    * per-row constant factors up to tens of rows; by k=1000 the prefix
+    * form is the only sane shape.
+    */
+  private val DirectFrameMaxK = 64
+
+  private[graft] def rollingZDirect(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueInt: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(col(orderCol), col(tieCol))
       .rowsBetween(-k, -1)
-    val v = valueInt.cast("long")
-    val d = df.withColumn("__v", v)
+    val d = df.withColumn("__v", valueInt.cast("long"))
       .withColumn("__n", count(col("__v")).over(w))
       .withColumn("__s", sum(col("__v")).over(w))
       .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
-    val n = col("__n").cast("double")
+    finishZ(d)
+  }
+
+  /** O(1)/row frame sums at any k: cumulative (sum, sumsq, count) over
+    * the same keyed order, frame aggregates as exact-long differences of
+    * the cumulants at lag 1 and lag k+1 (frame rows i−k..i−1 =
+    * prefix[i−1] − prefix[i−k−1]). Long differences of exact long
+    * prefixes equal the directly-summed frame longs, so every downstream
+    * IEEE double is unchanged. Same single shuffle + sort — the lag and
+    * cumulative expressions share one Window partition/order.
+    */
+  private[graft] def rollingZPrefix(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueInt: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(groupCol).orderBy(col(orderCol), col(tieCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def framed(c: Column): Column =
+      coalesce(lag(c, 1).over(ord), lit(0L)) -
+        coalesce(lag(c, k + 1).over(ord), lit(0L))
+    val d = df.withColumn("__v", valueInt.cast("long"))
+      .withColumn("__cs", sum(col("__v")).over(cum))
+      .withColumn("__css", sum(col("__v") * col("__v")).over(cum))
+      .withColumn("__cn", count(col("__v")).over(cum))
+      .withColumn("__n", framed(col("__cn")))
+      .withColumn("__s", framed(col("__cs")))
+      .withColumn("__ss", framed(col("__css")))
+      .drop("__cs", "__css", "__cn")
+    finishZ(d)
+  }
+
+  /** Shared finish: identical IEEE operation order for both frame paths
+    * (and the DuckDB oracle, and the streaming monitor).
+    */
+  private def finishZ(d: DataFrame): DataFrame = {
+    // null (not 0) divisor when the frame is empty: the prefix path's
+    // coalesced sums are 0 where the direct path's are null, and ANSI
+    // mode turns 0/0 into an error rather than the null the guard below
+    // would discard anyway
+    val n = when(col("__n") > 0, col("__n").cast("double"))
     val mean = col("__s").cast("double") / n
     val variance = col("__ss").cast("double") / n - mean * mean
     val std = sqrt(greatest(variance, lit(0.0)))

@@ -168,25 +168,25 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Seq[Float])]): DataFrame = {
     require(cents.nonEmpty, "no centroid rows")
+    val dim = cents(0)._2.length
     def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
       struct(cosine_sim(vec, typedLit(cv)).as("sim"), lit(cid).as("cell"))
     }: _*)
     val assigned = corpus.select(
       array_max(cellScores(col(vecCol))).getField("cell").as("cell"),
       col(vecCol).as("vec"))
-    val dims = assigned.select(col("cell"),
-      posexplode(col("vec")).as(Seq("dim", "v")))
-    // exact integer micros: floor is bit-stable on identical doubles across
-    // engines, and the integer sum is order-invariant
-    val sums = dims.groupBy("cell", "dim")
-      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-    val means = sums.select(col("cell"), col("dim"), col("n"),
-      (col("s").cast("double") / lit(1e6) / col("n").cast("double")).as("m"))
-    means.groupBy("cell")
-      .agg(first(col("n")).as("n_assigned"),
-        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e.getField("m")).as("centroid"))
+    // ONE grouped aggregate with a constant-size mergeable buffer per
+    // cell (exact integer micros: floor is bit-stable on identical
+    // doubles across engines, integer sums are order-invariant) — the
+    // earlier (cell, dim) explode shape cost a dim× row blow-up and a
+    // second shuffle for the same numbers.
+    val agg = udaf(new VectorStats.VecMoments(dim))
+    assigned.groupBy("cell")
+      .agg(agg(VectorStats.microUnits(col("vec"), 1000000L)).as("mo"))
+      .select(col("cell"), col("mo._1").as("n_assigned"),
+        transform(col("mo._2"),
+          s => s.cast("double") / lit(1e6) / col("mo._1").cast("double"))
+          .as("centroid"))
   }
 
   /** Multi-iteration Lloyd training: iterate [[kmeansStep]] until the

@@ -179,6 +179,10 @@ object PipelineQueries {
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         pairs.select(col("id_a").as("a"), col("id_b").as("b"))
           .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+          // materialize: UnionLoop re-evaluates the recursion input every
+          // level — without this the whole MinHash pipeline would rerun
+          // per iteration (measured 16 s -> ~3 s at sf0.1)
+          .localCheckpoint()
           .createOrReplaceTempView("graft_rcte_edges")
         s.sql("""WITH RECURSIVE reach(v, r, d) AS (
                 |  SELECT DISTINCT a AS v, a AS r, 0 AS d FROM graft_rcte_edges

@@ -146,7 +146,10 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("kmeans step: partial aggregation below the (cell, dim) exchange") {
     val p = physical("q_kmeans_step")
-    assert(p.contains("partial_sum"), s"no map-side combine in kmeans step:\n$p")
+    // map-side combine of the constant-buffer VecMoments aggregate (the
+    // earlier sum-based shape showed partial_sum; the udaf shows its own
+    // partial_ prefix)
+    assert(p.contains("partial_"), s"no map-side combine in kmeans step:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"assignment should be broadcast literals, not a join:\n$p")
   }

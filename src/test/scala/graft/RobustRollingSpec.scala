@@ -34,4 +34,47 @@ class RobustRollingSpec extends SparkTestBase {
       .filter(col("seq") === 4).select("z").collect()(0)
     assert(z4.isNullAt(0)) // prev frame constant -> std 0 -> null
   }
+
+  test("prefix-difference frame == direct frame bit-for-bit (nulls, small & large k)") {
+    import spark.implicits._
+    // deterministic pseudo-random points with planted nulls, 3 keys
+    val rows = (0 until 800).map { i =>
+      val key = s"k${i % 3}"
+      val v: Option[Long] =
+        if (i % 17 == 0) None
+        else Some(((i * 2654435761L) % 1000L + 1000L) % 1000L)
+      (key, i.toLong, i.toLong, v)
+    }
+    val df = rows.toDF("grp", "seq", "tie", "v")
+    for (k <- Seq(2, 5, 64, 300)) {
+      def dump(d: org.apache.spark.sql.DataFrame) =
+        d.select("grp", "seq", "n_prev", "z").collect().map { r =>
+          (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None
+            // compare raw bits: "bit-for-bit" is the contract
+            else Some(java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        }.toSet
+      val direct = dump(Robust.rollingZDirect(df, "grp", "seq", "tie", col("v"), k))
+      val prefix = dump(Robust.rollingZPrefix(df, "grp", "seq", "tie", col("v"), k))
+      assert(direct == prefix, s"k=$k diverged: ${(direct -- prefix).take(3)}")
+    }
+    // the public API dispatches on k but both sides answer identically,
+    // so the crossover is unobservable
+    val viaApi = Robust.rollingZScore(df, "grp", "seq", "tie", col("v"), 300)
+      .agg(sum("n_prev"), sum(abs(col("z")))).collect()(0)
+    val viaDirect = Robust.rollingZDirect(df, "grp", "seq", "tie", col("v"), 300)
+      .agg(sum("n_prev"), sum(abs(col("z")))).collect()(0)
+    assert(viaApi.getLong(0) == viaDirect.getLong(0) &&
+      viaApi.getDouble(1) == viaDirect.getDouble(1))
+  }
+
+  test("prefix frame stays one shuffle: a single Window partition spec") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("a", i.toLong, i.toLong, i.toLong))
+      .toDF("grp", "seq", "tie", "v")
+    val plan = Robust.rollingZPrefix(df, "grp", "seq", "tie", col("v"), 1000)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$plan")
+  }
 }
