@@ -13,16 +13,58 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to
-      // microseconds — the same ns->us truncation DuckDB's reader applies,
-      // so oracle comparisons stay exact. `div` keeps the arithmetic in
-      // integer space (ns-since-epoch overflows double precision).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts has shipped with two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    * read legacy nanos-as-long) and plain timestamp[us] without tz (read as
+    * TIMESTAMP_NTZ). Branch on the dtype the frame actually has and
+    * normalize to session-TZ TimestampType — the session TZ is pinned to
+    * UTC everywhere, so the NTZ wall-clock and the µs-since-epoch value
+    * coincide and DuckDB oracle comparisons stay exact.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // legacy ns-as-long: truncate ns->us in integer space (ns-since-
+        // epoch overflows double precision), same truncation DuckDB applies.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — extend Tables.normalizeEvents")
+    }
+  }
+
+  /** The events table as an UNBOUNDED file-source stream (same normalized
+    * schema as the batch read) — the ingest shape of a production monitor:
+    * new parquet files landing in the directory flow through incrementally.
+    * In tests/Verify the directory holds one static file, which a
+    * Trigger.AvailableNow pass drains in one batch.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val physical = spark.read.parquet(path).schema
+    // The file-stream source requires a DIRECTORY (new files landing in it
+    // flow through incrementally — the production ingest shape). The
+    // testdata dir holds one parquet file per table, so stage a landing
+    // directory holding a symlink to just the events file.
+    val stage = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")))
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path).toAbsolutePath)
+    normalizeEvents(spark.readStream.schema(physical).parquet(stage.toString))
   }
 
   /** Register tables as temp views for SQL-expressed queries. */

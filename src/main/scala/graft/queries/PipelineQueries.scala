@@ -770,19 +770,47 @@ object PipelineQueries {
           .orderBy(col("n").desc, col("tok").asc)
           .limit(20)),
 
-    // Heavy hitters via the single-pass frequent-items sketch — rows-only
-    // (sketch guarantees containment, not exact counts). The sketch's array
-    // outputs are exploded to sorted (column, item) scalar rows so the
-    // driver harness can hash them.
-    Q("q_freq_items", None,
+    // Heavy hitters, two-pass: the single-pass frequent-items sketch
+    // proposes candidates (no false negatives — Karp/Shenker/Papadimitriou
+    // guarantee), then one exact-count pass over ONLY the candidate values
+    // (broadcast the tiny ≤1/support candidate set, map-side filter, then
+    // aggregate) confirms them. The confirmed set is exactly
+    // {v : count(v) > support·n}, so the query oracles exactly — and the
+    // two-pass shape is the production pattern at 100 TB: the sketch pass
+    // prunes the second scan's aggregation to a handful of keys.
+    Q("q_freq_items",
+      Some("""WITH tot AS (SELECT count(*) AS n FROM lineitem),
+             |f AS (SELECT 'l_returnflag' AS "column",
+             |        CAST(l_returnflag AS VARCHAR) AS item,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM lineitem GROUP BY l_returnflag
+             |      HAVING count(*) > 0.3 * (SELECT n FROM tot)),
+             |l AS (SELECT 'l_linenumber' AS "column",
+             |        CAST(l_linenumber AS VARCHAR) AS item,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM lineitem GROUP BY l_linenumber
+             |      HAVING count(*) > 0.3 * (SELECT n FROM tot))
+             |SELECT * FROM f UNION ALL SELECT * FROM l
+             |ORDER BY "column", item""".stripMargin),
       (s, d) => {
-        val fi = t(s, d, "lineitem")
-          .stat.freqItems(Array("l_returnflag", "l_linenumber"), 0.3)
-        val flags = fi.select(explode(col("l_returnflag_freqItems")).as("raw"))
+        val li = t(s, d, "lineitem")
+        val support = 0.3
+        val fi = li.stat.freqItems(Array("l_returnflag", "l_linenumber"), support)
+        val cands = fi.select(explode(col("l_returnflag_freqItems")).as("raw"))
           .select(lit("l_returnflag").as("column"), col("raw").cast("string").as("item"))
-        val lines = fi.select(explode(col("l_linenumber_freqItems")).as("raw"))
-          .select(lit("l_linenumber").as("column"), col("raw").cast("string").as("item"))
-        flags.unionAll(lines).orderBy("column", "item")
+          .unionAll(fi.select(explode(col("l_linenumber_freqItems")).as("raw"))
+            .select(lit("l_linenumber").as("column"), col("raw").cast("string").as("item")))
+        val total = li.agg(count(lit(1)).as("n_total"))
+        val exact = li.select(lit("l_returnflag").as("column"),
+            col("l_returnflag").cast("string").as("item"))
+          .unionAll(li.select(lit("l_linenumber").as("column"),
+            col("l_linenumber").cast("string").as("item")))
+          .join(broadcast(cands), Seq("column", "item"), "left_semi")
+          .groupBy("column", "item").agg(count(lit(1)).as("cnt"))
+        exact.crossJoin(broadcast(total))
+          .where(col("cnt") > lit(support) * col("n_total"))
+          .select(col("column"), col("item"), col("cnt"))
+          .orderBy("column", "item")
       }),
 
     // Language id + quality score. ORACLED: DuckDB mirrors both heuristics

@@ -429,6 +429,60 @@ object WarehouseQueries {
             floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
           .orderBy("event_id", "event_type", "z_milli")),
 
+    // The STREAMING twin of q_events_anomaly, on the correctness
+    // scoreboard: the same events flow through a real Structured Streaming
+    // query — file source -> transformWithState rolling z-ring
+    // (StreamingAnomaly.score, RocksDB state) -> in-stream anomaly filter
+    // -> memory sink — drained with Trigger.AvailableNow. Scores are
+    // bit-identical to the batch operator (exact-long frame sums, same
+    // IEEE ops; parity pinned by StreamingAnomalySpec), so the DuckDB
+    // oracle is the SAME SQL as the batch query. Only confirmed anomalies
+    // reach the sink, so driver-side memory stays bounded by the alert
+    // rate, not the stream size.
+    Q("q_stream_anomaly",
+      Some("""WITH d AS (SELECT event_id, event_type, ts,
+             |    CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+             |w AS (SELECT event_id, event_type, v,
+             |    count(v) OVER fr AS n, sum(v) OVER fr AS s, sum(v * v) OVER fr AS ss
+             |  FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, event_type, n,
+             |    sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd,
+             |    CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev
+             |  FROM w WHERE n = 100)
+             |SELECT event_id, event_type,
+             |  CAST(floor(dev / sd * 1000.0) AS BIGINT) AS z_milli
+             |FROM z WHERE sd > 0.0 AND abs(dev / sd) > 3.0
+             |ORDER BY event_id, event_type, z_milli""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = "q_stream_anomaly_sink"
+        try {
+          val scored = graft.streaming.StreamingAnomaly.score(
+            graft.Tables.eventsStream(s, d), "event_type", "ts", "event_id",
+            floor(col("value") * lit(100.0)), k = 100)
+          val alerts = scored
+            .filter(col("n_prev") === 100 && abs(col("z")) > 3.0)
+            .select(col("tie").as("event_id"), col("key").as("event_type"),
+              floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
+          val q = alerts.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
+        s.table(sink).orderBy("event_id", "event_type", "z_milli")
+      }),
+
     // Pairwise Pearson correlation matrix (Profile.correlations): all 6
     // pairs over 4 quantized lineitem measures from ONE scan — n + 2k
     // per-column sums + k(k-1)/2 cross sums, exact decimals, closed form
