@@ -602,6 +602,46 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // The ORACLED core of the IVF path: coarse-cell ASSIGNMENT (the
+    // routing step every inverted-file query and every Lloyd iteration
+    // depends on), made cross-engine exact by doing it in integer micro
+    // space — floor(x*1e6) is bit-stable on identical doubles, integer
+    // squared-L2 sums are order-invariant at any parallelism. Centroids
+    // are the 16 smallest-vec_id vectors (the same deterministic seeding
+    // q_embed_knn_ivf trains from), broadcast as a fixed-cardinality dim
+    // table; argmin via min(struct(dist, cell)) — ONE scan, no shuffle
+    // beyond the final tiny argmin aggregate. Final ANN ranks stay
+    // rows-only (q_embed_knn_ivf); the routing they depend on now hashes.
+    Q("q_ivf_assign",
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell, e AS ce FROM q ORDER BY vec_id LIMIT 16),
+             |d AS (SELECT q.vec_id, c.cell,
+             |    CAST(list_sum(list_transform(list_zip(q.e, c.ce),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+             |  FROM q, c),
+             |a AS (SELECT vec_id, cell, dist,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             |  FROM d)
+             |SELECT vec_id, cell, dist FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        // 1000000.0D: Spark parses an unsuffixed decimal literal as
+        // DECIMAL and would route the multiply through decimal rounding;
+        // the D suffix keeps it in IEEE double, matching DuckDB bit-for-bit.
+        val q = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(x * 1000000.0D) as bigint))").as("e"))
+        val cents = q.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cell"), col("e").as("ce"))
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cell"),
+            expr("aggregate(zip_with(e, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("dist"))
+          .groupBy("vec_id").agg(min(struct(col("dist"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"), col("m.dist").as("dist"))
+          .orderBy("vec_id")
+      }),
+
     // Product-quantization ANN (Pq): deterministic codebooks (exact-micro
     // Lloyd step), 8-byte codes, ADC top-k by literal lookup table —
     // rows-only (approximation), recall spec-bounded vs exact L2 in
@@ -1563,7 +1603,35 @@ object PipelineQueries {
 
     // ---- multimodal plumbing (stubbed decode) ---------------------------
 
-    Q("q_multimodal", None,
+    // ORACLED (r9): the stub decode is deterministic byte arithmetic, so
+    // DuckDB re-derives every feature from the hex-encoded UTF-8 payload —
+    // FNV-1a-64 as a list_reduce over the byte list in HUGEINT with a
+    // mod-2^64 wrap per step (the wrap Scala's Long multiply applies
+    // implicitly), sign-adjusted at the end; mean_byte as the same
+    // sum/len double division; n_segments as 1 + count of 0x20 bytes.
+    // The Spark-side plumbing (binary column, metadata struct,
+    // partition-batched mapPartitions decode) is unchanged — only the
+    // contract got stronger.
+    Q("q_multimodal",
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    list_transform(generate_series(1, octet_length(encode(text))),
+             |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INT)) AS bytes
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n, bytes,
+             |    list_reduce(
+             |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+             |        list_transform(bytes, x -> CAST(x AS HUGEINT))),
+             |      (acc, x) -> (xor(acc, x) * 1099511628211)
+             |        % CAST(18446744073709551616 AS HUGEINT)) AS h
+             |  FROM b)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS checksum,
+             |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS mean_byte,
+             |  CAST(1 + len(list_filter(bytes, x -> x = 32)) AS INT) AS n_segments
+             |FROM r ORDER BY doc_id""".stripMargin),
       (s, d) =>
         Multimodal.decodeFeatures(
             Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
