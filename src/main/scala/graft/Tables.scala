@@ -53,18 +53,27 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val physical = spark.read.parquet(path).schema
-    // The file-stream source requires a DIRECTORY (new files landing in it
-    // flow through incrementally — the production ingest shape). The
-    // testdata dir holds one parquet file per table, so stage a landing
-    // directory holding a symlink to just the events file.
-    val stage = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-stream",
-      dir.replaceAll("[^A-Za-z0-9.]", "_")))
-    val link = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(path).toAbsolutePath)
-    normalizeEvents(spark.readStream.schema(physical).parquet(stage.toString))
+    // The file-stream source requires a DIRECTORY to list (new files
+    // landing in it flow through incrementally — the production ingest
+    // shape). Two testdata layouts exist: Spark-written tables ARE
+    // directories of part files (stream them directly); driver-written
+    // tables are single parquet FILES, so stage a landing directory
+    // holding a symlink to the file. The source does NOT follow a
+    // symlink to a directory — streaming a dir through one silently
+    // reads zero files, so the branch below is load-bearing.
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) path
+      else {
+        val stage = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-stream",
+          dir.replaceAll("[^A-Za-z0-9.]", "_")))
+        val link = stage.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(path).toAbsolutePath)
+        stage.toString
+      }
+    normalizeEvents(spark.readStream.schema(physical).parquet(streamDir))
   }
 
   /** Register tables as temp views for SQL-expressed queries. */
