@@ -64,7 +64,26 @@ object Bench {
       sec
     }
 
+    // Fixed-work machine-speed probe: a pure in-memory, data-independent,
+    // codegen'd aggregate (400M xxhash64 rounds, one task per core). Its
+    // runtime depends ONLY on how fast this machine currently executes JVM
+    // arithmetic — no I/O, no shuffle, no testdata — so it separates
+    // environmental noise from code regressions: if calib_sec is inflated
+    // vs the BASELINE.md reference, the whole run is inflated by roughly
+    // the same factor (round 7-9: three rounds of ~1.6-1.7x uniform
+    // inflation with zero source changes). Normalization rule lives in
+    // BASELINE.md ("Bench noise calibration").
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id))")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     runOnce("q_scan") // warmup
+    calibrate()       // warmup the probe's codegen path too
+    val calibPre = calibrate()
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -80,6 +99,10 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
+    // Second probe reading after the suite: bracketing the run catches
+    // contention that started mid-run. min(pre, post) is the calibration
+    // figure (same minimum-estimator rationale as the per-query minima).
+    val calibPost = calibrate()
 
     def fmt(v: Double): String = "%.3f".format(v)
     // Keep the slowest entries; drop from the cheap end until it fits.
@@ -94,7 +117,8 @@ object Bench {
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       val rt = runTotals.map(fmt).mkString("[", ",", "]")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      val cal = s"""[${fmt(calibPre)},${fmt(calibPost)}]"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)

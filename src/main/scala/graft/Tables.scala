@@ -12,12 +12,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
-    case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
-    case _ =>
-      spark.read.parquet(s"$dir/$name.parquet")
+    case "events" => normalizeEvents(readEvents(spark, s"$dir/$name.parquet"))
+    case _        => spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Read the events parquet WITHOUT mutating session conf unless the file
+    * actually ships the legacy TIMESTAMP(NANOS) encoding. Spark 4 rejects a
+    * NANOS footer at schema-inference time unless
+    * `spark.sql.legacy.parquet.nanosAsLong` is set, so: try the plain read
+    * first (the common, current-generation path — zero conf mutation), and
+    * only on the NANOS rejection set the flag and retry. The flag then stays
+    * on for the session — it only affects NANOS columns, and once one legacy
+    * file is present every events read in that suite needs it anyway.
+    */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if isNanosRejection(e) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  private def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("NANOS") || m.contains("nanosAsLong")))
 
   /** events.ts has shipped with two physical encodings across testdata
     * generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless
@@ -50,9 +69,10 @@ object Tables {
     * Trigger.AvailableNow pass drains in one batch.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val physical = spark.read.parquet(path).schema
+    // readEvents sets the legacy-nanos flag only if this file needs it; the
+    // inferred schema below then matches what the stream source will read.
+    val physical = readEvents(spark, path).schema
     // The file-stream source requires a DIRECTORY to list (new files
     // landing in it flow through incrementally — the production ingest
     // shape). Two testdata layouts exist: Spark-written tables ARE
@@ -68,9 +88,16 @@ object Tables {
           sys.props("java.io.tmpdir"), "graft-stream",
           dir.replaceAll("[^A-Za-z0-9.]", "_")))
         val link = stage.resolve("events.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(
-            link, java.nio.file.Paths.get(path).toAbsolutePath)
+        // deleteIfExists first: Files.exists FOLLOWS a symlink, so a dangling
+        // link (testdata regenerated between rounds) reads as "absent" and
+        // create then throws FileAlreadyExistsException. Recreating
+        // unconditionally also repoints a stale link; concurrent suites racing
+        // on the same sf dir are absorbed by the catch (either winner links
+        // the same target).
+        java.nio.file.Files.deleteIfExists(link)
+        try java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(path).toAbsolutePath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
         stage.toString
       }
     normalizeEvents(spark.readStream.schema(physical).parquet(streamDir))

@@ -542,9 +542,30 @@ object PipelineQueries {
             count(lit(1)).as("n"))
           .orderBy("label", "pos")),
 
-    // Scale-path cosine near-dup (sign-LSH buckets + hamming-1 probes +
-    // exact verify) — recall < 1, rows-only.
-    Q("q_embed_pairs_lsh", None,
+    // Scale-path cosine near-dup (16 sign-LSH band tables + exact
+    // verify). ORACLED in full (promoted round 10): all 16 tables' bucket
+    // bits are re-derived in DuckDB from literal hyperplanes and the
+    // verify threshold uses the bit-mirrored cosine (OracleVec), so the
+    // candidate set AND the accept decisions match exactly. Recall < 1 vs
+    // the all-pairs q_embed_pairs; the approximate result is deterministic.
+    Q("q_embed_pairs_lsh",
+      Some {
+        val tableBlocks = (0 until 16).map { tb =>
+          val b = OracleVec.lshBucketSql("v", nPlanes = 6, dim = 64,
+            tableSeed = 42L + tb * 7919L)
+          s"SELECT vec_id, $tb AS tbl, $b AS bucket FROM e"
+        }.mkString("\nUNION ALL\n")
+        val cos = OracleVec.cosSql("ea.v", "eb.v")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bt AS ($tableBlocks),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+           |  FROM bt a JOIN bt b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+           |    AND a.vec_id < b2.vec_id)
+           |SELECT id_a, id_b FROM cand
+           |JOIN e ea ON ea.vec_id = cand.id_a
+           |JOIN e eb ON eb.vec_id = cand.id_b
+           |WHERE $cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+      },
       (s, d) =>
         Dedup.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
             threshold = 0.45, nPlanes = 6, nTables = 16, dim = 64)
@@ -573,8 +594,27 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
-    // LSH-bucketed ANN — recall < 1 by construction, rows-only check.
-    Q("q_embed_knn_lsh", None,
+    // LSH-bucketed ANN. ORACLED in full (promoted round 10): bucket bits,
+    // hamming-1 probes, and the final cosine ranks are all re-derived in
+    // DuckDB from first principles — the hyperplanes are embedded as
+    // round-trip double literals and the cosine is mirrored bit-for-bit
+    // via sequential list_reduce folds (OracleVec). Recall < 1 vs exact
+    // KNN, but the approximate result itself is deterministic.
+    Q("q_embed_knn_lsh",
+      Some {
+        val bucket = OracleVec.lshBucketSql("v", nPlanes = 6, dim = 64, tableSeed = 42L)
+        val cos = OracleVec.cosSql("qv", "cv")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+           |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS b0 FROM b WHERE vec_id < 5),
+           |pr AS (SELECT q_id, qv, unnest(list_concat([b0],
+           |    list_transform([0, 1, 2, 3, 4, 5], pp -> xor(b0, 1 << pp)))) AS bucket FROM q),
+           |cand AS (SELECT pr.q_id, pr.qv, b.vec_id AS c_id, b.v AS cv
+           |  FROM pr JOIN b USING (bucket) WHERE b.vec_id <> pr.q_id),
+           |r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY $cos DESC, c_id) AS BIGINT) AS rn FROM cand)
+           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+      },
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.lshKnn(emb, emb.filter(col("vec_id") < 5),
@@ -583,8 +623,44 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
-    // IVF-style ANN (fixed coarse quantizer; recall < 1) — rows-only.
-    Q("q_embed_knn_ivf", None,
+    // IVF-style ANN. ORACLED in full (promoted round 10): the whole chain
+    // — deterministic seeding, one exact-micro Lloyd step (integer sums
+    // are order-invariant, so the trained centroids are bit-identical at
+    // any parallelism), float-cast centroids, argmax cell assignment
+    // (ties -> larger cell, mirroring array_max struct order), top-4
+    // probes, and the final cosine ranks — is re-derived in DuckDB with
+    // the bit-mirrored cosine (OracleVec). Recall < 1 vs q_embed_knn; the
+    // approximate result is deterministic.
+    Q("q_embed_knn_ivf",
+      Some {
+        def cos(a: String, b: String) = OracleVec.cosSql(a, b)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |seed AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+           |asg AS (SELECT e.vec_id, e.v, seed.cell, ${cos("e.v", "seed.sv")} AS sim FROM e, seed),
+           |a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY sim DESC, cell DESC) AS rn FROM asg),
+           |av AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+           |mo AS (SELECT cell, r.range AS i,
+           |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+           |    count(*) AS n
+           |  FROM av, range(64) r GROUP BY cell, r.range),
+           |cent AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
+           |  FROM mo GROUP BY cell),
+           |casg AS (SELECT e.vec_id AS c_id, e.v AS cvv, cent.cell, ${cos("e.v", "cent.cv")} AS sim FROM e, cent),
+           |c1 AS (SELECT c_id, cvv, cell, row_number() OVER (PARTITION BY c_id
+           |    ORDER BY sim DESC, cell DESC) AS rn FROM casg),
+           |corp AS (SELECT c_id, cvv, cell FROM c1 WHERE rn = 1),
+           |qasg AS (SELECT e.vec_id AS q_id, e.v AS qv, cent.cell, ${cos("e.v", "cent.cv")} AS sim
+           |  FROM e, cent WHERE e.vec_id < 5),
+           |q1 AS (SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, cell DESC) AS rn FROM qasg),
+           |probe AS (SELECT q_id, qv, cell FROM q1 WHERE rn <= 4),
+           |cand AS (SELECT probe.q_id, probe.qv, corp.c_id, corp.cvv
+           |  FROM probe JOIN corp USING (cell) WHERE corp.c_id <> probe.q_id),
+           |r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY ${cos("qv", "cvv")} DESC, c_id) AS BIGINT) AS rn FROM cand)
+           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+      },
       (s, d) => {
         val emb = t(s, d, "embeddings")
         // full IVF path: seed the quantizer with the first 16 vectors,
@@ -824,7 +900,7 @@ object PipelineQueries {
              |        CAST(l_returnflag AS VARCHAR) AS item,
              |        CAST(count(*) AS BIGINT) AS cnt
              |      FROM lineitem GROUP BY l_returnflag
-             |      HAVING count(*) > 0.3 * (SELECT n FROM tot)),
+             |      HAVING 10 * count(*) > 3 * (SELECT n FROM tot)),
              |l AS (SELECT 'l_linenumber' AS "column",
              |        CAST(l_linenumber AS VARCHAR) AS item,
              |        CAST(count(*) AS BIGINT) AS cnt
@@ -848,7 +924,11 @@ object PipelineQueries {
           .join(broadcast(cands), Seq("column", "item"), "left_semi")
           .groupBy("column", "item").agg(count(lit(1)).as("cnt"))
         exact.crossJoin(broadcast(total))
-          .where(col("cnt") > lit(support) * col("n_total"))
+          // Integer-space threshold: 0.3 is not exactly representable in
+          // IEEE double while DuckDB's 0.3 * n is exact DECIMAL, so when a
+          // count lands exactly on 3n/10 the two sides disagree. cnt*10 >
+          // n*3 keeps both sides in exact integer arithmetic.
+          .where(col("cnt") * lit(10L) > col("n_total") * lit(3L))
           .select(col("column"), col("item"), col("cnt"))
           .orderBy("column", "item")
       }),

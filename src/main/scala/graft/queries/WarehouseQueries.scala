@@ -474,6 +474,15 @@ object WarehouseQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // Oracle parity assumes the drain is ONE data micro-batch:
+          // RollingZProcessor orders rows (ts, tie) only WITHIN a batch, so
+          // a multi-batch drain (maxFilesPerTrigger set, files landing
+          // incrementally) would score in per-key arrival order instead of
+          // global (ts, tie) order and silently diverge from the oracle.
+          // Fail loudly here instead.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_anomaly oracle requires a single-batch drain; saw $dataBatches data micro-batches")
         } finally {
           prev match {
             case Some(v) => s.conf.set(providerKey, v)
@@ -481,6 +490,65 @@ object WarehouseQueries {
           }
         }
         s.table(sink).orderBy("event_id", "event_type", "z_milli")
+      }),
+
+    // The STREAMING twin of q_events_session, on the correctness
+    // scoreboard: events flow through a real Structured Streaming query —
+    // file source -> transformWithState gap sessionizer
+    // (GapSessionProcessor, RocksDB state, event-time timers) -> memory
+    // sink — drained with Trigger.AvailableNow, then the trailing OPEN
+    // sessions are recovered from the checkpoint via the state data
+    // source (closed log + open-session snapshot, the production
+    // "sessions so far" shape). Session bounds are exact epoch-micros, so
+    // the DuckDB oracle is the SAME SQL as the batch query. session_id is
+    // assigned per user by session start order, matching the oracle's
+    // cumulative new-session numbering.
+    Q("q_stream_session",
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Fresh checkpoint per invocation: reusing one would resume from
+        // committed offsets and drain zero rows on a re-run (bench runs
+        // every query twice).
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q-stream-session-ckpt").toString
+        try {
+          val log = graft.streaming.StreamingSessions.drainSessionLog(
+            graft.Tables.eventsStream(s, d), "ts", "user_id",
+            gapMs = 30L * 60L * 1000L, sinkName = "q_stream_session_sink",
+            ckptDir = ckpt)
+          log.select(col("user_id"),
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy("user_id").orderBy("start_us"))
+                .cast("long").as("session_id"),
+              col("n_events"),
+              timestamp_micros(col("start_us")).as("session_start"),
+              timestamp_micros(col("last_us")).as("session_end"))
+            .orderBy("user_id", "session_id")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
       }),
 
     // Pairwise Pearson correlation matrix (Profile.correlations): all 6

@@ -47,8 +47,12 @@ class RollingZProcessor(k: Int)
     // ROWS BETWEEN -k AND -1) but contributes nothing to the sums
     // (sum/count skip nulls), and is itself emitted unscored. Null tie
     // sorts first (Spark's default asc_nulls_first).
+    // Sort key is exact epoch-MICROS (not getTime's milliseconds): events.ts
+    // is µs-precision, so two same-key events can share a millisecond while
+    // differing in micros; the batch twin and the DuckDB oracle both order by
+    // the full µs timestamp then tie, and the frame order must match exactly.
     val out = rows.toArray
-      .sortBy(p => (p.ts.getTime, p.tie.getOrElse(Long.MinValue))).map { p =>
+      .sortBy(p => (Micros.of(p.ts), p.tie.getOrElse(Long.MinValue))).map { p =>
       val present = buf.flatten
       val n = present.length.toLong
       // Same IEEE expression as Robust.rollingZScore: exact long sums,

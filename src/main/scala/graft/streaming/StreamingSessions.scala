@@ -9,8 +9,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * codegen can instantiate them from generated deserializers.
   */
 case class SessionEvent(user_id: Long, ts: Timestamp)
-case class OpenSession(start_ms: Long, last_ms: Long, n: Long)
-case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Gap-based sessionization on the Spark 4 arbitrary-state API
   * (`transformWithState`): one `ValueState[OpenSession]` per user plus one
@@ -26,6 +26,8 @@ case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: 
 class GapSessionProcessor(gapMs: Long)
     extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
 
+  private val gapUs = gapMs * 1000L
+
   @transient private var open: ValueState[OpenSession] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -34,14 +36,19 @@ class GapSessionProcessor(gapMs: Long)
 
   override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
       timers: TimerValues): Iterator[ClosedSession] = {
-    val sorted = rows.map(_.ts.getTime).toArray.sorted
+    // All state and comparisons are exact epoch-MICROS: events.ts is
+    // µs-precision, and the batch twin (Sessionize.aggByGap) splits on the
+    // full µs gap — ms truncation here would merge sessions the batch
+    // operator splits and truncate start/end away from the oracle's
+    // min(ts)/max(ts).
+    val sorted = rows.map(e => Micros.of(e.ts)).toArray.sorted
     var out = List.empty[ClosedSession]
     var cur = if (open.exists()) Option(open.get()) else None
     for (t <- sorted) cur match {
-      case Some(s) if t - s.last_ms <= gapMs =>
-        cur = Some(OpenSession(s.start_ms, math.max(s.last_ms, t), s.n + 1))
+      case Some(s) if t - s.last_us <= gapUs =>
+        cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
       case Some(s) =>
-        out ::= ClosedSession(user, s.start_ms, s.last_ms + gapMs, s.n)
+        out ::= ClosedSession(user, s.start_us, s.last_us + gapUs, s.n)
         cur = Some(OpenSession(t, t, 1))
       case None =>
         cur = Some(OpenSession(t, t, 1))
@@ -49,7 +56,9 @@ class GapSessionProcessor(gapMs: Long)
     cur.foreach { s =>
       open.update(s)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(s.last_ms + gapMs)
+      // Spark timers are ms-based; round the µs deadline UP so the timer
+      // never fires before the true gap expiry.
+      getHandle.registerTimer(Micros.ceilMillis(s.last_us + gapUs))
     }
     out.reverseIterator
   }
@@ -58,9 +67,9 @@ class GapSessionProcessor(gapMs: Long)
       expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
     if (open.exists()) {
       val s = open.get()
-      if (expired.getExpiryTimeInMs >= s.last_ms + gapMs) {
+      if (expired.getExpiryTimeInMs >= Micros.ceilMillis(s.last_us + gapUs)) {
         open.clear()
-        return Iterator.single(ClosedSession(user, s.start_ms, s.last_ms + gapMs, s.n))
+        return Iterator.single(ClosedSession(user, s.start_us, s.last_us + gapUs, s.n))
       }
     }
     Iterator.empty
@@ -127,6 +136,50 @@ object StreamingSessions {
       .transformWithState(new GapSessionProcessor(gapMs),
         TimeMode.EventTime, OutputMode.Append)
       .toDF()
+  }
+
+  /** Drain a bounded stream through [[GapSessionProcessor]] and return the
+    * COMPLETE session log: sessions closed in-stream (gap exceeded, or gap
+    * timer fired as the watermark advanced) come from the sink; the trailing
+    * still-open sessions come from the checkpointed state store via Spark's
+    * state data source — the production pattern for "sessions so far"
+    * reporting over a live pipeline (closed log + open-session snapshot),
+    * and what makes the stream result row-for-row comparable with a batch
+    * sessionization of the same data.
+    *
+    * Output: (user_id, start_us, last_us, n_events) — last_us is the last
+    * EVENT time (max ts), not the gap-extended close time, so the frame
+    * aligns with the batch operator's min(ts)/max(ts) bounds.
+    *
+    * Oracle parity assumes a single data micro-batch (same contract as
+    * q_stream_anomaly): the processor orders rows by ts only WITHIN a batch,
+    * so a multi-batch drain would sessionize per-key arrival order.
+    * Asserted below — fails loudly instead of silently diverging.
+    */
+  def drainSessionLog(events: DataFrame, tsCol: String, userCol: String,
+      gapMs: Long, sinkName: String, ckptDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val q = sessionizeTws(events, tsCol, userCol, "0 seconds", gapMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"drainSessionLog requires a single-batch drain; saw $dataBatches data micro-batches")
+    val closed = spark.table(sinkName).select(
+      col("user_id"), col("start_us"),
+      (col("end_us") - lit(gapMs * 1000L)).as("last_us"),
+      col("n_events"))
+    val open = spark.read.format("statestore")
+      .option("path", ckptDir)
+      .option("stateVarName", "open_session")
+      .load()
+      .select(col("key.value").as("user_id"), col("value.start_us"),
+        col("value.last_us"), col("value.n").as("n_events"))
+    closed.unionByName(open)
   }
 
   /** Stream-stream interval join: right-side events on the same key within

@@ -140,10 +140,11 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val got = spark.table("tws_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      def ms(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00").getTime
-      assert(got.contains((1L, ms("10:00"), ms("10:15"), 2L)), s"user1 s1 missing: $got")
-      assert(got.contains((2L, ms("10:00"), ms("10:10"), 1L)), s"user2 missing: $got")
-      assert(got.contains((1L, ms("10:30"), ms("10:40"), 1L)), s"user1 s2 missing: $got")
+      // session bounds are exact epoch-MICROS (events.ts is µs-precision)
+      def us(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00").getTime * 1000L
+      assert(got.contains((1L, us("10:00"), us("10:15"), 2L)), s"user1 s1 missing: $got")
+      assert(got.contains((2L, us("10:00"), us("10:10"), 1L)), s"user2 missing: $got")
+      assert(got.contains((1L, us("10:30"), us("10:40"), 1L)), s"user1 s2 missing: $got")
       assert(!got.exists(_._1 == 99L && got.size > 4), s"unexpected rows: $got")
     } finally {
       q.stop()
