@@ -75,8 +75,10 @@ object Bench {
     // BASELINE.md ("Bench noise calibration").
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing full-range hashes overflows LongType
+      // under ANSI; xor is closed over longs and can't be constant-folded.
       spark.range(0L, 400000000L, 1L, cpus.toInt)
-        .selectExpr("sum(xxhash64(id))")
+        .selectExpr("bit_xor(xxhash64(id))")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -114,6 +114,74 @@ object Robust {
     finishZ(d)
   }
 
+  /** [[rollingZScore]] with BOUNDED per-key window partitions, for LOW
+    * key cardinality: the sf1 soak showed the per-key window tail
+    * (q_outliers 3.3x, q_events_anomaly 2.8x at 10x data) is parallelism
+    * bounded by the synthetic data's 5 event types — one reducer per key,
+    * however many executors exist. Here each key's timeline is cut into
+    * caller-supplied chunks (`chunkCol`, e.g. `date_trunc("day", ts)`),
+    * each (key, chunk) windows independently — parallelism keys x chunks —
+    * and frame continuity across the cut is restored by REPLICATING the
+    * last `k` rows of each chunk into its successor as context rows
+    * (they fill the frame, then are dropped from output). Frame sums are
+    * the same exact longs as the global window's, so every z is
+    * bit-identical to [[rollingZScore]] (pinned by RobustRollingSpec).
+    *
+    * Contract: `chunkCol` must be monotone non-decreasing in
+    * (`orderCol`, `tieCol`) within each key (any truncation of the order
+    * column qualifies), and every non-first chunk's PREDECESSOR must hold
+    * at least `k` rows — context ships only across adjacent chunks, so a
+    * sparser chunking would starve the successor's first frames (choose
+    * chunks >= k rows; `validate = true` runs a cheap (key, chunk)-count
+    * pre-check — one partial-aggregated count of the already-shuffled
+    * columns — and fails loudly instead of mis-scoring).
+    */
+  def rollingZScoreChunked(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueInt: Column, k: Int, chunkCol: Column,
+      validate: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"rolling z-score needs a frame of k >= 2, got $k")
+    val base = df.withColumn("__chunk", chunkCol)
+    if (validate) {
+      val counts = base.groupBy(col(groupCol), col("__chunk"))
+        .agg(count(lit(1)).as("__cnt"))
+      val w = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      val starved = counts
+        .withColumn("__next", lead(col("__chunk"), 1).over(w))
+        .filter(col("__next").isNotNull && col("__cnt") < k)
+        .limit(1).collect()
+      require(starved.isEmpty, {
+        val r = starved.head
+        s"rollingZScoreChunked: chunk ${r.get(1)} of key ${r.get(0)} has " +
+          s"${r.get(2)} rows (< k=$k) and a successor — its context cannot " +
+          "fill the successor's first frames; choose coarser chunks"
+      })
+    }
+    // successor chunk per (key, chunk), from the DISTINCT chunk list —
+    // a keys x chunks metadata frame, not a raw-row window
+    val nextW = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+    val nexts = base.select(col(groupCol), col("__chunk")).distinct()
+      .withColumn("__next", lead(col("__chunk"), 1).over(nextW))
+      .filter(col("__next").isNotNull)
+    // context = last k rows of each chunk, re-tagged into the successor
+    val lastW = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    val ctx = base.withColumn("__rn", row_number().over(lastW))
+      .filter(col("__rn") <= k).drop("__rn")
+      .join(nexts, Seq(groupCol, "__chunk"))
+      .withColumn("__chunk", col("__next")).drop("__next")
+      .withColumn("__ctx", lit(true))
+    val all = base.withColumn("__ctx", lit(false)).unionByName(ctx)
+    // the SAME direct frame as rollingZDirect, partitioned by (key, chunk)
+    val w = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(orderCol), col(tieCol)).rowsBetween(-k, -1)
+    val d = all.withColumn("__v", valueInt.cast("long"))
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__ss", sum(col("__v") * col("__v")).over(w))
+    finishZ(d).filter(!col("__ctx")).drop("__ctx", "__chunk")
+  }
+
   /** Shared finish: identical IEEE operation order for both frame paths
     * (and the DuckDB oracle, and the streaming monitor).
     */

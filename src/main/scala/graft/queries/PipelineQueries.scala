@@ -184,6 +184,13 @@ object PipelineQueries {
           // per iteration (measured 16 s -> ~3 s at sf0.1)
           .localCheckpoint()
           .createOrReplaceTempView("graft_rcte_edges")
+        // Spark bounds WITH RECURSIVE at 1M cumulative rows by default —
+        // the sf1 soak hit it (RECURSION_ROW_LIMIT_EXCEEDED). Raise the
+        // guard for this demo query; the real scale path for connected
+        // components is Dedup.resolveClusters (O(diameter) min-label
+        // propagation), and this query exists to pin Spark's native CTE
+        // against it, not to be the 100 TB path.
+        s.conf.set("spark.sql.cteRecursionRowLimit", "50000000")
         s.sql("""WITH RECURSIVE reach(v, r, d) AS (
                 |  SELECT DISTINCT a AS v, a AS r, 0 AS d FROM graft_rcte_edges
                 |  UNION ALL
@@ -399,7 +406,12 @@ object PipelineQueries {
             "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)
           .orderBy("id_a", "id_b")),
 
-    // SimHash near-dedup — engine-specific hash bits, rows-only check.
+    // SimHash near-dedup — rows-only: the fingerprint is built from
+    // per-token xxhash64 bits, and DuckDB has no xxhash64; restating the
+    // oracle over md5-derived bits would verify a DIFFERENT fingerprint
+    // function, not the one this operator ships. The bit-majority
+    // construction itself is oracled cross-engine by q_simhash_assign
+    // (md5-based twin below); xxhash determinism is spec-pinned.
     // hashed_words produces the same per-token hashes as
     // tokens() + per-string xxhash64, with no token-array materialization.
     Q("q_dedup_simhash", None,
@@ -407,6 +419,41 @@ object PipelineQueries {
         Dedup.simHashPairs(t(s, d, "documents"), "doc_id",
             graft.functions.hashed_words(col("text")), maxHamming = 3)
           .orderBy("id_a", "id_b")),
+
+    // The ORACLED core of the SimHash path (the q_ivf_assign pattern):
+    // the bit-majority fingerprint construction (Charikar '02) over an
+    // engine-portable token hash — 56 md5 bits per token, bit b of the
+    // fingerprint set iff the signed per-bit vote is positive. Pins
+    // exactly the aggregation q_dedup_simhash's xxhash fingerprints use.
+    // Spark side is ONE scan with 56 columnar bit-vote sums (the
+    // SimHash64 expression's shape, no row explosion); the oracle may
+    // explode rows x 56 — oracle cost is not production cost. Bounded to
+    // 500 docs: the construction is per-row, more rows pin nothing new.
+    Q("q_simhash_assign",
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents WHERE doc_id < 500),
+             |h AS (SELECT doc_id,
+             |    CAST(CAST('0x' || substr(md5(tok), 1, 14) AS BIGINT) AS BIGINT) AS h
+             |  FROM tk),
+             |bits AS (SELECT doc_id, r.range AS b,
+             |    sum(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM h, range(56) r GROUP BY doc_id, r.range)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash56
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val h = t(s, d, "documents").filter(col("doc_id") < 500)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long").as("h"))
+        val votes = (0 until 56).map(b =>
+          sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+        val fp = (0 until 56).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+        h.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"), fp.as("simhash56"))
+          .orderBy("doc_id")
+      }),
 
     // Embedding-cosine near-dup pairs (threshold below this corpus's max
     // pairwise cosine of ~0.51 so the answer is non-empty).
@@ -718,9 +765,69 @@ object PipelineQueries {
           .orderBy("vec_id")
       }),
 
+    // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
+    // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
+    // every codebook Lloyd iteration depends on — made cross-engine exact
+    // in integer micro space. Codewords are the first 16 vectors' sub-
+    // slices (the same deterministic seeding Pq.trainOn starts from),
+    // inlined as literal arrays: a pure per-row expression, ONE scan, no
+    // shuffle, no join — at 100 TB the codebook is a trained KB-sized
+    // table and this is exactly the encode map.
+    Q("q_pq_assign",
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e AS ce
+             |  FROM (SELECT vec_id, e FROM q ORDER BY vec_id LIMIT 16)),
+             |sub AS (SELECT r.range AS sub FROM range(8) r),
+             |d AS (SELECT q.vec_id, sub.sub, sd.code,
+             |    CAST(list_sum(list_transform(list_zip(
+             |        list_slice(q.e, CAST(sub.sub AS INT) * 8 + 1, CAST(sub.sub AS INT) * 8 + 8),
+             |        list_slice(sd.ce, CAST(sub.sub AS INT) * 8 + 1, CAST(sub.sub AS INT) * 8 + 8)),
+             |      zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))) AS BIGINT) AS dist
+             |  FROM q, sub, sd),
+             |a AS (SELECT vec_id, sub, code, dist,
+             |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+             |  FROM d)
+             |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, dist
+             |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        // 1000000.0D keeps the multiply in IEEE double (matching DuckDB)
+        // rather than Spark's decimal literal path — same as q_ivf_assign.
+        val q = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(x * 1000000.0D) as bigint))").as("e"))
+        // bounded driver round-trip: 16 x 64 longs — the codebook-table
+        // contract (at 100 TB the codebook is a trained KB-sized table,
+        // broadcast below). One shared aggregate expression over the
+        // exploded (code x subspace) rows beats 128 inlined per-row
+        // lambdas: ~4x less analysis/codegen, same integer arithmetic.
+        val seeds = q.orderBy("vec_id").limit(16)
+          .select("e").collect().map(_.getSeq[Long](0))
+          .zipWithIndex.map { case (e, c) => (c.toLong, e) }.toSeq
+          .toDF("code", "ce")
+        q.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("code"),
+            explode(expr("sequence(0, 7)")).as("sub"), col("e"), col("ce"))
+          .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"),
+            expr("aggregate(zip_with(slice(e, sub * 8 + 1, 8), " +
+              "slice(ce, sub * 8 + 1, 8), (a, b) -> (a - b) * (a - b)), " +
+              "0L, (acc, x) -> acc + x)").as("dist"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("code"))).as("m"))
+          .select(col("vec_id"), col("sub"),
+            col("m.code").as("code"), col("m.dist").as("dist"))
+          .orderBy("vec_id", "sub")
+      }),
+
     // Product-quantization ANN (Pq): deterministic codebooks (exact-micro
     // Lloyd step), 8-byte codes, ADC top-k by literal lookup table —
-    // rows-only (approximation), recall spec-bounded vs exact L2 in
+    // rows-only: unlike the ivf/lsh chains above, the FULL oracle would
+    // have to re-derive the trained codebooks (double-space euclidean
+    // argmin inside Lloyd) plus the per-query ADC LUT fold in SQL — the
+    // q_embed_knn_ivf mirror squared; the deterministic assignment core
+    // is oracled by q_pq_assign and recall is spec-bounded vs exact L2 in
     // PqSpec. Plan construction trains the codebooks (eager, like
     // HeavyHitters' pass 1).
     Q("q_embed_knn_pq", None,
@@ -742,8 +849,12 @@ object PipelineQueries {
 
     // IVF-PQ — the composed 100 TB ANN layout: trained coarse quantizer
     // (multi-iteration exact-micro Lloyd), PQ codes of the residual,
-    // candidate generation by equi-join on probed cells only. Rows-only
-    // (approximation); recall and parity spec-bounded in PqSpec.
+    // candidate generation by equi-join on probed cells only. Rows-only:
+    // a full oracle would re-derive 3 Lloyd iterations + residual
+    // codebooks + ADC folds in SQL (the q_embed_knn_ivf mirror to the
+    // third power); the deterministic sub-steps are oracled piecewise
+    // (q_ivf_assign routing, q_pq_assign codes) and recall/parity are
+    // spec-bounded in PqSpec.
     Q("q_embed_knn_ivfpq", None,
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -1824,7 +1935,10 @@ object PipelineQueries {
             col("n_strides"))
           .orderBy("doc_id", "w", "n_strides")),
 
-    // Seeded train/validation/test split — per-split counts.
+    // Seeded train/validation/test split — per-split counts. Rows-only:
+    // Spark's randomSplit draws from its per-partition XORShift RNG, an
+    // engine-internal stream no other engine can re-derive; the
+    // deterministic hash-threshold split IS oracled (q_hash_split).
     Q("q_train_test_split", None,
       (s, d) => {
         val splits = t(s, d, "documents")

@@ -429,6 +429,41 @@ object WarehouseQueries {
             floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
           .orderBy("event_id", "event_type", "z_milli")),
 
+    // The CHUNKED twin of the rolling monitor, on the scoreboard: the
+    // sf1 soak showed per-key windows are parallelism-bounded by key
+    // cardinality (5 event types = 5 reducers regardless of cluster
+    // size). rollingZScoreChunked cuts each key's timeline into 10-day
+    // chunks — keys x chunks window partitions — and replicates the last
+    // k rows across each cut so the frames (and therefore every z bit)
+    // are IDENTICAL to the global window's. The oracle knows nothing of
+    // chunking: it is the plain global-window SQL, which is the point.
+    // k=10 so every (type, chunk) holds >= k rows at all SFs (validated
+    // eagerly by the operator; sf0.001 min is 16).
+    Q("q_events_anomaly_chunked",
+      Some("""WITH d AS (SELECT event_id, event_type, ts,
+             |    CAST(floor(value * 100.0) AS BIGINT) AS v FROM events),
+             |w AS (SELECT event_id, event_type, v,
+             |    count(v) OVER fr AS n, sum(v) OVER fr AS s, sum(v * v) OVER fr AS ss
+             |  FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, event_type, n,
+             |    sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd,
+             |    CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS dev
+             |  FROM w WHERE n = 10)
+             |SELECT event_id, event_type,
+             |  CAST(floor(dev / sd * 1000.0) AS BIGINT) AS z_milli
+             |FROM z WHERE sd > 0.0 AND abs(dev / sd) > 3.0
+             |ORDER BY event_id, event_type, z_milli""".stripMargin),
+      (s, d) =>
+        Robust.rollingZScoreChunked(t(s, d, "events"), "event_type", "ts", "event_id",
+            floor(col("value") * lit(100.0)), k = 10,
+            chunkCol = floor(unix_micros(col("ts")) / lit(864000000000L)))
+          .filter(col("n_prev") === 10 && abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"),
+            floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
+          .orderBy("event_id", "event_type", "z_milli")),
+
     // The STREAMING twin of q_events_anomaly, on the correctness
     // scoreboard: the same events flow through a real Structured Streaming
     // query — file source -> transformWithState rolling z-ring

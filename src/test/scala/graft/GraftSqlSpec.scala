@@ -68,4 +68,53 @@ class GraftSqlSpec extends SparkTestBase {
     val df = GraftSql.sql(spark, "SELECT 1 AS one")
     assert(df.collect()(0).getInt(0) == 1)
   }
+
+  test("conformance: the reference's doc-example SQL drives the full declared surface") {
+    // The one SQL interaction the reference documents for users
+    // (/root/reference/src/parser/mod.rs:26-28): CREATE EXTERNAL TABLE over
+    // its sample parquet, then queries on the registered table. The
+    // reference's planner would accept the DDL and plan `SELECT ... FROM
+    // userdata` as a bare Scan (queryplanner.rs:50-67); everything below —
+    // projection, every comparison operator, AND/OR/NOT, IS [NOT] NULL,
+    // CAST, ORDER BY, LIMIT — is the expression surface its logical plan
+    // DECLARES (logicalplan.rs:27-149) executed end-to-end through
+    // GraftSql.sql. Expected values cross-checked against a direct
+    // spark.read.parquet of the same file inside this test.
+    val path = "/root/reference/src/examples/userdata1.parquet"
+    assume(new java.io.File(path).exists())
+    GraftSql.sql(spark,
+      s"CREATE EXTERNAL TABLE userdata_conf STORED AS PARQUET LOCATION '$path'")
+    val raw = spark.read.parquet(path)
+
+    // bare scan (the shape the reference's SELECT planner emits)
+    assert(GraftSql.sql(spark, "SELECT * FROM userdata_conf").count() == raw.count())
+
+    // projection + all six comparisons + boolean composition
+    val got = GraftSql.sql(spark,
+      """SELECT id, first_name FROM userdata_conf
+        |WHERE (salary > 50000.0 AND salary <= 100000.0 AND id >= 10 AND id < 900)
+        |   OR (NOT (country <> 'Portugal') AND id = 7)""".stripMargin).count()
+    val want = {
+      import org.apache.spark.sql.functions._
+      raw.filter((col("salary") > 50000.0 && col("salary") <= 100000.0 &&
+          col("id") >= 10 && col("id") < 900) ||
+        (!(col("country") =!= "Portugal") && col("id") === 7)).count()
+    }
+    assert(got == want && got > 0)
+
+    // IS NULL / IS NOT NULL (salary has genuine nulls in the sample file)
+    val nNull = GraftSql.sql(spark,
+      "SELECT id FROM userdata_conf WHERE salary IS NULL").count()
+    val nNotNull = GraftSql.sql(spark,
+      "SELECT id FROM userdata_conf WHERE salary IS NOT NULL").count()
+    assert(nNull > 0 && nNull + nNotNull == raw.count())
+
+    // CAST + ORDER BY (multi-key, asc/desc) + LIMIT
+    val top = GraftSql.sql(spark,
+      """SELECT id, CAST(salary AS BIGINT) AS sal
+        |FROM userdata_conf WHERE salary IS NOT NULL
+        |ORDER BY sal DESC, id ASC LIMIT 3""".stripMargin).collect()
+    assert(top.length == 3)
+    assert(top.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
+  }
 }

@@ -68,6 +68,46 @@ class RobustRollingSpec extends SparkTestBase {
       viaApi.getDouble(1) == viaDirect.getDouble(1))
   }
 
+  test("chunked frame == global frame bit-for-bit, with more window partitions") {
+    import spark.implicits._
+    // 2 keys x 600 rows with planted nulls — the low-cardinality monitor
+    // shape the chunked form exists for (sf1 tail: 5 event types = 5
+    // window partitions no matter how many executors). Chunk by seq/100:
+    // monotone in the order column, every chunk >= k rows.
+    val rows = (0 until 1200).map { i =>
+      val key = s"k${i % 2}"
+      val v: Option[Long] =
+        if (i % 23 == 0) None else Some((i * 2654435761L % 997L + 997L) % 997L)
+      (key, i.toLong, i.toLong, v)
+    }
+    val df = rows.toDF("grp", "seq", "tie", "v")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.select("grp", "seq", "n_prev", "z").collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      }.toSet
+    for (k <- Seq(3, 40)) {
+      val global = dump(Robust.rollingZScore(df, "grp", "seq", "tie", col("v"), k))
+      val chunked = dump(Robust.rollingZScoreChunked(df, "grp", "seq", "tie",
+        col("v"), k, floor(col("seq") / 100)))
+      assert(global == chunked,
+        s"k=$k diverged: ${(global -- chunked).take(3)} / ${(chunked -- global).take(3)}")
+    }
+    // the point of the exercise: the window runs at keys x chunks
+    // parallelism — 2 keys x 6 chunks = 12 window partitions, not 2
+    val parts = Robust.rollingZScoreChunked(df, "grp", "seq", "tie",
+        col("v"), 3, floor(col("seq") / 100), validate = false)
+      .queryExecution.executedPlan.toString
+    assert(parts.contains("__chunk"), s"expected chunked window partition spec:\n$parts")
+    // starved-chunk validation: chunks of 2 rows < k=3 with successors
+    val err = intercept[IllegalArgumentException] {
+      Robust.rollingZScoreChunked(df, "grp", "seq", "tie", col("v"), 3,
+        floor(col("seq") / 2))
+    }
+    assert(err.getMessage.contains("cannot"), err.getMessage)
+  }
+
   test("prefix frame stays one shuffle: a single Window partition spec") {
     import spark.implicits._
     val df = (0 until 100).map(i => ("a", i.toLong, i.toLong, i.toLong))
