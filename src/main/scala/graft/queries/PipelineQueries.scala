@@ -115,8 +115,21 @@ object PipelineQueries {
       }),
 
     // Incremental near-dedup: new-batch docs that near-duplicate a corpus
-    // doc (LSH candidates new x corpus only) — rows-only (LSH recall).
-    Q("q_dedup_incr_near", None,
+    // doc (LSH candidates new x corpus only, exact bounded-Jaccard
+    // verify). ORACLED (promoted round 10) by the exact new x corpus
+    // pairs: the final verify is exact Jaccard >= 0.9, and at j >= 0.9
+    // with r=6/b=21 a true pair escapes every band w.p. (1-0.9^6)^21 ~
+    // 1.2e-7 — the same completeness argument that keeps q_dedup_minhash
+    // hash-green. Oracle cost is O(new x corpus) in DuckDB; candidate
+    // cost in Spark stays band-bucketed.
+    Q("q_dedup_incr_near",
+      Some(s"""WITH sh AS (SELECT doc_id, source, $duckShingles AS s FROM documents)
+              |SELECT new_id, old_id, jac FROM (
+              |  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+              |    CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+              |      (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) AS jac
+              |  FROM sh n JOIN sh o ON n.source <> 'src0' AND o.source = 'src0')
+              |WHERE jac >= 0.9 ORDER BY new_id, old_id""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.minHashIncrementalHashed(
