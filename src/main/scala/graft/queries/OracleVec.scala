@@ -37,6 +37,16 @@ object OracleVec {
     s"""(CASE WHEN ${norm2Sql(a)} = 0.0 OR ${norm2Sql(b)} = 0.0 THEN 0.0
        | ELSE ${dotSql(a, b)} / sqrt(${norm2Sql(a)} * ${norm2Sql(b)}) END)""".stripMargin
 
+  /** Σ(a_i - b_i)² with Spark's accumulation order — the inner sum of
+    * `EuclideanDistance` and of `Pq.lutExpr`'s per-codeword fold.
+    */
+  def sqDiffSql(a: String, b: String): String =
+    foldSum(s"list_transform(list_zip($a, $b), zz -> (zz[1] - zz[2]) * (zz[1] - zz[2]))")
+
+  /** euclidean_dist(a, b) == the codegen'd expression bit-for-bit. */
+  def euclidSql(a: String, b: String): String =
+    s"sqrt(${sqDiffSql(a, b)})"
+
   /** One hyperplane as a DOUBLE[] literal. `Double.toString` emits the
     * shortest decimal that round-trips, so DuckDB re-reads the exact bits.
     */

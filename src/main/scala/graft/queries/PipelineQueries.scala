@@ -835,15 +835,56 @@ object PipelineQueries {
       }),
 
     // Product-quantization ANN (Pq): deterministic codebooks (exact-micro
-    // Lloyd step), 8-byte codes, ADC top-k by literal lookup table —
-    // rows-only: unlike the ivf/lsh chains above, the FULL oracle would
-    // have to re-derive the trained codebooks (double-space euclidean
-    // argmin inside Lloyd) plus the per-query ADC LUT fold in SQL — the
-    // q_embed_knn_ivf mirror squared; the deterministic assignment core
-    // is oracled by q_pq_assign and recall is spec-bounded vs exact L2 in
-    // PqSpec. Plan construction trains the codebooks (eager, like
-    // HeavyHitters' pass 1).
-    Q("q_embed_knn_pq", None,
+    // Lloyd step), 8-byte codes, ADC top-k by literal lookup table.
+    // ORACLED in full (promoted round 10): DuckDB re-derives the ENTIRE
+    // chain — per-subspace seed assignment (bit-mirrored euclidean,
+    // ties -> smaller cell), the Lloyd micro-sums (order-invariant
+    // integers, so the trained codewords are the same doubles at any
+    // parallelism; empty cells keep their seed), corpus encoding against
+    // the trained books, the per-query ADC LUT folds, and the top-k by
+    // (adc, c_id) — every double bit matching the codegen'd expressions
+    // (OracleVec). Recall vs exact L2 additionally spec-bounded in PqSpec.
+    Q("q_embed_knn_pq",
+      Some {
+        def sq(a: String, b: String) = OracleVec.sqDiffSql(a, b)
+        def eu(a: String, b: String) = OracleVec.euclidSql(a, b)
+        def sl(v: String, s: String) =
+          s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv
+           |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+           |asg AS (SELECT e.vec_id, r.range AS s, sd.cell,
+           |    ${eu(sl("e.v", "r.range"), sl("sd.sv", "r.range"))} AS dist
+           |  FROM e, range(8) r, sd),
+           |a1 AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY dist, cell) AS rn FROM asg),
+           |av AS (SELECT vec_id, s, cell FROM a1 WHERE rn = 1),
+           |mo AS (SELECT av.s, av.cell, r2.range AS i,
+           |    CAST(sum(CAST(floor(e.v[CAST(av.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+           |    count(*) AS n
+           |  FROM av JOIN e USING (vec_id), range(8) r2 GROUP BY av.s, av.cell, r2.range),
+           |bk AS (SELECT s, cell, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS bc
+           |  FROM mo GROUP BY s, cell),
+           |grid AS (SELECT sd.cell, r.range AS s, sd.sv FROM sd, range(8) r),
+           |bkall AS (SELECT grid.s, grid.cell, coalesce(bk.bc, ${sl("grid.sv", "grid.s")}) AS bc
+           |  FROM grid LEFT JOIN bk ON bk.s = grid.s AND bk.cell = grid.cell),
+           |enc AS (SELECT e.vec_id, b.s, b.cell, ${eu(sl("e.v", "b.s"), "b.bc")} AS d
+           |  FROM e, bkall b),
+           |e1 AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY d, cell) AS rn FROM enc),
+           |codes AS (SELECT vec_id AS c_id, s, cell AS code FROM e1 WHERE rn = 1),
+           |lut AS (SELECT q.vec_id AS q_id, b.s, b.cell, ${sq(sl("q.v", "b.s"), "b.bc")} AS ld
+           |  FROM e q, bkall b WHERE q.vec_id < 5),
+           |parts AS (SELECT lut.q_id, codes.c_id, lut.s, lut.ld
+           |  FROM codes JOIN lut ON lut.s = codes.s AND lut.cell = codes.code
+           |  WHERE codes.c_id <> lut.q_id),
+           |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
+           |  FROM parts GROUP BY q_id, c_id),
+           |r AS (SELECT q_id, c_id, dist, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dist, c_id) AS rn FROM adc)
+           |SELECT q_id, c_id, CAST(floor(dist * 1000000.0) AS BIGINT) AS adc_dist_micro
+           |FROM r WHERE rn <= 10 ORDER BY q_id, adc_dist_micro, c_id""".stripMargin
+      },
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
@@ -862,19 +903,97 @@ object PipelineQueries {
 
     // IVF-PQ — the composed 100 TB ANN layout: trained coarse quantizer
     // (multi-iteration exact-micro Lloyd), PQ codes of the residual,
-    // candidate generation by equi-join on probed cells only. Rows-only:
-    // a full oracle would re-derive 3 Lloyd iterations + residual
-    // codebooks + ADC folds in SQL (the q_embed_knn_ivf mirror to the
-    // third power); the deterministic sub-steps are oracled piecewise
-    // (q_ivf_assign routing, q_pq_assign codes) and recall/parity are
-    // spec-bounded in PqSpec.
-    Q("q_embed_knn_ivfpq", None,
+    // candidate generation by equi-join on probed cells only. ORACLED in
+    // full (promoted round 10): DuckDB re-derives the ENTIRE layout —
+    // three unrolled Lloyd iterations (cosine argmax assignment, exact-
+    // micro means with per-iteration REAL rounding, empty cells keep
+    // their previous centroid), euclidean coarse cells + residuals,
+    // residual codebook training, per-subspace encoding, 3-cell probes,
+    // per-(query, cell) residual LUTs, and the ordered ADC fold — every
+    // double bit matching the codegen'd expressions (OracleVec; exact
+    // integer sums make the trained tables parallelism-invariant, which
+    // is what makes a trained-index oracle possible at all).
+    Q("q_embed_knn_ivfpq",
+      Some {
+        import OracleVec.{cosSql => cos, euclidSql => eu, sqDiffSql => sq}
+        def sl(v: String, s: String) =
+          s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
+        def sub(a: String, b: String) =
+          s"list_transform(list_zip($a, $b), zz -> zz[1] - zz[2])"
+        def lloyd(j: Int): String = {
+          val p = s"cent${j - 1}"
+          s"""asg$j AS (SELECT e.vec_id, e.v, c.cell, ${cos("e.v", "c.cv")} AS sim FROM e, $p c),
+             |a$j AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY sim DESC, cell DESC) AS rn FROM asg$j),
+             |av$j AS (SELECT vec_id, v, cell FROM a$j WHERE rn = 1),
+             |mo$j AS (SELECT cell, r.range AS i,
+             |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+             |  FROM av$j, range(64) r GROUP BY cell, r.range),
+             |cand$j AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
+             |  FROM mo$j GROUP BY cell),
+             |cent$j AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv FROM $p p LEFT JOIN cand$j c ON c.cell = p.cell)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |cent0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+           |${lloyd(1)},
+           |${lloyd(2)},
+           |${lloyd(3)},
+           |casg AS (SELECT e.vec_id, e.v, c.cell, ${eu("e.v", "c.cv")} AS d FROM e, cent3 c),
+           |c1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY d, cell) AS rn FROM casg),
+           |cell_of AS (SELECT vec_id, v, cell FROM c1 WHERE rn = 1),
+           |resid AS (SELECT co.vec_id, co.cell, ${sub("co.v", "c.cv")} AS rv
+           |  FROM cell_of co JOIN cent3 c ON c.cell = co.cell),
+           |sdR AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, rv AS sv
+           |  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)),
+           |asgR AS (SELECT resid.vec_id, r.range AS s, sdR.cell,
+           |    ${eu(sl("resid.rv", "r.range"), sl("sdR.sv", "r.range"))} AS dist
+           |  FROM resid, range(8) r, sdR),
+           |aR AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY dist, cell) AS rn FROM asgR),
+           |avR AS (SELECT vec_id, s, cell FROM aR WHERE rn = 1),
+           |moR AS (SELECT avR.s, avR.cell, r2.range AS i,
+           |    CAST(sum(CAST(floor(resid.rv[CAST(avR.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+           |    count(*) AS n
+           |  FROM avR JOIN resid USING (vec_id), range(8) r2 GROUP BY avR.s, avR.cell, r2.range),
+           |bkR AS (SELECT s, cell, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS bc
+           |  FROM moR GROUP BY s, cell),
+           |gridR AS (SELECT sdR.cell, r.range AS s, sdR.sv FROM sdR, range(8) r),
+           |bkall AS (SELECT gridR.s, gridR.cell, coalesce(bkR.bc, ${sl("gridR.sv", "gridR.s")}) AS bc
+           |  FROM gridR LEFT JOIN bkR ON bkR.s = gridR.s AND bkR.cell = gridR.cell),
+           |encA AS (SELECT resid.vec_id, resid.cell AS ccell, b.s, b.cell AS codeword,
+           |    ${eu(sl("resid.rv", "b.s"), "b.bc")} AS d
+           |  FROM resid, bkall b),
+           |enc1 AS (SELECT vec_id, ccell, s, codeword, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY d, codeword) AS rn FROM encA),
+           |codes AS (SELECT vec_id AS c_id, ccell AS cell, s, codeword AS code FROM enc1 WHERE rn = 1),
+           |qd AS (SELECT e.vec_id AS q_id, e.v AS qv, c.cell, c.cv, ${eu("e.v", "c.cv")} AS d
+           |  FROM e, cent3 c WHERE e.vec_id < 5),
+           |q1 AS (SELECT q_id, qv, cell, cv, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY d, cell) AS rn FROM qd),
+           |probe AS (SELECT q_id, cell, ${sub("qv", "cv")} AS q_resid FROM q1 WHERE rn <= 3),
+           |lut AS (SELECT p.q_id, p.cell, b.s, b.cell AS codeword,
+           |    ${sq(sl("p.q_resid", "b.s"), "b.bc")} AS ld
+           |  FROM probe p, bkall b),
+           |parts AS (SELECT lut.q_id, codes.c_id, lut.s, lut.ld
+           |  FROM codes JOIN lut ON lut.cell = codes.cell AND lut.s = codes.s AND lut.codeword = codes.code
+           |  WHERE codes.c_id <> lut.q_id),
+           |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
+           |  FROM parts GROUP BY q_id, c_id),
+           |r AS (SELECT q_id, c_id, dist, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)
+           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+      },
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val seed = Similarity.centroidRows(
           emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+        // tol = 0.0: the loop then stops early ONLY at an exact fixed
+        // point, where further Lloyd iterations are idempotent — so the
+        // oracle's fixed 3-iteration mirror is correct regardless of
+        // when (or whether) the Scala loop short-circuits.
         val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-          seed, maxIters = 3)
+          seed, maxIters = 3, tol = 0.0)
         val cents = trained.map(_._2.map(_.toDouble).toArray)
         val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
           cents, m = 8, ks = 16)
