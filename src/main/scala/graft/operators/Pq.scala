@@ -89,7 +89,8 @@ object Pq {
           VectorStats.microUnits(subvec(s), scale).as("mv"))
       }: _*)).as("e"))
       .select(col("e.s"), col("e.cell"), col("e.mv"))
-    val agg = udaf(new VectorStats.VecMoments(d0))
+    // VecSums, not VecMoments: codebook training never reads Σm².
+    val agg = udaf(new VectorStats.VecSums(d0))
     val sums = assigned.groupBy("s", "cell").agg(agg(col("mv")).as("mo"))
       .select(col("s"), col("cell"), col("mo._1").as("n"), col("mo._2").as("sums"))
       .collect() // m*ks rows — bounded centroid-table contract

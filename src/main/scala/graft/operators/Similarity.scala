@@ -180,7 +180,9 @@ object Similarity {
     // doubles across engines, integer sums are order-invariant) — the
     // earlier (cell, dim) explode shape cost a dim× row blow-up and a
     // second shuffle for the same numbers.
-    val agg = udaf(new VectorStats.VecMoments(dim))
+    // VecSums, not VecMoments: the centroid recompute never reads Σm²,
+    // so skip its overflow-spill machinery in this hot path.
+    val agg = udaf(new VectorStats.VecSums(dim))
     assigned.groupBy("cell")
       .agg(agg(VectorStats.microUnits(col("vec"), 1000000L)).as("mo"))
       .select(col("cell"), col("mo._1").as("n_assigned"),

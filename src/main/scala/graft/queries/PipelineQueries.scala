@@ -549,7 +549,11 @@ object PipelineQueries {
       (s, d) =>
         VectorStats.moments(t(s, d, "embeddings"), col("embedding"), dim = 64)
           .select(col("dim").cast("long").as("dim"), col("n"),
-            col("sum_micro"), col("sumsq_micro"))
+            col("sum_micro"),
+            // operator emits decimal(38,0) (long wraps at ~9M rows of
+            // 1e6-scale micros); long is exact at oracle scale and an
+            // overflowing downcast ERRORS under ANSI instead of wrapping
+            col("sumsq_micro").cast("long").as("sumsq_micro"))
           .orderBy("dim")),
 
     // Z-score standardization (VectorStats.standardize) — oracled even
