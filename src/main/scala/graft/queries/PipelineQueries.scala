@@ -1798,9 +1798,48 @@ object PipelineQueries {
               .cast("long").as("fp56"))
           .orderBy("doc_id")),
 
+    // The ORACLED core of the winnowing path (the q_ivf_assign pattern):
+    // Schleimer's min-per-window-of-w selection over 5-char gram hashes,
+    // restated on an engine-portable gram hash (56 md5 bits) so BOTH
+    // engines re-derive grams, window minima (one window of all grams
+    // when m < w, mirroring WinnowHash's lastStart clamp), and the
+    // deduplicated fingerprint set from first principles. Bounded to 300
+    // docs: per-row construction, more rows pin nothing new.
+    Q("q_winnow_md5",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id < 300 AND length(text) >= 5),
+             |g AS (SELECT doc_id,
+             |    [CAST(CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 14) AS BIGINT) AS BIGINT)
+             |     FOR i IN range(1, length(text) - 3)] AS gr FROM d),
+             |sel AS (SELECT doc_id, list_distinct(
+             |    [list_min(list_slice(gr, CAST(s AS INT) + 1, CAST(s AS INT) + 4))
+             |     FOR s IN range(0, greatest(len(gr) - 4, 0) + 1)]) AS fp FROM g)
+             |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_winnow,
+             |  CAST(list_min(fp) AS BIGINT) AS min_fp,
+             |  CAST(list_max(fp) AS BIGINT) AS max_fp
+             |FROM sel ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(col("doc_id") < 300 && length(col("text")) >= 5)
+          .select(col("doc_id"), expr(
+            "transform(sequence(1, length(text) - 4), " +
+              "i -> cast(conv(substr(md5(substring(text, i, 5)), 1, 14), 16, 10) as bigint))")
+            .as("gr"))
+          .select(col("doc_id"), expr(
+            // one window over all grams when m < w (greatest clamp) —
+            // sequence stays ascending, matching the oracle's range()
+            "array_distinct(transform(sequence(0, greatest(size(gr) - 4, 0)), " +
+              "s -> array_min(slice(gr, s + 1, 4))))").as("fp"))
+          .select(col("doc_id"), size(col("fp")).cast("long").as("n_winnow"),
+            array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+          .orderBy("doc_id")),
+
     // Whole-doc xxhash64 + winnowing fingerprint-set size (Schleimer et
-    // al., SIGMOD'03). Rows-only: xxhash64 has no DuckDB counterpart;
-    // determinism and selection properties are spec-pinned instead.
+    // al., SIGMOD'03). Rows-only: the production fingerprint64/winnow
+    // path hashes byte-level grams with xxhash64+splitmix, which DuckDB
+    // cannot re-derive; the selection ALGORITHM is oracled cross-engine
+    // by q_winnow_md5 above, and xxhash determinism / selection
+    // properties are spec-pinned.
     Q("q_winnow", None,
       (s, d) =>
         t(s, d, "documents")
