@@ -140,6 +140,27 @@ object Mixture {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic stratified sampling — the reproducible form of
+    * `df.stat.sampleBy` for production pipelines: a row is kept iff its
+    * id's md5 bucket (out of 10000) falls below its stratum's basis-point
+    * rate, a pure function of (id, stratum). Re-runs, repartitionings and
+    * other engines select the SAME rows — no RNG state, so the sample is
+    * re-derivable years later from the ids alone (the property seeded
+    * sampling loses the moment the engine's RNG changes). Strata not in
+    * `ratesBp` default to rate 0. Pure per-row expression — rides the
+    * scan as a pushed filter, nothing shuffles.
+    */
+  def sampleByHash(df: DataFrame, sourceCol: String, idCol: String,
+      ratesBp: Map[String, Int]): DataFrame = {
+    require(ratesBp.nonEmpty && ratesBp.values.forall(r => r >= 0 && r <= 10000),
+      s"rates must be basis points in [0, 10000]: $ratesBp")
+    val bucket = md5Bucket(idCol, 10000L)
+    val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(0)) {
+      case ((name, r), rest) => when(col(sourceCol) === name, lit(r)).otherwise(rest)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Deterministic k-fold assignment — [[hashSplit]]'s cross-validation
     * counterpart: fold = md5-bucket(id) mod k, a pure function of the
     * row's id. Re-processing the corpus, changing partitioning, or

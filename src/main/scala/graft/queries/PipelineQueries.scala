@@ -2004,9 +2004,37 @@ object PipelineQueries {
           .toDF()
           .orderBy("doc_id")),
 
-    // Stratified sampling by class — the training-data downsampling shape
-    // (per-stratum fractions). Seeded => deterministic within a Spark
-    // version; no cross-engine oracle.
+    // Deterministic stratified sampling (Mixture.sampleByHash): keep a
+    // row iff md5-bucket(id) < the stratum's basis-point rate — the
+    // reproducible production form of sampleBy (same rows on re-run, at
+    // any partitioning, in any engine). ORACLED on per-stratum counts
+    // AND an id-sum membership digest; the id is a composite of the four
+    // lineitem keys, so duplicates sample identically by construction.
+    Q("q_sample_stratified_hash",
+      Some("""WITH s AS (SELECT l_returnflag, l_orderkey,
+             |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey), 1, 8) AS BIGINT) % 10000 AS b
+             |  FROM lineitem)
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+             |FROM s WHERE b < CASE l_returnflag WHEN 'A' THEN 1000
+             |  WHEN 'N' THEN 500 WHEN 'R' THEN 1000 ELSE 0 END
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) =>
+        Mixture.sampleByHash(
+            t(s, d, "lineitem").withColumn("__sid", concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))),
+            "l_returnflag", "__sid",
+            Map("A" -> 1000, "N" -> 500, "R" -> 1000))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"), sum("l_orderkey").as("sum_ok"))
+          .orderBy("l_returnflag")),
+
+    // Stratified sampling by class via Spark's native sampleBy — kept
+    // alongside the hash form to pin the engine API. Rows-only: seeded
+    // sampleBy draws from Spark's per-partition XORShift RNG, an
+    // engine-internal stream no other engine can re-derive; the
+    // deterministic twin q_sample_stratified_hash above IS oracled.
     Q("q_sample_stratified", None,
       (s, d) =>
         t(s, d, "lineitem")
