@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. NeurIPS
+  * '23): score every raw document by how much more likely its hashed
+  * n-gram bag is under a TARGET distribution (e.g. curated wiki/books
+  * text) than under the RAW crawl distribution. The per-doc importance
+  * log-weight
+  *
+  *   log w(x) = Σ_{g ∈ grams(x)} [ log p̂_target(h(g)) − log p̂_raw(h(g)) ]
+  *
+  * ranks the crawl by target-likeness; resampling the top mass yields
+  * the pretraining subset. This is the standard cheap alternative to a
+  * learned quality classifier — two bag-of-hashed-ngram models, no
+  * training loop.
+  *
+  * Engine-portable by construction, the [[Mixture.hashSplit]] /
+  * [[graft.operators.TextAnalysis.hashedLinearScore]] idiom:
+  *   - features = word unigrams + bigrams hashed into `buckets` slots
+  *     via the first 8 md5 hex chars (any engine reproduces the bucket);
+  *   - both distributions are Laplace-smoothed bucket histograms,
+  *     p̂(b) = (c_b + 1) / (N + buckets), estimated with ONE bounded
+  *     aggregate each (`buckets` rows out, however large the corpus);
+  *   - per-bucket log-ratios are quantized to integer micros BEFORE the
+  *     per-doc sum, so document scores are exact longs — sum order,
+  *     partitioning and engine cannot change them (ln of a ratio of
+  *     exact integers is the same IEEE double everywhere, the q_zipf /
+  *     q_lm_score argument).
+  *
+  * Shape at 100 TB: the target corpus is scanned once and the raw
+  * corpus twice (histogram + scoring), all map-side; the only shuffle
+  * is the two buckets-bounded count aggregates, and the log-ratio
+  * table broadcast to the scorer is `buckets` rows (KBs). The score is
+  * ONE per-row HOF fold over the gram array — no explode, no join, no
+  * UDF — so the gate rides the scan exactly like the other per-row
+  * quality signals.
+  */
+object Dsir {
+
+  /** Hashed feature buckets of a text: word unigrams ++ word bigrams
+    * (space-split, lowercased, empties dropped), each mapped to
+    * md5-hex-8 mod `buckets`. Pure per-row expression.
+    */
+  def gramBuckets(textCol: Column, buckets: Int): Column = {
+    val toks = filter(split(lower(textCol), " "), t => t =!= "")
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams), t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** The per-bucket importance table: (`bucket` long, `llr_micro` long)
+    * over the FULL bucket domain (absent buckets carry their smoothed
+    * prior, so scoring never misses a key). One bounded aggregate per
+    * corpus; `llr_micro = round((ln p̂_target − ln p̂_raw)·1e6)` with the
+    * division-then-ln op order fixed as the cross-engine contract.
+    */
+  def logRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    def hist(df: DataFrame, cnt: String, tot: String): DataFrame = {
+      val c = df.select(explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cnt))
+      c.crossJoin(broadcast(c.agg(coalesce(sum(col(cnt)), lit(0L)).as(tot))))
+    }
+    val spine = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val t = hist(target, "__ct", "__nt")
+    val r = hist(raw, "__cr", "__nr")
+    // the totals live on every row of their hist; re-broadcast one row
+    // of each onto the spine so zero-count buckets still get smoothing
+    val nt = broadcast(t.select(col("__nt")).limit(1))
+    val nr = broadcast(r.select(col("__nr")).limit(1))
+    def logP(cnt: Column, tot: Column): Column =
+      log((cnt + lit(1L)).cast("double") /
+        (tot + lit(buckets.toLong)).cast("double"))
+    spine
+      .join(t.select("bucket", "__ct"), Seq("bucket"), "left")
+      .join(r.select("bucket", "__cr"), Seq("bucket"), "left")
+      .crossJoin(nt).crossJoin(nr)
+      .select(col("bucket"),
+        round((logP(coalesce(col("__ct"), lit(0L)), col("__nt")) -
+          logP(coalesce(col("__cr"), lit(0L)), col("__nr"))) * lit(1e6), 0)
+          .cast("long").as("llr_micro"))
+  }
+
+  /** Score every `raw` row: (idCol, n_grams, logw_micro). The log-ratio
+    * table collapses to ONE broadcast map (`buckets` entries over the
+    * complete domain — `element_at` can never miss) and the score is a
+    * per-row fold; every input row is emitted (gram-less docs score 0).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"bucket count must be in (0, 2^20]: $buckets")
+    val llrMap = logRatioTable(raw, target, textCol, buckets)
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("llr_micro"))).as("__m"))
+    val grams = gramBuckets(col(textCol), buckets)
+    raw.crossJoin(broadcast(llrMap))
+      .select(col(idCol),
+        coalesce(size(grams), lit(0)).cast("long").as("n_grams"),
+        coalesce(aggregate(grams, lit(0L),
+          (acc, b) => acc + element_at(col("__m"), b)), lit(0L)).as("logw_micro"))
+  }
+}

@@ -173,4 +173,78 @@ object Mixture {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
     df.withColumn("fold", md5Bucket(idCol, k.toLong))
   }
+
+  /** Per-source REPEAT factors realizing a target mixture at constant
+    * corpus size — the upsampling complement of [[weights]] (which only
+    * downsamples). factor_s = target_s · N / n_s in integer micro-units
+    * via exact integer division: `(t_micro_s · N) div n_s`, so the
+    * factor table is bit-identical in any engine (no IEEE division).
+    * Overflow bound: t_micro ≤ 1e6 and the product must fit a long, so
+    * N ≤ ~9.2e12 rows — beyond any real corpus (100 TB of 2 KB docs is
+    * 5e10 rows); asserted at runtime. Sources absent from `targetsMicro`
+    * get factor 0 (excluded — same contract as [[weights]]); a targeted
+    * source absent from the data yields no row (nothing to repeat).
+    * Output: (sourceCol, n_rows, factor_micro), bounded by the number
+    * of sources.
+    */
+  def repeatFactors(df: DataFrame, sourceCol: String,
+      targetsMicro: Map[String, Long]): DataFrame = {
+    require(targetsMicro.nonEmpty &&
+      targetsMicro.values.forall(t => t >= 0 && t <= 1000000L),
+      s"target shares must be micro-units in [0, 1e6]: $targetsMicro")
+    val s = df.sparkSession
+    import s.implicits._
+    val tgt = targetsMicro.toSeq.toDF("__src", "__t_micro")
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L)).as("__n"))
+    counts.join(broadcast(tgt), Seq("__src"), "inner")
+      .crossJoin(broadcast(total))
+      .select(col("__src").as(sourceCol), col("n_rows"),
+        // the guard lives INSIDE the output column so pruning can't
+        // elide it: factors are only produced when t_micro·N fits a long
+        when(col("__n") > lit(9223372036854L),
+          raise_error(lit("repeatFactors: corpus too large for long micro arithmetic")))
+          .otherwise(expr("(__t_micro * __n) div n_rows"))
+          .cast("long").as("factor_micro"))
+  }
+
+  /** Deterministic fractional upsampling by per-source repeat factors
+    * (the "epochs per domain" step of a mixture with scarce domains —
+    * e.g. 3.2 epochs of books against 1 epoch of web). Each row is
+    * emitted `factor div 1e6` times, plus one extra copy iff its id's
+    * md5 bucket (out of 1e6) falls below `factor mod 1e6` — so the
+    * realized count is within one row of exact per stratum, and WHICH
+    * rows carry the extra epoch is a pure function of the id
+    * ([[sampleByHash]]'s determinism applied to duplication). Output
+    * appends `copy` (1-based epoch index) so downstream shuffles/sorts
+    * treat copies as distinct rows. Per-row explode of a bounded
+    * sequence — no shuffle; rows from sources absent in `factorsMicro`
+    * are dropped (factor 0).
+    *
+    * Shape at 100 TB: output size = Σ n_s·f_s by construction; the
+    * explode multiplies rows AFTER any pushed filters, and a factor
+    * table is `sources` rows however it was derived ([[repeatFactors]]
+    * or hand-set).
+    */
+  def upsampleByFactor(df: DataFrame, sourceCol: String, idCol: String,
+      factorsMicro: Map[String, Long]): DataFrame = {
+    require(factorsMicro.nonEmpty &&
+      factorsMicro.values.forall(f => f >= 0 && f <= 1000L * 1000000L),
+      s"repeat factors must be micro-units in [0, 1000·1e6]: $factorsMicro")
+    val factor = factorsMicro.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+      case ((name, f), rest) =>
+        when(col(sourceCol) === name, lit(f)).otherwise(rest)
+    }
+    val extra = when(md5Bucket(idCol, 1000000L) < factor % lit(1000000L),
+      lit(1L)).otherwise(lit(0L))
+    // whole epochs via exact integer arithmetic: (f − f mod 1e6) / 1e6
+    // stays in longs (no IEEE division anywhere in the copy count)
+    val base = (factor - factor % lit(1000000L)) / lit(1000000L)
+    df.withColumn("__n_copies", (base.cast("long") + extra).cast("int"))
+      .withColumn("copy",
+        explode(when(col("__n_copies") >= 1,
+          sequence(lit(1), col("__n_copies"))).otherwise(array().cast("array<int>"))))
+      .drop("__n_copies")
+  }
 }

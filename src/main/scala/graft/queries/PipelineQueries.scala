@@ -2198,6 +2198,141 @@ object PipelineQueries {
             Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
             frameSize = 64, stride = 2)
           .toDF()
-          .orderBy("doc_id", "frame_idx"))
+          .orderBy("doc_id", "frame_idx")),
+
+    // DSIR importance weights (Xie et al. NeurIPS '23): every doc scored
+    // by log p_target − log p_raw over hashed unigram+bigram bags, the
+    // cheap learned-classifier alternative for data selection. Target =
+    // the English slice, raw = the whole corpus. Two 256-bucket
+    // histograms + one broadcast log-ratio map + a per-row fold; scores
+    // are exact longs (per-bucket micros rounded BEFORE the doc sum), so
+    // the query oracles bit-for-bit — DuckDB re-derives both smoothed
+    // histograms and the fold from the same md5 buckets.
+    Q("q_dsir",
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |    unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+             |  FROM toks),
+             |hb AS (SELECT doc_id, lang,
+             |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 256 AS b
+             |  FROM g),
+             |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM hb
+             |  WHERE lang = 'en' GROUP BY b),
+             |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM hb GROUP BY b),
+             |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tc),
+             |nr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr FROM rc),
+             |llr AS (SELECT r.range AS b,
+             |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+             |                    / CAST(nt.nt + 256 AS DOUBLE))
+             |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE)
+             |                    / CAST(nr.nr + 256 AS DOUBLE)))
+             |               * CAST(1e6 AS DOUBLE), 0) AS BIGINT) AS w
+             |  FROM range(256) r
+             |  LEFT JOIN tc ON tc.b = r.range
+             |  LEFT JOIN rc ON rc.b = r.range
+             |  CROSS JOIN nt CROSS JOIN nr),
+             |sc AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(llr.w) AS BIGINT) AS logw_micro
+             |  FROM hb JOIN llr ON hb.b = llr.b GROUP BY hb.doc_id)
+             |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+             |  coalesce(sc.logw_micro, 0) AS logw_micro
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", buckets = 256)
+          .orderBy("doc_id")
+      }),
+
+    // Repeat-factor upsampling (Mixture.repeatFactors + upsampleByFactor):
+    // realize a 50/30/20 mixture over three sources at constant corpus
+    // size by REPEATING scarce sources ("epochs per domain") — the
+    // complement of the downsample-only q_mixture. Factors are exact
+    // integer micro-units ((t·N) div n_s); which rows carry the
+    // fractional extra epoch is md5-of-id deterministic, so membership
+    // oracles via per-(doc,copy) digest checksums. The factor table
+    // round-trips the driver (sources rows — the documented tiny-table
+    // exception).
+    Q("q_mix_upsample",
+      Some("""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM documents),
+             |tgt(source, tm) AS (VALUES ('src0', CAST(500000 AS BIGINT)),
+             |                           ('src1', CAST(300000 AS BIGINT)),
+             |                           ('src2', CAST(200000 AS BIGINT))),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source),
+             |f AS (SELECT c.source, CAST((tgt.tm * tot.nt) // c.n AS BIGINT) AS fm
+             |  FROM c JOIN tgt USING (source) CROSS JOIN tot),
+             |r AS (SELECT d.doc_id, d.source,
+             |    fm // 1000000 +
+             |    CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |              % 1000000 < fm % 1000000
+             |         THEN 1 ELSE 0 END AS k
+             |  FROM documents d JOIN f ON d.source = f.source),
+             |e AS (SELECT doc_id, source,
+             |    unnest(generate_series(1, CAST(k AS BIGINT))) AS copy
+             |  FROM r WHERE k >= 1)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_out,
+             |  CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+             |        || CAST(copy AS VARCHAR)), 1, 14) AS BIGINT))
+             |    % 4611686018427387904 AS BIGINT) AS member_ck
+             |FROM e GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val factors = Mixture.repeatFactors(docs, "source",
+            Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L))
+          .select(col("source"), col("factor_micro"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Mixture.upsampleByFactor(docs, "source", "doc_id", factors)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_out"),
+            (sum(Checksum.rowDigest(concat(col("doc_id").cast("string"),
+              lit("#"), col("copy").cast("string"))))
+              % lit(Checksum.Modulus)).cast("long").as("member_ck"))
+          .orderBy("source")
+      }),
+
+    // Checksum-validated PII: candidate card numbers (13-19 digit runs,
+    // synthesized per doc_id — the q_redact pattern) each carrying its
+    // Luhn mod-10 verdict, the precision layer a bare regex scrub lacks.
+    // Detection (regexp_extract_all) and validation (HOF fold over digit
+    // positions) are per-row expression chains, and DuckDB re-derives
+    // both exactly.
+    Q("q_pii_luhn",
+      Some("""WITH syn AS (SELECT doc_id,
+             |    'card ' || substr(
+             |      lpad(CAST((doc_id % 1000000) * 2654435761 % 10000000000 AS VARCHAR), 10, '0') ||
+             |      lpad(CAST((doc_id % 1000000) * 1099511628211 % 10000000000 AS VARCHAR), 10, '0'),
+             |      1, CAST(13 + doc_id % 7 AS INT)) || ' ' || text AS text2
+             |  FROM documents),
+             |lc AS (SELECT doc_id,
+             |    regexp_extract_all(text2, '[0-9]{13,19}') AS l FROM syn),
+             |ex AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM lc),
+             |cand AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS cand_idx,
+             |    l[CAST(i AS INT)] AS cand FROM ex)
+             |SELECT doc_id, cand_idx, cand,
+             |  (list_sum(list_transform(range(1, len(cand) + 1), i ->
+             |     CASE WHEN (len(cand) - i) % 2 = 1
+             |          THEN CASE WHEN 2 * (ascii(substr(cand, CAST(i AS INT), 1)) - 48) > 9
+             |                    THEN 2 * (ascii(substr(cand, CAST(i AS INT), 1)) - 48) - 9
+             |                    ELSE 2 * (ascii(substr(cand, CAST(i AS INT), 1)) - 48) END
+             |          ELSE ascii(substr(cand, CAST(i AS INT), 1)) - 48 END))
+             |   % 10 = 0) AS luhn_valid
+             |FROM cand ORDER BY doc_id, cand_idx""".stripMargin),
+      (s, d) => {
+        val base = col("doc_id") % lit(1000000L)
+        val digits = concat(
+          lpad(((base * lit(2654435761L)) % lit(10000000000L)).cast("string"), 10, "0"),
+          lpad(((base * lit(1099511628211L)) % lit(10000000000L)).cast("string"), 10, "0"))
+        val text2 = concat(lit("card "),
+          digits.substr(lit(1), (lit(13) + col("doc_id") % lit(7)).cast("int")),
+          lit(" "), col("text"))
+        Pii.cardCandidates(
+            t(s, d, "documents").select(col("doc_id"), text2.as("text2")),
+            "doc_id", "text2")
+          .orderBy("doc_id", "cand_idx")
+      })
   )
 }

@@ -123,4 +123,49 @@ class MixtureSpec extends SparkTestBase {
     assert(re == folds.toMap) // pure function of the id
     intercept[IllegalArgumentException](Mixture.kfold(df, "id", 1))
   }
+
+  test("repeatFactors: exact integer micro factors; untargeted excluded") {
+    // corpus: web 10, code 5, books 3 -> N = 18
+    val got = Mixture.repeatFactors(corpus, "src",
+        Map("web" -> 500000L, "code" -> 500000L))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("web") == ((10L, 900000L)))   // (5e5*18) div 10
+    assert(got("code") == ((5L, 1800000L)))  // (5e5*18) div 5
+    assert(!got.contains("books"), "untargeted source must be excluded")
+    intercept[IllegalArgumentException](
+      Mixture.repeatFactors(corpus, "src", Map("web" -> 2000000L)))
+  }
+
+  test("upsampleByFactor: whole epochs + md5-deterministic extras, repartition-stable") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b"))).toDF("id", "src")
+    val factors = Map("a" -> 1500000L, "b" -> 3000000L) // 1.5 and 3.0 epochs
+    val out = Mixture.upsampleByFactor(df, "src", "id", factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // b rows appear exactly 3x with copies 1..3
+    val bCopies = out.filter(_._2 == "b").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(bCopies.values.forall(_ == Seq(1, 2, 3)), "whole factor 3.0 must triple every row")
+    // a rows appear 1x or 2x; the 2x set is exactly the md5-bucket rule
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1).view.mapValues(_.size).toMap
+    val expectedExtra = df.filter(col("src") === "a").select(col("id"),
+        (pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)) < lit(500000L)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(aCounts.keySet == expectedExtra.keySet)
+    assert(aCounts.forall { case (id, n) => n == (if (expectedExtra(id)) 2 else 1) })
+    // fractional-epoch share lands near 1.5x on a 400-row stratum
+    val nA = aCounts.values.sum
+    assert(nA >= 550 && nA <= 650, s"~600 expected for 1.5 epochs of 400: $nA")
+    // repartitioning changes nothing (pure id function)
+    val re = Mixture.upsampleByFactor(df.repartition(7), "src", "id", factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(re.sorted.toSeq == out.sorted.toSeq)
+    // factor 0 drops the source entirely
+    val dropped = Mixture.upsampleByFactor(df, "src", "id",
+      Map("a" -> 0L, "b" -> 1000000L)).filter(col("src") === "a").count()
+    assert(dropped == 0L)
+    intercept[IllegalArgumentException](
+      Mixture.upsampleByFactor(df, "src", "id", Map.empty))
+  }
 }
