@@ -41,6 +41,30 @@ object Similarity {
     partialTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data prep: for each
+    * query, the k most-similar corpus vectors whose LABEL differs (the
+    * confusable near-misses a dual encoder must learn to separate; same-
+    * label neighbors are positives, not negatives). Identical scale shape
+    * to [[bruteForceKnn]]: tiny query set broadcast, label filter rides
+    * the scan BEFORE scoring, bounded per-partition heaps keep the
+    * shuffle at #queries·k rows per partition.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_lab"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_lab"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_lab") =!= col("q_lab"))
+      .select(col("q_id").cast("long"), col("c_id").cast("long"),
+        cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
+      .as[Scored]
+    partialTopK(scored, k)
+  }
+
   /** Partial top-k per partition, then global finish: a bounded heap per
     * query keeps the shuffle at (#queries * k) rows per partition
     * regardless of corpus size — the map-side-combine of top-k. Keeps the

@@ -658,6 +658,29 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // Hard-negative mining (contrastive-training prep): per query vector,
+    // the top-10 most-similar vectors with a DIFFERENT label — the
+    // confusable near-misses a dual encoder trains against. Same scale
+    // shape as q_embed_knn (broadcast queries, scan-side label filter,
+    // bounded partial-top-k heaps); rank+ids oracled like q_embed_knn.
+    Q("q_hard_negatives",
+      Some("""SELECT q_id, c_id, rn FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |    CAST(row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+             |               c.vec_id) AS BIGINT) AS rn
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 5 AND c.label <> q.label)
+             |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", "label", 10)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
     // LSH-bucketed ANN. ORACLED in full (promoted round 10): bucket bits,
     // hamming-1 probes, and the final cosine ranks are all re-derived in
     // DuckDB from first principles — the hyperplanes are embedded as
@@ -2333,6 +2356,47 @@ object PipelineQueries {
             t(s, d, "documents").select(col("doc_id"), text2.as("text2")),
             "doc_id", "text2")
           .orderBy("doc_id", "cand_idx")
-      })
+      }),
+
+    // k-center greedy coreset (Sener & Savarese '18): 8 maximally-spread
+    // embeddings — the diversity-first sampler (SemDeDup removes
+    // redundancy; this SELECTS coverage). Exact integer micro distances
+    // make the greedy trajectory a pure function of the data, so the
+    // DuckDB oracle re-derives all 8 picks with an unrolled
+    // argmax-of-min-distance CTE chain, bit-for-bit — including the
+    // shrinking coverage radius.
+    Q("q_coreset",
+      Some(coresetSql(8)),
+      (s, d) =>
+        Coreset.kCenterGreedy(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)
+          .orderBy("pick_order"))
   )
+
+  /** Unrolled k-center-greedy oracle: sel0 = min-id seed; stage i scans
+    * all vectors for min-distance-to-selected (exact integer micro² via
+    * [[OracleVec.sqDiffSql]]'s fold) and appends the (dist DESC, id ASC)
+    * argmax. Unrolled because SQL recursion cannot aggregate over the
+    * recursive reference — the [[q_embed_knn_ivfpq]] Lloyd-unroll trick.
+    */
+  private def coresetSql(k: Int): String = {
+    val sq = OracleVec.sqDiffSql("e.v", "s.v")
+    val head =
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |sel0 AS (SELECT CAST(0 AS BIGINT) AS pick_order, vec_id, v,
+        |    CAST(0 AS BIGINT) AS far_dist
+        |  FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+    val stages = (1 until k).map { i =>
+      s""",
+         |m$i AS (SELECT e.vec_id, min($sq) AS md
+         |  FROM e CROSS JOIN sel${i - 1} s GROUP BY e.vec_id),
+         |p$i AS (SELECT m.vec_id, e.v, m.md FROM m$i m JOIN e ON e.vec_id = m.vec_id
+         |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+         |  SELECT CAST($i AS BIGINT), vec_id, v, CAST(md AS BIGINT) FROM p$i)""".stripMargin
+    }.mkString
+    head + stages +
+      s"\nSELECT pick_order, vec_id, far_dist FROM sel${k - 1} ORDER BY pick_order"
+  }
 }

@@ -181,4 +181,25 @@ class SimilaritySpec extends SparkTestBase {
     // candidates would give recall ~0.02)
     assert(recall > 0.05, s"recall $recall not better than chance")
   }
+
+  test("hardNegatives: only cross-label neighbors, bruteForceKnn minus same-label") {
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(emb, queries, "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5 * 5)
+    assert(got.forall { case (q, c, _) => labels(q) != labels(c) },
+      "every mined negative must carry a different label")
+    // cross-check against the exact KNN over a manually label-filtered corpus
+    for (qid <- 0L until 5L) {
+      val corpusFiltered = emb.filter(col("label") =!= labels(qid))
+      val expect = Similarity.bruteForceKnn(corpusFiltered,
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+        .select("q_id", "c_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.filter(_._1 == qid).toSet == expect, s"query $qid diverges")
+    }
+  }
 }
