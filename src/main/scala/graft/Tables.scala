@@ -73,6 +73,21 @@ object Tables {
     // readEvents sets the legacy-nanos flag only if this file needs it; the
     // inferred schema below then matches what the stream source will read.
     val physical = readEvents(spark, path).schema
+    normalizeEvents(fileStream(spark, path, physical))
+  }
+
+  /** Any test table as an unbounded file-source stream (same schema as the
+    * batch read) — e.g. the documents table as an ingestion stream for the
+    * streaming near-dedup monitor.
+    */
+  def tableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(name != "events", "use eventsStream: events needs ts normalization")
+    val path = s"$dir/$name.parquet"
+    fileStream(spark, path, spark.read.parquet(path).schema)
+  }
+
+  private def fileStream(spark: SparkSession, path: String,
+      physical: org.apache.spark.sql.types.StructType): DataFrame = {
     // The file-stream source requires a DIRECTORY to list (new files
     // landing in it flow through incrementally — the production ingest
     // shape). Two testdata layouts exist: Spark-written tables ARE
@@ -84,10 +99,18 @@ object Tables {
     val streamDir =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) path
       else {
-        val stage = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        val abs = java.nio.file.Paths.get(path).toAbsolutePath
+        val stagePath = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft-stream",
-          dir.replaceAll("[^A-Za-z0-9.]", "_")))
-        val link = stage.resolve("events.parquet")
+          abs.getParent.toString.replaceAll("[^A-Za-z0-9.]", "_"),
+          abs.getFileName.toString.replaceAll("[^A-Za-z0-9.]", "_"))
+        // A pre-refactor staging layout left a SYMLINK at what is now the
+        // per-table stage directory path; clear it so createDirectories
+        // can't trip over the stale entry.
+        if (java.nio.file.Files.isSymbolicLink(stagePath))
+          java.nio.file.Files.delete(stagePath)
+        val stage = java.nio.file.Files.createDirectories(stagePath)
+        val link = stage.resolve(abs.getFileName.toString)
         // deleteIfExists first: Files.exists FOLLOWS a symlink, so a dangling
         // link (testdata regenerated between rounds) reads as "absent" and
         // create then throws FileAlreadyExistsException. Recreating
@@ -95,12 +118,11 @@ object Tables {
         // on the same sf dir are absorbed by the catch (either winner links
         // the same target).
         java.nio.file.Files.deleteIfExists(link)
-        try java.nio.file.Files.createSymbolicLink(
-          link, java.nio.file.Paths.get(path).toAbsolutePath)
+        try java.nio.file.Files.createSymbolicLink(link, abs)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
         stage.toString
       }
-    normalizeEvents(spark.readStream.schema(physical).parquet(streamDir))
+    spark.readStream.schema(physical).parquet(streamDir)
   }
 
   /** Register tables as temp views for SQL-expressed queries. */

@@ -80,6 +80,77 @@ object Multimodal {
         struct(col("fmt"), col("n_bytes")).as("meta"))
   }
 
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash) over the payload bytes: 64 contiguous
+    * blocks, bit j set iff block j's mean byte exceeds the global mean —
+    * compared by exact integer cross-multiplication (`sum_j·n > total·len_j`),
+    * never by float division, so the 64-bit fingerprint is identical in any
+    * engine. On a real image pipeline the input is the decoded+resized
+    * luma plane ([[resizeStub]] stands in for that kernel here); the hash,
+    * banding, and verify stages are the production plumbing unchanged.
+    *
+    * Cross-multiply bound: exact while `255·n²` fits a long — payloads
+    * up to ~190 MB, far above any sane image/frame blob; larger media go
+    * through [[sampleFrames]] first by design.
+    */
+  def aHash64(packed: DataFrame): Dataset[PHash] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val rows = packed.select(col("doc_id"), col("content"),
+      col("meta.fmt").as("fmt"), col("meta.n_bytes").as("n_bytes")).as[MediaRow]
+    rows.map { m =>
+      val bytes = m.content
+      val n = bytes.length.toLong
+      var tot = 0L
+      var i = 0
+      while (i < bytes.length) { tot += bytes(i) & 0xff; i += 1 }
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        val lo = (j * n / 64).toInt
+        val hi = ((j + 1) * n / 64).toInt
+        var s = 0L
+        var k = lo
+        while (k < hi) { s += bytes(k) & 0xff; k += 1 }
+        h = (h << 1) | (if (s * n > tot * (hi - lo)) 1L else 0L)
+        j += 1
+      }
+      PHash(m.doc_id, h)
+    }
+  }
+
+  /** Banded Hamming near-dup over 64-bit perceptual hashes: 16 bands of
+    * 4 bits bucket the candidates (band-value equi-join — never all
+    * pairs), then `bit_count(xor)` verifies the exact distance. By
+    * pigeonhole, any pair within Hamming ≤ 15 shares at least one intact
+    * band, so for `maxHamming ≤ 15` recall is EXACT — the oracle can be
+    * the all-pairs definition with no approximation gap. Same
+    * bucket-join scale shape as MinHash-LSH (`Dedup.nearDupPairs`).
+    */
+  def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming must be in 0..15: 16x4-bit banding is only recall-exact below 16")
+    val bandVals = array((0 until 16).map(k =>
+      shiftright(col("h"), 4 * k).bitwiseAND(lit(15L))): _*)
+    val bp = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        posexplode(bandVals).as(Seq("band", "bv")))
+    val x = bp.select(col("id").as("id_a"), col("h").as("h_a"),
+      col("band"), col("bv"))
+    val y = bp.select(col("id").as("id_b"), col("h").as("h_b"),
+      col("band"), col("bv"))
+    x.join(y, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** STUB decode: deterministic byte statistics per blob. Stands in for the
     * real codec (not available in this container); batch shape (iterator of
     * rows per partition, amortized setup at iterator head) is exactly where

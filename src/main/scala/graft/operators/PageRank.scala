@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-based PageRank power iteration (Page, Brin, Motwani, Winograd,
+  * Stanford tech report 1999) — the canonical iterative-fixpoint shape on
+  * a relational engine, and the quality signal a web-scale training-data
+  * pipeline derives from its link graph (rank-weighted sampling of crawl
+  * text is a standard curation input).
+  *
+  * All arithmetic is EXACT integer fixed-point: ranks live in micros
+  * (1.0 ≡ 1_000_000) and every division is integer `div` (truncating,
+  * identical in Spark and DuckDB's `//`), so after any number of
+  * iterations the ranks are a pure data function — independent of
+  * partitioning, join order, and float summation order — and a DuckDB
+  * oracle can re-derive the whole trajectory as an unrolled CTE chain
+  * (the same Lloyd-unroll trick as q_kmeans_step / q_coreset).
+  *
+  * Scale shape, per iteration: one shuffle of the (src-partitioned) edge
+  * list joined to the current rank vector, then a partial-aggregated
+  * groupBy(dst) — map-side combine bounds the shuffled volume by the
+  * edge count; no driver-side state, no collect anywhere. The edge list
+  * is reused across iterations, so at cluster scale you'd persist it
+  * pre-partitioned on `src` (here 3 iterations over a scan-cheap input —
+  * caching is the caller's call, not baked in).
+  *
+  * North-star extension; the reference has no joins at all
+  * (queryplanner.rs:66 rejects them).
+  */
+object PageRank {
+
+  private val Scale = 1000000L
+
+  /** `iterations` rounds of damped PageRank over a directed edge list
+    * (`srcCol` → `dstCol`, any type castable to string). Vertices are the
+    * distinct endpoints; every vertex starts at 1.0 (micros). Damping is
+    * d = 0.85 applied as exact integer ops:
+    *
+    *   r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+    *
+    * (85/100 rather than 850000/1000000 — same floor exactly, but the
+    * multiplier keeps `85 · inflow` inside a long up to ~10^17 µ of
+    * inflow ≈ 10^11 vertices of mass, where the larger constant would
+    * overflow at ~10^7.)
+    *
+    * Dangling vertices (no out-edges) simply leak their mass — the
+    * classic simplification; callers who need mass conservation add a
+    * sink vertex. Returns (vertex, rank_micros).
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src")
+
+    var r = vertices.withColumn("rank", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(r, withDeg("src") === r("vertex"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      r = vertices
+        .join(contrib, vertices("vertex") === contrib("dst"), "left")
+        .select(col("vertex"),
+          (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("rank"))
+    }
+    r.select(col("vertex"), col("rank").as("rank_micros"))
+  }
+
+  /** The DuckDB mirror of one iteration, for oracle builders: given the
+    * previous ranks CTE name, emits the SELECT computing the next one
+    * over CTEs `v(vertex)` and `e(src, dst, outdeg)`.
+    */
+  def stepSql(prev: String): String =
+    s"""SELECT v.vertex,
+       |  150000 + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+       |FROM v LEFT JOIN (
+       |  SELECT e.dst, SUM(p.rank // e.outdeg) AS inflow
+       |  FROM e JOIN $prev p ON e.src = p.vertex
+       |  GROUP BY e.dst) c ON v.vertex = c.dst""".stripMargin
+}

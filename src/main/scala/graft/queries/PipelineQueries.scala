@@ -530,6 +530,31 @@ object PipelineQueries {
           .orderBy("vec_id")
       }),
 
+    // Sparse signed random projection (Johnson–Lindenstrauss, Achlioptas
+    // '03): 64 → 16 dims as exact-long micro folds, the map-side-only
+    // embedding compression that runs before an ANN index build at corpus
+    // scale (4× less shuffle/state downstream). FULLY oracled: DuckDB
+    // re-derives the ternary weight matrix itself from md5("rp|seed|i|j")
+    // inside a list comprehension — nothing crosses engines but the seed
+    // string, so a Scala-side weight bug cannot self-confirm.
+    Q("q_random_projection", {
+      val projCols = (0 until 16).map { j =>
+        val w = RandomProjection.weightSql("jl", "i", j.toString)
+        f"  CAST(list_sum(list_transform(range(64), i -> mi[i+1] * $w)) AS BIGINT) AS p$j%02d"
+      }.mkString(",\n")
+      Some(s"""WITH m AS (
+              |  SELECT vec_id, list_transform(embedding,
+              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS mi
+              |  FROM embeddings)
+              |SELECT vec_id,
+              |$projCols
+              |FROM m ORDER BY vec_id""".stripMargin)
+    },
+      (s, d) =>
+        RandomProjection.project(t(s, d, "embeddings"),
+            "vec_id", "embedding", dimIn = 64, dimOut = 16, seed = "jl")
+          .orderBy("vec_id")),
+
     // Per-dimension embedding moments (VectorStats.moments): ONE
     // constant-buffer mergeable aggregate (count + two dim-length long
     // arrays) — the naive posexplode+groupBy(dim) alternative multiplies
@@ -2026,6 +2051,41 @@ object PipelineQueries {
             Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
           .toDF()
           .orderBy("doc_id")),
+
+    // Perceptual-hash near-dup over the multimodal payloads: aHash64
+    // (64-block mean-threshold fingerprint, exact integer cross-multiply)
+    // + 16x4-bit banded Hamming join — pigeonhole-EXACT recall at
+    // threshold <= 15, so the oracle is the all-pairs definition with no
+    // approximation gap. Image near-dedup's production shape: swap the
+    // byte plane for a decoded luma plane and nothing else changes.
+    Q("q_phash_neardup",
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    list_transform(generate_series(1, octet_length(encode(text))),
+             |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INT)) AS bytes
+             |  FROM documents),
+             |h0 AS (
+             |  SELECT doc_id, list_sum(list_transform(range(64), j ->
+             |      CASE WHEN COALESCE(list_sum(list_slice(bytes, (j*n)//64 + 1, ((j+1)*n)//64)), 0) * n
+             |              > list_sum(bytes) * (((j+1)*n)//64 - (j*n)//64)
+             |           THEN CAST(1 AS HUGEINT) << (63-j) ELSE CAST(0 AS HUGEINT) END)) AS hh
+             |  FROM b),
+             |h AS (
+             |  SELECT doc_id, CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+             |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END AS BIGINT) AS phash
+             |  FROM h0)
+             |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+             |WHERE bit_count(xor(a.phash, b2.phash)) <= 13
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) =>
+        Multimodal.phashNearDup(
+            Multimodal.aHash64(
+              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
+              .toDF(),
+            "doc_id", "phash", maxHamming = 13)
+          .orderBy("id_a", "id_b")),
 
     // Deterministic stratified sampling (Mixture.sampleByHash): keep a
     // row iff md5-bucket(id) < the stratum's basis-point rate — the

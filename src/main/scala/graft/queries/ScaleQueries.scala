@@ -363,6 +363,43 @@ object ScaleQueries {
             cents(col("o_totalprice")).as("price_cents"))
           .orderBy("o_orderkey")
           .offset(117)
-          .limit(42))
+          .limit(42)),
+
+    // PageRank power iteration over the customer↔supplier trade graph —
+    // the iterative-fixpoint class (each round: edges ⋈ ranks, then a
+    // partial-aggregated groupBy(dst); no driver state, no collect).
+    // Ranks are exact integer micros with truncating division only, so
+    // the 3-iteration trajectory is partitioning-invariant and the
+    // DuckDB oracle re-derives it as an unrolled CTE chain — the same
+    // trick that oracles q_kmeans_step and q_coreset.
+    Q("q_pagerank", {
+      val steps = (1 to 3).map { k =>
+        s"r$k AS (${PageRank.stepSql(s"r${k - 1}")})"
+      }.mkString(",\n")
+      Some(s"""WITH cs AS (
+              |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              |e0 AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+              |e AS (SELECT e0.src, e0.dst, d.outdeg FROM e0
+              |      JOIN (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src) d
+              |      ON e0.src = d.src),
+              |v AS (SELECT src AS vertex FROM e0 UNION SELECT dst FROM e0),
+              |r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS rank FROM v),
+              |$steps
+              |SELECT vertex, CAST(rank AS BIGINT) AS rank_micros
+              |FROM r3 ORDER BY vertex""".stripMargin)
+    },
+      (s, d) => {
+        val cs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        val edges = cs.union(
+          cs.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.ranks(edges, "src", "dst", iterations = 3)
+          .orderBy("vertex")
+      })
   )
 }

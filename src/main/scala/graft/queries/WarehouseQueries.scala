@@ -586,6 +586,59 @@ object WarehouseQueries {
         }
       }),
 
+    // The STREAMING twin of q_dedup_minhash, on the correctness
+    // scoreboard: documents flow through a real Structured Streaming
+    // query — file source -> minhash banding (the SAME expressions as
+    // the batch path) -> transformWithState band-bucket membership
+    // (StreamingNearDedup.candidatePairs, RocksDB state: 8 bytes per doc
+    // per band) -> memory sink — drained with Trigger.AvailableNow, then
+    // candidates are exact-verified OUTSIDE the state store against the
+    // static doc store (stream-static join shape) with the batch
+    // bounded_jaccard expression. Over a drained stream the pair set
+    // equals the batch LSH result (parity pinned by
+    // StreamingNearDedupSpec), so the oracle is the same exact all-pairs
+    // SQL as q_dedup_minhash. Single-batch drain asserted: per-bucket
+    // doc_id ordering (hence new>old orientation) holds within a batch.
+    Q("q_stream_neardedup",
+      Some(s"""WITH sh AS (SELECT doc_id,
+              |    list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))]) AS s
+              |  FROM documents)
+              |SELECT id_a, id_b, jac FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = "q_stream_neardedup_sink"
+        try {
+          val cands = graft.streaming.StreamingNearDedup.candidatePairs(
+            graft.Tables.tableStream(s, d, "documents"), "doc_id", "text")
+          val q = cands.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_neardedup oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
+        graft.streaming.StreamingNearDedup.verified(
+            s.table(sink).dropDuplicates("new_id", "old_id"),
+            graft.Tables.t(s, d, "documents"), "doc_id", "text", threshold = 0.7)
+          .select(col("old_id").as("id_a"), col("new_id").as("id_b"), col("jac"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // Pairwise Pearson correlation matrix (Profile.correlations): all 6
     // pairs over 4 quantized lineitem measures from ONE scan — n + 2k
     // per-column sums + k(k-1)/2 cross sums, exact decimals, closed form

@@ -38,6 +38,30 @@ class StreamingLayoutSpec extends SparkTestBase {
     assert(drainCount(tmp, "layout_dir_sink") == batch)
   }
 
+  test("tableStream drains a non-events table through both layouts") {
+    val batch = Tables.t(spark, sf, "documents").count()
+    assert(batch > 0)
+    val q1 = Tables.tableStream(spark, sf, "documents")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("layout_docs_file_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.table("layout_docs_file_sink").count() == batch)
+    val tmp = Files.createTempDirectory("graft-layout-docs-").toString
+    Tables.t(spark, sf, "documents")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q2 = Tables.tableStream(spark, tmp, "documents")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("layout_docs_dir_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("layout_docs_dir_sink").count() == batch)
+    // events must go through eventsStream's ts normalization
+    intercept[IllegalArgumentException] {
+      Tables.tableStream(spark, sf, "events")
+    }
+  }
+
   test("session drain holds its oracle contract on a MULTI-FILE directory") {
     // The q_stream_session oracle assumes AvailableNow drains everything
     // in ONE data micro-batch (in-batch ordering is the parity contract);

@@ -348,4 +348,56 @@ class TextAnalysisSpec extends SparkTestBase {
     // repeated token contributes twice; case is folded before hashing
     assert(got(1)._2 == 2 * weight("beta"))
   }
+
+  /** Independent model of aHash64's 64-block mean-threshold fingerprint. */
+  private def modelAHash(text: String): Long = {
+    val b = text.getBytes("UTF-8").map(_ & 0xff)
+    val n = b.length.toLong
+    val tot = b.map(_.toLong).sum
+    var h = 0L
+    for (j <- 0 until 64) {
+      val lo = (j * n / 64).toInt
+      val hi = ((j + 1) * n / 64).toInt
+      val s = b.slice(lo, hi).map(_.toLong).sum
+      h = (h << 1) | (if (s * n > tot * (hi - lo)) 1L else 0L)
+    }
+    h
+  }
+
+  test("aHash64 matches the block-mean model; empty payload hashes to 0") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the lazy dog " * 5,
+      "aaaaaaaaAAAAAAAA" * 8, "z", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Multimodal.aHash64(Multimodal.packBinary(df, "doc_id", "text"))
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == modelAHash(t), s"doc $i")
+    }
+    assert(got(3L) == 0L)
+  }
+
+  test("phashNearDup banding is recall-exact vs the all-pairs definition") {
+    val hashes = Multimodal.aHash64(
+      Multimodal.packBinary(Tables.t(spark, sf, "documents"), "doc_id", "text"))
+      .toDF()
+    val banded = Multimodal.phashNearDup(hashes, "doc_id", "phash", maxHamming = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val allPairs = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 13
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded == allPairs)
+    assert(allPairs.nonEmpty, "corpus should contain at least one near pair")
+  }
+
+  test("phashNearDup rejects thresholds beyond the pigeonhole guarantee") {
+    import spark.implicits._
+    val df = Seq((1L, 0L)).toDF("doc_id", "phash")
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(df, "doc_id", "phash", maxHamming = 16)
+    }
+  }
 }
