@@ -48,6 +48,48 @@ object Dedup {
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni)
   }
 
+  /** Directed shingle CONTAINMENT pairs — the asymmetric near-dup
+    * relation Jaccard misses: C(A→B) = |A∩B| / |A| flags a short document
+    * (quote, boilerplate block, excerpt) embedded in a long one even when
+    * their symmetric overlap is tiny (Broder '97 §2 defines both; most
+    * LSH pipelines only chase the symmetric one).
+    *
+    * Shape: an inverted-index self-join sharded by shingle — never
+    * all-pairs. The df-cap is the hot-list guard AND part of the
+    * contract: shingles appearing in more than `maxDf` documents
+    * (stop-grams — boilerplate vocabulary carrying no identity signal)
+    * are dropped from the universe BEFORE sizes and intersections, so
+    * per-shingle join fan-out is ≤ maxDf² by construction and the result
+    * is an exact, engine-portable function of (corpus, k, maxDf,
+    * threshold). Containment is emitted in exact integer mills
+    * (`inter·1000 div |A|`) — no float division anywhere.
+    *
+    * At 100 TB: postings shuffle once on the shingle hash, the pair
+    * aggregation shuffles candidates only (df-capped), and both
+    * aggregations partial-combine map-side. A document whose every
+    * shingle is a stop-gram leaves the universe (no row out) — the same
+    * convention as the oracle.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, shingles: Column,
+      thresholdMilli: Int, maxDf: Long): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in 1..1000, got $thresholdMilli")
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(shingles).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val kept = sh.join(rare, "g")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = kept.select(col("g"), col("doc_id").as("id_a"))
+    val b = kept.select(col("g"), col("doc_id").as("id_b"))
+    a.join(b, "g").filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .filter(col("inter") * 1000 >= lit(thresholdMilli.toLong) * col("n"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter * 1000) div n").as("cont_milli"))
+  }
+
   /** Exact dedup by content digest: one row per distinct content with the
     * smallest id kept ("first wins") and the copy count. Shuffles 32-byte
     * digests + ids only — at 100 TB the documents themselves never move.

@@ -51,14 +51,22 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    // The edge list, vertex set, and out-degrees are loop-invariant:
+    // localCheckpoint them ONCE so each iteration joins materialized
+    // blocks instead of re-deriving the graph from the source scan — at
+    // cluster scale this is the persisted, src-partitioned edge RDD every
+    // Pregel-style engine keeps. Ranks are checkpointed per round, which
+    // also truncates the lineage (an unbounded iteration count must not
+    // grow the plan tree). Same pattern as Dedup.resolveClusters.
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src")
+    val withDeg = e.join(outdeg, "src").localCheckpoint()
 
     var r = vertices.withColumn("rank", lit(Scale))
     for (_ <- 1 to iterations) {
@@ -71,6 +79,7 @@ object PageRank {
         .select(col("vertex"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
             .as("rank"))
+        .localCheckpoint()
     }
     r.select(col("vertex"), col("rank").as("rank_micros"))
   }

@@ -419,6 +419,28 @@ object PipelineQueries {
             "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)
           .orderBy("id_a", "id_b")),
 
+    // Directed shingle CONTAINMENT (quote/boilerplate detection): the
+    // asymmetric relation Jaccard misses — a short doc embedded in a long
+    // one. Inverted-index self-join sharded by shingle with a df<=64
+    // stop-gram cap (part of the contract: both engines drop hot grams
+    // BEFORE sizes/intersections, bounding per-shingle fan-out at df²).
+    // Exact integer mills, no float division.
+    Q("q_containment",
+      Some(s"""WITH sh0 AS (SELECT doc_id, unnest($duckShingles) AS g FROM documents),
+              |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh0 GROUP BY g) WHERE df <= 64),
+              |sh AS (SELECT doc_id, list(g) AS s FROM sh0 WHERE g IN (SELECT g FROM rare) GROUP BY doc_id),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+              |      FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+              |SELECT id_a, id_b, CAST((inter * 1000) // na AS BIGINT) AS cont_milli
+              |FROM p WHERE inter * 1000 >= 800 * na
+              |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) =>
+        Dedup.containmentPairs(t(s, d, "documents"), "doc_id",
+            Dedup.shinglesHashed(col("text"), 5),
+            thresholdMilli = 800, maxDf = 64)
+          .orderBy("id_a", "id_b")),
+
     // SimHash near-dedup — rows-only: the fingerprint is built from
     // per-token xxhash64 bits, and DuckDB has no xxhash64; restating the
     // oracle over md5-derived bits would verify a DIFFERENT fingerprint

@@ -576,4 +576,54 @@ class DedupSpec extends SparkTestBase {
       assert(got == bruteSegments(docs, 3), s"seed=$seed docs=$docs")
     }
   }
+
+  test("containment flags the embedded quote in ONE direction only") {
+    import spark.implicits._
+    val quote = "the five boxing wizards jump quickly over it"
+    val host = s"long preamble text here ${quote} and a long epilogue follows"
+    val df = Seq((1L, quote), (2L, host), (3L, "completely unrelated content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id",
+        Dedup.shinglesHashed(col("text"), 5), thresholdMilli = 800, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // quote ⊂ host: C(1→2) = 1.0 (every 5-gram of the quote occurs in host);
+    // C(2→1) far below 0.8 (host has many grams the quote lacks).
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c == 1000L },
+      s"missing full containment pair in $got")
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1L },
+      s"reverse direction must not pass the threshold: $got")
+    assert(!got.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  /** Independent model: raw-string shingles, df-cap, integer mills. */
+  private def bruteContainment(docs: Seq[(Long, String)], thr: Int,
+      maxDf: Int): Set[(Long, Long, Long)] = {
+    def grams(t: String): Set[String] =
+      (1 to math.max(t.length - 4, 1)).map(i =>
+        t.substring(i - 1, math.min(i + 4, t.length))).toSet
+    val all = docs.map { case (id, t) => id -> grams(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = all.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    (for {
+      (ia, sa) <- kept; (ib, sb) <- kept
+      if ia != ib && sa.nonEmpty
+      inter = (sa intersect sb).size.toLong
+      if inter * 1000 >= thr.toLong * sa.size
+    } yield (ia, ib, inter * 1000 / sa.size)).toSet
+  }
+
+  test("containment matches the brute-force model with the df-cap applied") {
+    import spark.implicits._
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsil", "zetaa")
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(4 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"), "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), thresholdMilli = 700, maxDf = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteContainment(corpus, 700, 8), s"seed=$seed")
+    }
+  }
 }
