@@ -174,6 +174,51 @@ object Mixture {
     df.withColumn("fold", md5Bucket(idCol, k.toLong))
   }
 
+  /** Temperature-scaled mixture rates — the α=1/2 flattening of source
+    * shares (p_s ∝ n_s^α, the multilingual/multi-source sampling recipe
+    * of mBERT/XLM-R: big sources damped, scarce sources boosted).
+    * Realized by DOWNSAMPLING: the scarcest source is kept whole and
+    * source s keeps rate r_s = √(n_min/n_s), so realized shares ∝ √n_s.
+    * α is fixed at 1/2 because IEEE `sqrt` is exactly rounded in every
+    * engine while `pow(x, α)` is not — the rate table
+    * `(w_min·10000) div w_s` over `w = floor(√n · 1e6)` is therefore a
+    * bit-identical integer function of the counts alone, anywhere.
+    * Output: (source, n_rows, w_micro, rate_bp), one row per source.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = counts.withColumn("w_micro",
+      floor(sqrt(col("n_rows").cast("double")) * lit(1e6)).cast("long"))
+    val wmin = w.agg(min("w_micro").as("__wmin"))
+    w.crossJoin(broadcast(wmin))
+      .select(col("source"), col("n_rows"), col("w_micro"),
+        expr("(__wmin * 10000) div w_micro").cast("long").as("rate_bp"))
+  }
+
+  /** [[temperatureRates]] applied: md5-deterministic per-source sampling
+    * ([[sampleByHash]]'s keep rule with data-derived rates) plus the
+    * per-source realization report (n_sampled + id-sum membership
+    * digest). Two scans — one count histogram, one broadcast-rate
+    * map-side filter — and a sources-bounded aggregate; nothing else
+    * shuffles. Which rows are kept is a pure function of (id, counts),
+    * so re-runs and other engines select identical rows.
+    */
+  def temperatureSampleReport(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame = {
+    val rates = temperatureRates(df, sourceCol)
+    val kept = df
+      .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"))
+      .join(broadcast(rates.select(col("source"), col("rate_bp"))), "source")
+      .filter(md5Bucket("__id", 10000L) < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum("__id").as("sum_ids"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_rows"), col("w_micro"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
+  }
+
   /** Per-source REPEAT factors realizing a target mixture at constant
     * corpus size — the upsampling complement of [[weights]] (which only
     * downsamples). factor_s = target_s · N / n_s in integer micro-units

@@ -1748,6 +1748,32 @@ object PipelineQueries {
             Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
           .orderBy("source")),
 
+    // Temperature-scaled mixture (α=1/2): the multilingual/multi-source
+    // flattening recipe — scarcest source kept whole, source s keeps
+    // √(n_min/n_s). α fixed at 1/2 because IEEE sqrt is exactly rounded
+    // in every engine while pow is not, so the integer rate table and
+    // the md5-selected membership are bit-identical cross-engine.
+    Q("q_mix_temperature",
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM documents GROUP BY source),
+             |w AS (SELECT source, n_rows,
+             |    CAST(floor(sqrt(CAST(n_rows AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+             |  FROM c),
+             |m AS (SELECT min(w_micro) AS wmin FROM w),
+             |r AS (SELECT source, n_rows, w_micro,
+             |    CAST((wmin * 10000) // w_micro AS BIGINT) AS rate_bp FROM w, m),
+             |s AS (SELECT d.source, d.doc_id FROM documents d JOIN r USING (source)
+             |      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < r.rate_bp)
+             |SELECT r.source, r.n_rows, r.w_micro, r.rate_bp,
+             |  CAST(count(s.doc_id) AS BIGINT) AS n_sampled,
+             |  CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS sum_ids
+             |FROM r LEFT JOIN s ON r.source = s.source
+             |GROUP BY r.source, r.n_rows, r.w_micro, r.rate_bp
+             |ORDER BY r.source""".stripMargin),
+      (s, d) =>
+        Mixture.temperatureSampleReport(t(s, d, "documents"), "source", "doc_id")
+          .orderBy("source")),
+
     // Skew-robust EXACT distinct count: two-stage dedup-then-count (the
     // value component of the first shuffle spreads any hot key) instead
     // of the built-in distinct aggregate's Expand + single-reducer

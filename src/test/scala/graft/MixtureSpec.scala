@@ -168,4 +168,42 @@ class MixtureSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Mixture.upsampleByFactor(df, "src", "id", Map.empty))
   }
+
+  test("temperatureRates: scarcest source whole, rates follow sqrt(n_min/n_s)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, "small")) ++
+      (101L to 500L).map(i => (i, "mid")) ++
+      (501L to 1400L).map(i => (i, "big"))
+    val rates = Mixture.temperatureRates(df.toDF("id", "src"), "src")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def w(n: Long) = math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    val wmin = w(100)
+    assert(rates("small") == ((100L, w(100), 10000L)))
+    assert(rates("mid") == ((400L, w(400), wmin * 10000 / w(400))))
+    assert(rates("big") == ((900L, w(900), wmin * 10000 / w(900))))
+    // α=1/2 flattening: exact perfect squares → rates 10000/5000/3333,
+    // so expected kept counts ~100/200/300 — ratios 1:2:3 where the raw
+    // data was 1:4:9.
+    assert(rates("mid")._3 == 5000L && rates("big")._3 == 3333L)
+  }
+
+  test("temperatureSampleReport: report consistent, deterministic, md5-membership") {
+    import spark.implicits._
+    val df = ((1L to 80L).map(i => (i, "a")) ++ (81L to 400L).map(i => (i, "b")))
+      .toDF("id", "src")
+    val rep = Mixture.temperatureSampleReport(df, "src", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val a = rep(0); val b = rep(1)
+    assert(a._2 == 80L && a._3 == 10000L && a._4 == 80L,
+      s"scarcest source must keep everything: $a")
+    assert(a._5 == (1L to 80L).sum)
+    // b kept ≈ 400·√(80/400) = 179 expected; md5 selection is close
+    assert(b._4 > 120 && b._4 < 240, s"flattened keep count off: $b")
+    // re-run with different partitioning → identical report
+    val rep2 = Mixture.temperatureSampleReport(df.repartition(7), "src", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rep2.toSeq == rep.toSeq)
+  }
 }
