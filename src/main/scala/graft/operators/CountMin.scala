@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan, J.Alg '05) — the fixed-size
+  * frequency summary for unbounded key domains: a depth×width table of
+  * counters where each occurrence of key k increments cell
+  * (j, h_j(k)) for every row j, and the estimate for k is the MIN over
+  * its depth cells (always an over-estimate; error ≤ N/width with
+  * probability 1 − (1/2)^depth for the canonical parameterization).
+  * Where Misra-Gries ([[HeavyHitters]]) keeps the heavy keys themselves,
+  * CMS answers point queries about ANY key after the fact — the
+  * complementary sketch in the mergeable-summaries family (Agarwal et
+  * al., PODS '12).
+  *
+  * Everything is exact integer arithmetic on md5-derived buckets, so
+  * the whole sketch — not just its answers — is a pure function of the
+  * multiset of keys: any partitioning, any engine, any merge order
+  * produces the identical table (a DuckDB oracle re-derives it
+  * bit-for-bit, q_cms_topk).
+  *
+  * Shape at 100 TB: the sketch build is ONE map-side-combinable
+  * aggregate over the exploded keys — partial tables of depth×width
+  * cells merge by cellwise SUM (the linearity that makes CMS the
+  * standard distributed/streaming counter), and depth×width is a few KB
+  * regardless of corpus size. Nothing about the build grows with data
+  * volume except the scan itself.
+  */
+object CountMin {
+
+  /** Row-j bucket of a key: first 8 md5 hex chars of "j|key" as a
+    * 32-bit unsigned value, mod width — the [[graft.operators.Mixture]]
+    * md5-bucket idiom, salted per row so the depth rows are independent
+    * hash functions.
+    */
+  def bucketOf(row: Int, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(row + "|"), key)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Build the sketch table from one occurrence-per-row input:
+    * (cms_row, cms_bucket, cnt), rows 0..depth−1 — only NON-ZERO cells
+    * (the table is sparse at small N; absent = 0). One explode(depth)
+    * + one groupBy: the aggregate is map-side combined, and the result
+    * is at most depth·width rows regardless of input size.
+    */
+  def sketch(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2 && width <= (1 << 20), s"width in [2,2^20]: $width")
+    val k = col(keyCol).cast("string")
+    keys
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("cms_row"), bucketOf(j, k, width).as("cms_bucket"))): _*))
+        .as("__cell"))
+      .groupBy(col("__cell.cms_row").as("cms_row"),
+        col("__cell.cms_bucket").as("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate a set of query keys against the sketch: for each key,
+    * est = min over rows of its cell's count. `queries` rows carry the
+    * key; the sketch side is ≤ depth·width rows and is BROADCAST — the
+    * lookup join never shuffles the query side.
+    */
+  def estimate(queries: DataFrame, keyCol: String, cms: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val k = col(keyCol).cast("string")
+    val cells = queries.select(col("*"),
+      explode(array((0 until depth).map(j =>
+        struct(lit(j).as("__r"), bucketOf(j, k, width).as("__b"))): _*)).as("__q"))
+    cells
+      .join(broadcast(cms),
+        cells("__q.__r") === cms("cms_row") && cells("__q.__b") === cms("cms_bucket"),
+        "left")
+      .groupBy(queries.columns.map(col): _*)
+      // an absent cell means count 0, so the min over rows is 0 too
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Domain-mixture reweighting: given target proportions per source (the
@@ -159,6 +159,53 @@ object Mixture {
       case ((name, r), rest) => when(col(sourceCol) === name, lit(r)).otherwise(rest)
     }
     df.filter(bucket < rate)
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM '07) — weighted
+    * sampling WITHOUT replacement with a built-in unbiased subset-sum
+    * estimator: each row gets priority w/u for u uniform in (0,1], the
+    * k highest priorities are kept, and Σ max(w_i, τ) over the kept rows
+    * (τ = the (k+1)-th priority) is an unbiased, near-optimal estimator
+    * of the total weight of ANY subset — the sketch a sampled corpus
+    * needs so downstream token/byte accounting stays calibrated.
+    *
+    * Derandomized and integer-exact: u = (md5-bucket(id) + 1) ∈
+    * [1, 2³²] and priority = ⌊w·2³²/u⌋ in LONG integer division, so the
+    * whole draw — including τ and the estimator — is a pure function of
+    * the (id, weight) pairs, identical in any engine (DuckDB `//`
+    * computes the same floor; q_sample_priority re-derives it all).
+    * Ties at the selection boundary break by id.
+    *
+    * Shape at 100 TB: priorities are a per-row expression riding the
+    * scan; top-(k+1) is TakeOrderedAndProject (map-side partial top-k,
+    * no global sort, no shuffle of the data); τ is a broadcast 1-row
+    * scalar. Weights must be integral and ≤ 2³¹ so w·2³² fits a long.
+    *
+    * Returns the k selected rows as (<idCol>, w, priority,
+    * est_w_scaled) where est_w_scaled = max(w·2³², τ) — the DLT
+    * estimator contribution SCALED BY 2³² (divide by 2³² for weight
+    * units; kept integral so the hash compare is exact).
+    */
+  def samplePriority(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val base = df.select(col(idCol), weight.cast("long").as("w"),
+        (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
+      .filter(col("w") >= 1L && col("w") <= lit(1L << 31))
+      .withColumn("priority", expr("(w * 4294967296L) div __u"))
+    val topk1 = base
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k + 1)
+      .localCheckpoint() // ≤ k+1 rows; pin so tau and sel agree on one draw
+    val tau = topk1.agg(
+      when(count(lit(1)) === (k + 1), min(col("priority")))
+        .otherwise(lit(0L)).as("__tau"))
+    topk1
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col("w"), col("priority"),
+        greatest(col("w") * lit(4294967296L), col("__tau")).as("est_w_scaled"))
   }
 
   /** Deterministic k-fold assignment — [[hashSplit]]'s cross-validation

@@ -224,6 +224,61 @@ object TextAnalysis {
       "n_bigrams", "nll_micro")
   }
 
+  /** Interpolated Kneser-Ney bigram NLL (Kneser & Ney '95; Chen &
+    * Goodman '99 formulation) — the smoothing rung above [[bigramNll]]'s
+    * raw MLE: absolute discount D on the bigram count, with the freed
+    * mass backed off to the CONTINUATION probability (how many distinct
+    * contexts a word follows, not how often it occurs — the famous
+    * "San Francisco" correction):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * All five statistics are exact integer aggregates of the BIGRAM-TYPE
+    * table (c(w1·) = Σ_w2 c(w1w2), the context count, so doc-final
+    * tokens don't skew contexts); the per-bigram cost −ln P is computed
+    * in ONE fixed IEEE operation order and micro-rounded BEFORE the
+    * per-doc sum, so scores oracle exactly like the other LM queries
+    * (q_kneser_ney). D = 0.75 — the Chen-Goodman near-optimal constant,
+    * exactly representable in binary so discounted counts stay exact.
+    *
+    * Shape at 100 TB: the model is three vocab-bounded aggregates OVER
+    * THE BIGRAM-TYPE TABLE (not the corpus) + one scalar; scoring is
+    * [[scoreByCostTable]]'s two-path broadcast-map / explode-join, all
+    * map-side-combinable. Nothing beyond the tokenize scan touches the
+    * corpus twice.
+    */
+  def knBigramNll(df: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = 512L): DataFrame = {
+    val D = 0.75
+    val toks = split(lower(col(textCol)), " ")
+    def bigramsOf(t: Column): Column = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val pairs = df.select(explode(bigramsOf(toks)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("__c2"))
+      .withColumn("__w1", split(col("__b"), " ").getItem(0))
+      .withColumn("__w2", split(col("__b"), " ").getItem(1))
+    // context stats: c1 = Σ bigram counts from w1 (exact integral doubles,
+    // order-free), n1fwd = distinct continuations of w1
+    val ctx = pairs.groupBy("__w1").agg(sum("__c2").as("__c1"),
+      count(lit(1)).cast("double").as("__n1fwd"))
+    val cont = pairs.groupBy("__w2").agg(
+      count(lit(1)).cast("double").as("__n1rev"))
+    val types = pairs.agg(count(lit(1)).cast("double").as("__nt"))
+    val costs = pairs
+      .join(ctx, "__w1").join(cont, "__w2").crossJoin(broadcast(types))
+      .select(col("__b").as("__k"),
+        round(-log(
+          greatest(col("__c2") - lit(D), lit(0.0)) / col("__c1")
+            + lit(D) * col("__n1fwd") / col("__c1")
+              * (col("__n1rev") / col("__nt"))
+        ) * lit(1e6), 0).cast("long").as("__cost"))
+    scoreByCostTable(df, idCol, bigramsOf(toks), costs, maxBroadcastVocab,
+      "n_bigrams", "nll_micro")
+  }
+
   /** Per-group Zipf fit — "does this shard's term distribution look like
     * natural language?": OLS slope of ln(freq) on ln(rank) over the
     * group's term-frequency table, ≈ −s for a Zipf exponent s (natural

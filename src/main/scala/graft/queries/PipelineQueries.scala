@@ -1690,6 +1690,37 @@ object PipelineQueries {
         TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Interpolated Kneser-Ney bigram NLL (Kneser-Ney '95, Chen-Goodman
+    // '99): absolute discount D=0.75 + continuation-probability backoff
+    // — the smoothed LM score whose statistics all come from the
+    // bigram-TYPE table. Fixed IEEE operation order + per-bigram micro
+    // rounding before the doc sum make it oracle like the MLE twins.
+    Q("q_kneser_ney",
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS b FROM toks),
+             |c2 AS (SELECT b, CAST(count(*) AS DOUBLE) AS c2,
+             |    string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+             |  FROM bg GROUP BY b),
+             |ctx AS (SELECT w1, sum(c2) AS c1, CAST(count(*) AS DOUBLE) AS n1fwd
+             |  FROM c2 GROUP BY w1),
+             |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1rev FROM c2 GROUP BY w2),
+             |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM c2),
+             |cost AS (SELECT b, CAST(round(-ln(
+             |      greatest(c2.c2 - 0.75, 0.0) / ctx.c1
+             |        + 0.75 * ctx.n1fwd / ctx.c1 * (cont.n1rev / nt.nt)
+             |    ) * CAST(1e6 AS DOUBLE), 0) AS BIGINT) AS cost
+             |  FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nt),
+             |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(cost) AS BIGINT) AS nll_micro
+             |  FROM bg JOIN cost USING (b) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(s.nll_micro, 0) AS nll_micro
+             |FROM documents d LEFT JOIN scored s USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        TextAnalysis.knBigramNll(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // Per-source Zipf fit (TextAnalysis.zipfFit): OLS slope of ln(freq)
     // on ln(rank) over each source's term table — natural corpora fit
     // slope ~ -1; deviation flags synthetic/spam shards. Composes term
@@ -2174,6 +2205,29 @@ object PipelineQueries {
           .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
           .orderBy("l_returnflag")),
 
+    // Priority sampling (Duffield-Lund-Thorup '07): weighted k-sample
+    // without replacement + the built-in unbiased subset-sum estimator
+    // max(w, tau) — the calibrated downsampler (doc weight = length).
+    // Derandomized to integer-exact priorities floor(w*2^32 / md5-u), so
+    // selection, tau and the estimator re-derive bit-for-bit in DuckDB.
+    Q("q_sample_priority",
+      Some("""WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
+             |  FROM documents),
+             |p AS (SELECT doc_id, w, (w * 4294967296) // u AS priority FROM w
+             |  WHERE w >= 1 AND w <= 2147483648),
+             |topk1 AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 33),
+             |tau AS (SELECT CASE WHEN count(*) = 33 THEN min(priority)
+             |    ELSE CAST(0 AS BIGINT) END AS tau FROM topk1),
+             |sel AS (SELECT * FROM topk1 ORDER BY priority DESC, doc_id LIMIT 32)
+             |SELECT doc_id, w, priority,
+             |  greatest(w * 4294967296, tau) AS est_w_scaled
+             |FROM sel CROSS JOIN tau ORDER BY priority DESC, doc_id""".stripMargin),
+      (s, d) =>
+        Mixture.samplePriority(t(s, d, "documents"), "doc_id",
+            length(col("text")), k = 32)
+          .orderBy(col("priority").desc, col("doc_id"))),
+
     // Content-hash train/valid/test split — assignment is a pure function
     // of doc_id (md5 bucket mod 1000), so it is stable across engines,
     // runs and partitionings: the split a production corpus needs to
@@ -2477,7 +2531,52 @@ object PipelineQueries {
       Some(coresetSql(8)),
       (s, d) =>
         Coreset.kCenterGreedy(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)
-          .orderBy("pick_order"))
+          .orderBy("pick_order")),
+
+    // Maximal Marginal Relevance (Carbonell-Goldstein '98) at λ=1/2:
+    // diversity-aware top-k AGAINST A QUERY (min-id vector) — greedy
+    // argmax of rel − max-sim in exact integer micro² dot products, the
+    // retrieval complement of q_coreset's query-free spread. Same
+    // derandomization ⇒ the DuckDB oracle unrolls the full 8-pick
+    // trajectory and matches bit-for-bit.
+    Q("q_mmr_select",
+      Some(mmrSql(8)),
+      (s, d) =>
+        Mmr.select(t(s, d, "embeddings"), "vec_id", "embedding", k = 8)
+          .orderBy("pick_order")),
+
+    // Count-min sketch (Cormode-Muthukrishnan '05): the fixed-size point-
+    // query counter for unbounded key domains — complements Misra-Gries
+    // (q_heavy_hitters keeps the heavy KEYS; CMS answers counts for ANY
+    // key after the fact). The 4x256 table and every estimate are exact
+    // integer functions of md5 buckets, so DuckDB re-derives the WHOLE
+    // sketch bit-for-bit; the overestimate gap vs exact counts is
+    // visible in-row (cms_est >= exact_cnt always, by construction).
+    Q("q_cms_topk",
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY token),
+             |top AS (SELECT token, exact_cnt FROM ex ORDER BY exact_cnt DESC, token LIMIT 20),
+             |rows_ AS (SELECT unnest(range(4)) AS j),
+             |cells AS (SELECT j,
+             |    CAST('0x' || substr(md5(j || '|' || token), 1, 8) AS BIGINT) % 256 AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks CROSS JOIN rows_ GROUP BY j, b)
+             |SELECT t.token, t.exact_cnt, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+             |FROM top t CROSS JOIN rows_ r
+             |LEFT JOIN cells c ON c.j = r.j
+             |  AND c.b = CAST('0x' || substr(md5(r.j || '|' || t.token), 1, 8) AS BIGINT) % 256
+             |GROUP BY t.token, t.exact_cnt
+             |ORDER BY exact_cnt DESC, token""".stripMargin),
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+        CountMin.estimate(top, "token",
+            CountMin.sketch(toks, "token", depth = 4, width = 256),
+            depth = 4, width = 256)
+          .orderBy(col("exact_cnt").desc, col("token"))
+      })
   )
 
   /** Unrolled k-center-greedy oracle: sel0 = min-id seed; stage i scans
@@ -2506,5 +2605,43 @@ object PipelineQueries {
     }.mkString
     head + stages +
       s"\nSELECT pick_order, vec_id, far_dist FROM sel${k - 1} ORDER BY pick_order"
+  }
+
+  /** Unrolled MMR oracle (same trick as [[coresetSql]]): candidate pool =
+    * all vectors except the min-id query, rel precomputed once; stage i
+    * takes argmax of rel − max-selected-similarity (exact integer micro²
+    * dots via [[OracleVec.dotSql]]'s fold) with (score DESC, id ASC)
+    * ties, explicitly excluding already-selected ids (unlike k-center,
+    * a selected row's marginal score can stay competitive).
+    */
+  private def mmrSql(k: Int): String = {
+    val relDot = OracleVec.dotSql("e.v", "q.v")
+    val simDot = OracleVec.dotSql("c2.v", "s.v")
+    val head =
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT 1),
+         |c AS (SELECT e.vec_id, e.v, $relDot AS rel
+         |  FROM e0 e CROSS JOIN q WHERE e.vec_id <> q.vec_id),
+         |sel0 AS (SELECT CAST(0 AS BIGINT) AS pick_order, vec_id, v, rel AS score
+         |  FROM c ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    val stages = (1 until k).map { i =>
+      // the is_sel flag rides the SAME aggregate as max-sim, so each stage
+      // references sel twice (like coresetSql) — a third reference via
+      // NOT IN makes CTE inlining blow up exponentially
+      s""",
+         |m$i AS (SELECT c2.vec_id, max($simDot) AS ms,
+         |    max(CASE WHEN c2.vec_id = s.vec_id THEN 1 ELSE 0 END) AS is_sel
+         |  FROM c c2 CROSS JOIN sel${i - 1} s GROUP BY c2.vec_id),
+         |p$i AS (SELECT c.vec_id, c.v, c.rel - m.ms AS score
+         |  FROM m$i m JOIN c ON c.vec_id = m.vec_id
+         |  WHERE m.is_sel = 0
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+         |  SELECT CAST($i AS BIGINT), vec_id, v, score FROM p$i)""".stripMargin
+    }.mkString
+    head + stages +
+      s"\nSELECT pick_order, vec_id, score FROM sel${k - 1} ORDER BY pick_order"
   }
 }

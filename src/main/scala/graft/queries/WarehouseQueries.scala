@@ -639,6 +639,54 @@ object WarehouseQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Streaming heavy hitters by SpaceSaving (Metwally '05), on the
+    // scoreboard: events flow file source -> transformWithState
+    // SpaceSaving table (≤ m counters per user in RocksDB — bounded
+    // memory FOREVER, independent of stream length) -> memory sink,
+    // drained AvailableNow. With m = 16 above this data's ≤ 5 distinct
+    // event types per user nothing evicts, so est is the EXACT count and
+    // err = 0 at any arrival order — the oracle is a plain GROUP BY.
+    // Eviction-pressure behavior (the production regime at unbounded
+    // item cardinality) is pinned by StreamingHeavyHittersSpec via the
+    // Metwally invariants instead.
+    Q("q_stream_heavy",
+      Some("""SELECT user_id, event_type,
+             |  CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err
+             |FROM events GROUP BY user_id, event_type
+             |HAVING count(*) >= 20
+             |ORDER BY user_id, event_type""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = "q_stream_heavy_sink"
+        try {
+          val tracked = graft.streaming.StreamingHeavyHitters.track(
+            graft.Tables.eventsStream(s, d), "user_id", "event_type",
+            m = 16, minGuaranteed = 20L)
+          val q = tracked.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // One emission per key per batch: a multi-batch drain would
+          // append per-batch snapshots and double-count in the sink.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_heavy oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
+        s.table(sink)
+          .select(col("key").cast("long").as("user_id"),
+            col("item").as("event_type"), col("est"), col("err"))
+          .orderBy("user_id", "event_type")
+      }),
+
     // Pairwise Pearson correlation matrix (Profile.correlations): all 6
     // pairs over 4 quantized lineitem measures from ONE scan — n + 2k
     // per-column sums + k(k-1)/2 cross sums, exact decimals, closed form

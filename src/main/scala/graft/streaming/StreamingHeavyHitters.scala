@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Input/state/output rows for [[SpaceSavingProcessor]]. Top-level so
+  * Catalyst codegen can instantiate them from generated deserializers.
+  */
+case class HhItem(key: String, item: String)
+case class HhEntry(item: String, est: Long, err: Long)
+case class HhTable(entries: Seq[HhEntry], n: Long)
+case class HhOut(key: String, item: String, est: Long, err: Long, n_key: Long)
+
+/** Streaming heavy hitters by SpaceSaving (Metwally, Agrawal & El
+  * Abbadi, ICDT '05): per stream key, at most `m` counters
+  * (item, est, err). A tracked item increments `est`; an untracked item
+  * replaces the MINIMUM counter, inheriting its count as `err` (the
+  * classic over-estimate bookkeeping). Invariants, per key with n
+  * processed rows: true ≤ est ≤ true + err; err ≤ n/m; every item with
+  * true count > n/m is tracked — the monitor never misses a genuine
+  * heavy hitter.
+  *
+  * This is the MONITOR form of [[graft.operators.HeavyHitters]]'
+  * Misra-Gries batch pass: state per key is ONE table of ≤ m entries in
+  * the state store (RocksDB), partitioned by key — a 1000-executor
+  * cluster shards it horizontally, and memory is m·entry bytes per key
+  * FOREVER, independent of stream length. Each batch emits the key's
+  * entries whose GUARANTEED count (est − err) reaches `minGuaranteed`
+  * — the alert stream stays bounded by the heavy-hitter rate.
+  *
+  * Determinism: when m ≥ the key's distinct-item cardinality nothing
+  * is ever evicted, est is the EXACT count, err = 0 — bit-equal to a
+  * batch GROUP BY at any arrival order (the scoreboard oracle,
+  * q_stream_heavy). Under eviction pressure the table depends on
+  * arrival order, as for every one-pass counter sketch — the spec pins
+  * the Metwally invariants instead.
+  */
+class SpaceSavingProcessor(m: Int, minGuaranteed: Long)
+    extends StatefulProcessor[String, HhItem, HhOut] {
+
+  @transient private var table: ValueState[HhTable] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    table = getHandle.getValueState("ss",
+      Encoders.product[HhTable], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[HhItem],
+      timers: TimerValues): Iterator[HhOut] = {
+    val prev = if (table.exists()) table.get() else HhTable(Nil, 0L)
+    val counters = scala.collection.mutable.LinkedHashMap(
+      prev.entries.map(e => e.item -> (e.est, e.err)): _*)
+    var n = prev.n
+    rows.foreach { r =>
+      n += 1
+      counters.get(r.item) match {
+        case Some((est, err)) => counters(r.item) = (est + 1, err)
+        case None if counters.size < m => counters(r.item) = (1L, 0L)
+        case None =>
+          // evict the minimum counter (ties: first-inserted — a fixed,
+          // order-stable rule); the newcomer inherits its count as err
+          val (minItem, (minEst, _)) = counters.minBy { case (_, (est, _)) => est }
+          counters.remove(minItem)
+          counters(r.item) = (minEst + 1, minEst)
+      }
+    }
+    table.update(HhTable(
+      counters.map { case (i, (est, err)) => HhEntry(i, est, err) }.toSeq, n))
+    counters.iterator
+      .collect { case (i, (est, err)) if est - err >= minGuaranteed =>
+        HhOut(key, i, est, err, n) }
+      .toSeq.sortBy(o => (o.item)).iterator
+  }
+}
+
+object StreamingHeavyHitters {
+
+  /** Track per-key heavy items of `itemCol` over a stream: each batch
+    * emits the (key, item, est, err, n_key) entries whose guaranteed
+    * count est − err ≥ `minGuaranteed`. `m` bounds state per key.
+    */
+  def track(stream: DataFrame, keyCol: String, itemCol: String,
+      m: Int, minGuaranteed: Long): DataFrame = {
+    require(m >= 2, s"m >= 2: $m")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("key"),
+        col(itemCol).cast("string").as("item"))
+      .as[HhItem]
+      .groupByKey(_.key)
+      .transformWithState(new SpaceSavingProcessor(m, minGuaranteed),
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CountMin
+
+/** Count-min sketch laws: the overestimate guarantee (est ≥ exact for
+  * every key, with equality when no collision), cellwise-sum
+  * mergeability (sketch(A ⊎ B) = sketch(A) + sketch(B) — the linearity
+  * that makes CMS partial-aggregable at scale), and
+  * partitioning-invariance of the table itself.
+  */
+class CountMinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val toks = Tables.t(spark, sf, "documents")
+    .select(explode(split(lower(col("text")), " ")).as("token"))
+    .cache()
+
+  test("CMS estimate is >= the exact count for every token") {
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    val est = CountMin.estimate(exact, "token",
+      CountMin.sketch(toks, "token", depth = 4, width = 256),
+      depth = 4, width = 256)
+    val bad = est.filter(col("cms_est") < col("exact_cnt")).count()
+    assert(bad === 0L)
+    // and the sketch is not vacuous: at width 256 most of the vocab-sized
+    // key set should estimate exactly (few collisions)
+    val total = est.count()
+    val exactHits = est.filter(col("cms_est") === col("exact_cnt")).count()
+    assert(exactHits * 2 > total,
+      s"only $exactHits/$total keys estimate exactly — hashing broken?")
+  }
+
+  test("narrow sketch still bounds error by N/width per row pair") {
+    // depth 2, width 8 forces collisions: estimates inflate but never
+    // beyond exact + N (trivial bound) and never below exact.
+    val n = toks.count()
+    val est = CountMin.estimate(
+      toks.groupBy("token").agg(count(lit(1)).as("exact_cnt")), "token",
+      CountMin.sketch(toks, "token", depth = 2, width = 8),
+      depth = 2, width = 8)
+    assert(est.filter(col("cms_est") < col("exact_cnt")).count() === 0L)
+    assert(est.filter(col("cms_est") > col("exact_cnt") + lit(n)).count() === 0L)
+    assert(est.filter(col("cms_est") > col("exact_cnt")).count() > 0L,
+      "width 8 over a full vocab should collide somewhere")
+  }
+
+  test("sketches merge by cellwise sum (linearity)") {
+    val Array(a, b) = toks.randomSplit(Array(0.5, 0.5), seed = 7L)
+    val whole = CountMin.sketch(a.union(b), "token", depth = 3, width = 64)
+    val merged = CountMin.sketch(a, "token", depth = 3, width = 64)
+      .union(CountMin.sketch(b, "token", depth = 3, width = 64))
+      .groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
+    assert(whole.except(merged).count() === 0L)
+    assert(merged.except(whole).count() === 0L)
+  }
+
+  test("sketch table is identical at any partitioning") {
+    val p1 = CountMin.sketch(toks.repartition(1), "token", depth = 4, width = 256)
+    val p13 = CountMin.sketch(toks.repartition(13), "token", depth = 4, width = 256)
+    assert(p1.except(p13).count() === 0L)
+    assert(p13.except(p1).count() === 0L)
+  }
+}

@@ -206,4 +206,41 @@ class MixtureSpec extends SparkTestBase {
         r.getLong(4), r.getLong(5))).sortBy(_._1)
     assert(rep2.toSeq == rep.toSeq)
   }
+
+  test("samplePriority: matches the brute-force DLT draw exactly") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val rows = (1L to 500L).map(i => (i, 1L + (i * 37) % 200))
+    val df = rows.toDF("id", "wt")
+    val got = Mixture.samplePriority(df, "id", col("wt"), k = 16)
+      .orderBy(col("priority").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force reference: same md5-u, same floor division
+    def u(id: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) + 1L
+    }
+    val prios = rows.map { case (id, w) => (id, w, (w * 4294967296L) / u(id)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = prios(16)._3
+    val want = prios.take(16).map { case (id, w, p) =>
+      (id, w, p, math.max(w * 4294967296L, tau)) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("samplePriority: deterministic at any partitioning, k bounds output") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 1L + i % 50)).toDF("id", "wt")
+    val a = Mixture.samplePriority(df.repartition(1), "id", col("wt"), 10)
+      .orderBy(col("priority").desc, col("id")).collect().toSeq
+    val b = Mixture.samplePriority(df.repartition(11), "id", col("wt"), 10)
+      .orderBy(col("priority").desc, col("id")).collect().toSeq
+    assert(a == b && a.size == 10)
+    // population smaller than k: everything selected, tau = 0, est = w*2^32
+    val tiny = (1L to 5L).map(i => (i, i)).toDF("id", "wt")
+    val all = Mixture.samplePriority(tiny, "id", col("wt"), 10).collect()
+    assert(all.length == 5)
+    assert(all.forall(r => r.getLong(3) == r.getLong(1) * 4294967296L))
+  }
 }

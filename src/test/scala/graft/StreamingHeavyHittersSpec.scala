@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{HhItem, StreamingHeavyHitters}
+
+/** SpaceSaving monitor: exact-count regime (capacity ≥ cardinality)
+  * equals a batch GROUP BY across multi-batch streams; eviction regime
+  * maintains the Metwally invariants (over-estimate bounded by err,
+  * err ≤ n/m, no true heavy hitter missed, state never exceeds m).
+  */
+class StreamingHeavyHittersSpec extends SparkTestBase {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("capacity >= cardinality: exact counts across batches, err = 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val b1 = Seq.fill(5)(HhItem("u1", "a")) ++ Seq.fill(3)(HhItem("u1", "b")) ++
+        Seq.fill(4)(HhItem("u2", "a"))
+      val b2 = Seq.fill(2)(HhItem("u1", "a")) ++ Seq.fill(6)(HhItem("u2", "c"))
+      val mem = MemoryStream[HhItem]
+      val out = StreamingHeavyHitters.track(mem.toDF(), "key", "item",
+        m = 8, minGuaranteed = 1L)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("hh_exact").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+        // the LAST emission per (key, item) is the final table state
+        val finalRows = spark.table("hh_exact")
+          .withColumn("__r", monotonically_increasing_id())
+          .groupBy("key", "item").agg(max_by(struct(col("est"), col("err")), col("__r")).as("s"))
+          .select(col("key"), col("item"), col("s.est"), col("s.err"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        val truth = (b1 ++ b2).groupBy(i => (i.key, i.item))
+          .map { case (k, o) => k -> o.size.toLong }
+        assert(finalRows.keySet == truth.keySet)
+        truth.foreach { case (k, n) =>
+          assert(finalRows(k) == ((n, 0L)), s"$k: ${finalRows(k)} vs exact $n")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("eviction regime: Metwally invariants hold, table bounded by m") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // 6 distinct items through m=3 counters: a=9, b=6, c=4, d/e/f=1 each
+      val items = Seq.fill(9)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+        Seq("d", "e", "f")
+      val data = items.map(HhItem("k", _))
+      val mem = MemoryStream[HhItem]
+      val out = StreamingHeavyHitters.track(mem.toDF(), "key", "item",
+        m = 3, minGuaranteed = 0L)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("hh_evict").start()
+      try {
+        mem.addData(data: _*); q.processAllAvailable()
+        val rows = spark.table("hh_evict")
+          .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val n = items.size.toLong
+        assert(rows.length <= 3, s"table exceeded m: ${rows.toSeq}")
+        val truth = items.groupBy(identity).map { case (i, o) => i -> o.size.toLong }
+        rows.foreach { case (item, est, err, nKey) =>
+          assert(nKey == n)
+          val t = truth(item)
+          assert(est >= t, s"$item: est $est under-counts true $t")
+          assert(est - err <= t, s"$item: guaranteed ${est - err} exceeds true $t")
+          assert(err <= n / 3, s"$item: err $err above n/m ${n / 3}")
+        }
+        // every item with true count > n/m = 7 must be tracked (a=9)
+        assert(rows.exists(_._1 == "a"), "true heavy hitter evicted")
+        // counts are conserved: Σ est ≥ n (over-estimates), Σ(est−err) ≤ n
+        assert(rows.map(_._2).sum >= rows.map(r => truth(r._1)).sum)
+      } finally q.stop()
+    }
+  }
+
+  test("minGuaranteed gates emissions to guaranteed-heavy entries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val data = (Seq.fill(30)("hot") ++ Seq.fill(2)("cold")).map(HhItem("k", _))
+      val mem = MemoryStream[HhItem]
+      val out = StreamingHeavyHitters.track(mem.toDF(), "key", "item",
+        m = 8, minGuaranteed = 10L)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("hh_gate").start()
+      try {
+        mem.addData(data: _*); q.processAllAvailable()
+        val items = spark.table("hh_gate").collect().map(_.getString(1)).toSet
+        assert(items == Set("hot"), s"gate leaked: $items")
+      } finally q.stop()
+    }
+  }
+}

@@ -400,4 +400,54 @@ class TextAnalysisSpec extends SparkTestBase {
       Multimodal.phashNearDup(df, "doc_id", "phash", maxHamming = 16)
     }
   }
+
+  test("knBigramNll matches a hand-computed Kneser-Ney reference") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    // reference model, same statistics and IEEE operation order
+    val bgs = Seq("a b", "b a", "a b", "b c", "a b", "b c", "c c", "b a")
+    val c2 = bgs.groupBy(identity).map { case (b, o) => b -> o.size.toDouble }
+    val types = c2.keys.toSeq
+    val c1 = types.groupBy(_.split(" ")(0))
+      .map { case (w, bs) => w -> bs.map(c2).sum }
+    val n1fwd = types.groupBy(_.split(" ")(0)).map { case (w, bs) => w -> bs.size.toDouble }
+    val n1rev = types.groupBy(_.split(" ")(1)).map { case (w, bs) => w -> bs.size.toDouble }
+    val nt = types.size.toDouble
+    def cost(b: String): Long = {
+      val Array(w1, w2) = b.split(" ")
+      val p = math.max(c2(b) - 0.75, 0.0) / c1(w1) +
+        0.75 * n1fwd(w1) / c1(w1) * (n1rev(w2) / nt)
+      math.round(-math.log(p) * 1e6)
+    }
+    def docNll(text: String): (Long, Long) = {
+      val t = text.split(" ")
+      val bg = t.init.zip(t.tail).map { case (a, b) => s"$a $b" }
+      (bg.length.toLong, bg.map(cost).sum)
+    }
+    val got = TextAnalysis.knBigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq((1L, "a b a b c"), (2L, "a b c c"), (3L, "b a")).map {
+      case (id, s) => val (n, nll) = docNll(s); (id, n, nll) }
+    assert(got == want)
+    // seen-mass sanity: for every context, Σ_seen P_KN <= 1
+    types.groupBy(_.split(" ")(0)).foreach { case (w1, bs) =>
+      val s = bs.map { b =>
+        val w2 = b.split(" ")(1)
+        math.max(c2(b) - 0.75, 0.0) / c1(w1) +
+          0.75 * n1fwd(w1) / c1(w1) * (n1rev(w2) / nt)
+      }.sum
+      assert(s <= 1.0 + 1e-12, s"context $w1 leaks probability: $s")
+    }
+  }
+
+  test("knBigramNll: both scorer paths and any partitioning agree") {
+    val docs = Tables.t(spark, sf, "documents").limit(40)
+    val viaMap = TextAnalysis.knBigramNll(docs, "doc_id", "text",
+      maxBroadcastVocab = 100000L).orderBy("doc_id").collect().toSeq
+    val viaJoin = TextAnalysis.knBigramNll(docs.repartition(7), "doc_id", "text",
+      maxBroadcastVocab = 0L).orderBy("doc_id").collect().toSeq
+    assert(viaMap == viaJoin)
+  }
 }
