@@ -179,7 +179,8 @@ object Mixture {
     * Shape at 100 TB: priorities are a per-row expression riding the
     * scan; top-(k+1) is TakeOrderedAndProject (map-side partial top-k,
     * no global sort, no shuffle of the data); τ is a broadcast 1-row
-    * scalar. Weights must be integral and ≤ 2³¹ so w·2³² fits a long.
+    * scalar. Weights must be integral and in [1, 2³¹] so w·2³² fits a
+    * long — rows outside that range are EXCLUDED from the draw.
     *
     * Returns the k selected rows as (<idCol>, w, priority,
     * est_w_scaled) where est_w_scaled = max(w·2³², τ) — the DLT
@@ -205,6 +206,37 @@ object Mixture {
       .limit(k)
       .crossJoin(broadcast(tau))
       .select(col(idCol), col("w"), col("priority"),
+        greatest(col("w") * lit(4294967296L), col("__tau")).as("est_w_scaled"))
+  }
+
+  /** Per-group [[samplePriority]] — k rows PER STRATUM with a per-group
+    * τ estimator: the weighted sampler a mixture pipeline needs when
+    * every source must stay represented (a global draw lets one heavy
+    * domain crowd out the rest). Same integer-exact priorities; rank and
+    * τ_g come from ONE partitioned window over the group (never an
+    * unpartitioned window), and the τ join is keyed by group — every
+    * stage shuffles on the stratum only, so 1000 executors each own
+    * their strata. Rows with weight outside [1, 2³¹] are EXCLUDED (the
+    * integer-overflow contract, same as [[samplePriority]]).
+    */
+  def samplePriorityByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), col(idCol),
+        weight.cast("long").as("w"),
+        (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
+      .filter(col("w") >= 1L && col("w") <= lit(1L << 31))
+      .withColumn("priority", expr("(w * 4294967296L) div __u"))
+      .withColumn("__rank", row_number().over(Window.partitionBy(groupCol)
+        .orderBy(col("priority").desc, col(idCol).asc)))
+      .filter(col("__rank") <= k + 1)
+    val tau = base.groupBy(groupCol).agg(
+      coalesce(min(when(col("__rank") === (k + 1), col("priority"))),
+        lit(0L)).as("__tau"))
+    base.filter(col("__rank") <= k)
+      .join(tau, groupCol)
+      .select(col(groupCol), col(idCol), col("w"), col("priority"),
         greatest(col("w") * lit(4294967296L), col("__tau")).as("est_w_scaled"))
   }
 

@@ -2228,6 +2228,31 @@ object PipelineQueries {
             length(col("text")), k = 32)
           .orderBy(col("priority").desc, col("doc_id"))),
 
+    // Per-stratum priority sampling: k weighted picks PER SOURCE with a
+    // per-group tau estimator — the mixture-preserving form (a global
+    // draw lets one heavy domain crowd out the rest). One partitioned
+    // window + a group-keyed tau join; same integer-exact arithmetic,
+    // re-derived bit-for-bit in DuckDB.
+    Q("q_sample_priority_grouped",
+      Some("""WITH w AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS w,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
+             |  FROM documents),
+             |p AS (SELECT source, doc_id, w, (w * 4294967296) // u AS priority FROM w
+             |  WHERE w >= 1 AND w <= 2147483648),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY priority DESC, doc_id) AS rk FROM p),
+             |b AS (SELECT * FROM r WHERE rk <= 9),
+             |tau AS (SELECT source, coalesce(min(CASE WHEN rk = 9 THEN priority END),
+             |    CAST(0 AS BIGINT)) AS tau FROM b GROUP BY source)
+             |SELECT b.source, b.doc_id, b.w, b.priority,
+             |  greatest(b.w * 4294967296, tau.tau) AS est_w_scaled
+             |FROM b JOIN tau USING (source) WHERE rk <= 8
+             |ORDER BY source, priority DESC, doc_id""".stripMargin),
+      (s, d) =>
+        Mixture.samplePriorityByGroup(t(s, d, "documents"), "source", "doc_id",
+            length(col("text")), k = 8)
+          .orderBy(col("source"), col("priority").desc, col("doc_id"))),
+
     // Content-hash train/valid/test split — assignment is a pure function
     // of doc_id (md5 bucket mod 1000), so it is stable across engines,
     // runs and partitionings: the split a production corpus needs to

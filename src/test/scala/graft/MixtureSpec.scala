@@ -243,4 +243,29 @@ class MixtureSpec extends SparkTestBase {
     assert(all.length == 5)
     assert(all.forall(r => r.getLong(3) == r.getLong(1) * 4294967296L))
   }
+
+  test("samplePriorityByGroup: per-group draw equals per-group global draw") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (s"g${i % 4}", i, 1L + (i * 53) % 97))
+    val df = rows.toDF("grp", "id", "wt")
+    val grouped = Mixture.samplePriorityByGroup(df, "grp", "id", col("wt"), 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, -t._4, t._2)).toSeq
+    // reference: run the GLOBAL sampler on each group's slice
+    val want = rows.map(_._1).distinct.sorted.flatMap { g =>
+      Mixture.samplePriority(df.filter(col("grp") === g), "id", col("wt"), 7)
+        .collect()
+        .map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (-t._4, t._2))
+    }
+    assert(grouped == want)
+    assert(grouped.groupBy(_._1).forall(_._2.size == 7))
+    // partitioning invariance
+    val again = Mixture.samplePriorityByGroup(df.repartition(13), "grp", "id",
+        col("wt"), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, -t._4, t._2)).toSeq
+    assert(again == grouped)
+  }
 }
