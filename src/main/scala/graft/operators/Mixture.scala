@@ -179,8 +179,9 @@ object Mixture {
     * Shape at 100 TB: priorities are a per-row expression riding the
     * scan; top-(k+1) is TakeOrderedAndProject (map-side partial top-k,
     * no global sort, no shuffle of the data); τ is a broadcast 1-row
-    * scalar. Weights must be integral and in [1, 2³¹] so w·2³² fits a
-    * long — rows outside that range are EXCLUDED from the draw.
+    * scalar. Weights must be integral and in [1, 2³¹) so w·2³² fits a
+    * long (2³¹·2³² = 2⁶³ would overflow) — rows outside that range are
+    * EXCLUDED from the draw.
     *
     * Returns the k selected rows as (<idCol>, w, priority,
     * est_w_scaled) where est_w_scaled = max(w·2³², τ) — the DLT
@@ -192,7 +193,7 @@ object Mixture {
     require(k >= 1, s"k >= 1: $k")
     val base = df.select(col(idCol), weight.cast("long").as("w"),
         (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
-      .filter(col("w") >= 1L && col("w") <= lit(1L << 31))
+      .filter(col("w") >= 1L && col("w") <= lit((1L << 31) - 1))
       .withColumn("priority", expr("(w * 4294967296L) div __u"))
     val topk1 = base
       .orderBy(col("priority").desc, col(idCol).asc)
@@ -216,7 +217,7 @@ object Mixture {
     * τ_g come from ONE partitioned window over the group (never an
     * unpartitioned window), and the τ join is keyed by group — every
     * stage shuffles on the stratum only, so 1000 executors each own
-    * their strata. Rows with weight outside [1, 2³¹] are EXCLUDED (the
+    * their strata. Rows with weight outside [1, 2³¹) are EXCLUDED (the
     * integer-overflow contract, same as [[samplePriority]]).
     */
   def samplePriorityByGroup(df: DataFrame, groupCol: String, idCol: String,
@@ -226,7 +227,7 @@ object Mixture {
     val base = df.select(col(groupCol), col(idCol),
         weight.cast("long").as("w"),
         (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
-      .filter(col("w") >= 1L && col("w") <= lit(1L << 31))
+      .filter(col("w") >= 1L && col("w") <= lit((1L << 31) - 1))
       .withColumn("priority", expr("(w * 4294967296L) div __u"))
       .withColumn("__rank", row_number().over(Window.partitionBy(groupCol)
         .orderBy(col("priority").desc, col(idCol).asc)))

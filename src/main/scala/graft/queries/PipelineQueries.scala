@@ -2215,7 +2215,7 @@ object PipelineQueries {
              |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
              |  FROM documents),
              |p AS (SELECT doc_id, w, (w * 4294967296) // u AS priority FROM w
-             |  WHERE w >= 1 AND w <= 2147483648),
+             |  WHERE w >= 1 AND w <= 2147483647),
              |topk1 AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 33),
              |tau AS (SELECT CASE WHEN count(*) = 33 THEN min(priority)
              |    ELSE CAST(0 AS BIGINT) END AS tau FROM topk1),
@@ -2238,7 +2238,7 @@ object PipelineQueries {
              |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
              |  FROM documents),
              |p AS (SELECT source, doc_id, w, (w * 4294967296) // u AS priority FROM w
-             |  WHERE w >= 1 AND w <= 2147483648),
+             |  WHERE w >= 1 AND w <= 2147483647),
              |r AS (SELECT *, row_number() OVER (PARTITION BY source
              |    ORDER BY priority DESC, doc_id) AS rk FROM p),
              |b AS (SELECT * FROM r WHERE rk <= 9),

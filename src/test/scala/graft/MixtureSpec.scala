@@ -244,6 +244,19 @@ class MixtureSpec extends SparkTestBase {
     assert(all.forall(r => r.getLong(3) == r.getLong(1) * 4294967296L))
   }
 
+  test("samplePriority: weight 2^31 is excluded (w*2^32 would overflow long)") {
+    import spark.implicits._
+    val df = Seq((1L, (1L << 31) - 1), (2L, 1L << 31), (3L, 10L))
+      .toDF("id", "wt")
+    val got = Mixture.samplePriority(df, "id", col("wt"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(_._1) == Set(1L, 3L), s"boundary row leaked: ${got.toSeq}")
+    // the max admissible weight computes without wrap: priority > 0
+    val maxRow = Mixture.samplePriority(df, "id", col("wt"), 3)
+      .filter(col("id") === 1L).collect()(0)
+    assert(maxRow.getLong(2) > 0L && maxRow.getLong(3) > 0L)
+  }
+
   test("samplePriorityByGroup: per-group draw equals per-group global draw") {
     import spark.implicits._
     val rows = (1L to 400L).map(i => (s"g${i % 4}", i, 1L + (i * 53) % 97))
