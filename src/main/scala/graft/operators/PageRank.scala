@@ -58,10 +58,16 @@ object PageRank {
     // Pregel-style engine keeps. Ranks are checkpointed per round, which
     // also truncates the lineage (an unbounded iteration count must not
     // grow the plan tree). Same pattern as Dedup.resolveClusters.
+    // checkpoint the EDGE LIST FIRST: vertices, outdeg and withDeg all
+    // derive from it, and without this barrier each derivation re-runs
+    // the caller's whole edge-building pipeline (joins, unions,
+    // distinct) from the source scan — measured ~8 upstream evaluations
+    // before the first iteration on the q_pagerank shape
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
+      .localCheckpoint()
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()

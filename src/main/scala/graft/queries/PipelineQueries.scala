@@ -2422,12 +2422,13 @@ object PipelineQueries {
       Some("""WITH toks AS (SELECT doc_id, lang,
              |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
              |  FROM documents),
-             |g AS (SELECT doc_id, lang,
-             |    unnest(t || [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+             |hs AS (SELECT doc_id, lang,
+             |    list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS h
              |  FROM toks),
-             |hb AS (SELECT doc_id, lang,
-             |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 256 AS b
-             |  FROM g),
+             |hb AS (SELECT doc_id, lang, unnest(
+             |    list_transform(h, x -> x % 256) ||
+             |    [(h[i] * 1000003 + h[i+1]) % 256 FOR i IN range(1, len(h))]) AS b
+             |  FROM hs),
              |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM hb
              |  WHERE lang = 'en' GROUP BY b),
              |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM hb GROUP BY b),

@@ -203,6 +203,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("CMS lookup broadcasts the sketch side; top-k lowers to TakeOrdered") {
+    val p = physical("q_cms_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth×width sketch table must broadcast, never shuffle the probe side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"CMS lookup fell back to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 did a global sort:\n$p")
+  }
+
+  test("priority sampling is TakeOrdered + broadcast tau (no data shuffle)") {
+    val p = physical("q_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) selection must be a partial top-k, not a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"full sort crept in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"tau must join as a broadcast scalar:\n$p")
+  }
+
   test("two-stage distinct count plans no Expand and keeps partial aggregation") {
     val p = physical("q_count_distinct_2stage")
     assert(!p.contains("Expand"),
