@@ -91,6 +91,49 @@ class StreamingHeavyHittersSpec extends SparkTestBase {
     }
   }
 
+  test("SpaceSaving state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-hh-ckpt").toString
+      val mem = MemoryStream[HhItem]
+      // memory sink cannot resume from a checkpoint; collect emissions
+      // per batch via foreachBatch (batch ids continue across restarts)
+      val emitted = new scala.collection.concurrent.TrieMap[
+        (Long, String), (Long, Long, Long)]()
+      def start() = StreamingHeavyHitters.track(mem.toDF(), "key", "item",
+          m = 4, minGuaranteed = 1L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.collect().foreach(r =>
+            emitted((id, r.getString(1))) =
+              (r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+        .start()
+      val q1 = start()
+      try {
+        mem.addData(Seq.fill(5)(HhItem("k", "a")) ++ Seq.fill(2)(HhItem("k", "b")): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // second generation resumes from the RocksDB checkpoint: counts must
+      // CONTINUE from (a=5, b=2), not restart from zero
+      val q2 = start()
+      try {
+        mem.addData(Seq.fill(3)(HhItem("k", "a")) ++ Seq.fill(4)(HhItem("k", "c")): _*)
+        q2.processAllAvailable()
+        val lastBatch = emitted.keys.map(_._1).max
+        val last = emitted.collect {
+          case ((b, item), v) if b == lastBatch => item -> v
+        }.toMap
+        assert(last("a") == ((8L, 0L, 14L)), s"state lost across restart: $last")
+        assert(last("c") == ((4L, 0L, 14L)), s"post-restart item wrong: $last")
+        assert(last.get("b").forall(_ == ((2L, 0L, 14L))))
+      } finally q2.stop()
+    }
+  }
+
   test("minGuaranteed gates emissions to guaranteed-heavy entries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
