@@ -164,10 +164,15 @@ object TextAnalysis {
     if (vocab <= maxBroadcastVocab) {
       val costMap = persisted.agg(
         map_from_arrays(collect_list(col("__k")), collect_list(col("__cost"))).as("__m"))
+      // bind the term array ONCE: it is an expensive HOF (tokenize +
+      // zip for bigrams) referenced by both outputs, and HOFs get no
+      // codegen subexpression elimination — the twice-referenced
+      // non-cheap alias keeps its projection boundary (CollapseProject)
       df.crossJoin(broadcast(costMap))
+        .withColumn("__t", terms)
         .select(col(idCol),
-          coalesce(size(terms), lit(0)).cast("long").as(nName),
-          coalesce(aggregate(terms, lit(0L),
+          coalesce(size(col("__t")), lit(0)).cast("long").as(nName),
+          coalesce(aggregate(col("__t"), lit(0L),
             (acc, t) => acc + element_at(col("__m"), t)), lit(0L)).as(sumName))
     } else {
       val scored = df.select(col(idCol), explode(terms).as("__k"))
