@@ -435,15 +435,16 @@ object TextAnalysis {
     */
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 256): DataFrame = {
-    val toksC = filter(tokens(col(textCol)), t => t =!= "")
     val weightOf: Column => Column = b =>
       pmod(b * lit(2654435761L), lit(1997L)) - lit(998L)
     val bucketOf: Column => Column = t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-    val scoreMicro = aggregate(
-      transform(toksC, t => weightOf(bucketOf(t))),
-      lit(0L), (acc, x) => acc + x)
-    df.select(col(idCol), scoreMicro.as("score_micro"),
-      size(toksC).cast("long").as("n_toks"))
+    // bind the token array once — score and n_toks both reference it, and
+    // HOFs get no codegen subexpression elimination (the DSIR/scorer fix)
+    df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
+      .select(col(idCol),
+        aggregate(transform(col("__t"), t => weightOf(bucketOf(t))),
+          lit(0L), (acc, x) => acc + x).as("score_micro"),
+        size(col("__t")).cast("long").as("n_toks"))
   }
 }
