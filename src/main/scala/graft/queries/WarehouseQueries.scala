@@ -687,6 +687,47 @@ object WarehouseQueries {
           .orderBy("user_id", "event_type")
       }),
 
+    // Stream-stream interval join on the scoreboard (the attribution
+    // shape: view -> click within 2h per user): TWO file-source streams
+    // over the same events directory, watermarked on both sides so the
+    // interval condition bounds join state — joined matches drain with
+    // AvailableNow. In a single-batch drain the watermark never advances
+    // before data arrives, so no late row can be state-evicted unmatched
+    // and the result equals the plain batch interval join (multi-batch
+    // drains could drop watermark-late rows — asserted below, the
+    // q_stream_anomaly contract).
+    Q("q_stream_join",
+      Some("""SELECT a.user_id AS user_id, a.event_id AS view_id,
+             |  b.event_id AS click_id, a.ts AS view_ts, b.ts AS click_ts
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'view' AND b.event_type = 'click'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+             |ORDER BY a.user_id, view_id, click_id""".stripMargin),
+      (s, d) => {
+        val sink = "q_stream_join_sink"
+        val views = graft.Tables.eventsStream(s, d)
+          .filter(col("event_type") === "view")
+        val clicks = graft.Tables.eventsStream(s, d)
+          .filter(col("event_type") === "click")
+        val joined = graft.streaming.StreamingSessions.intervalJoin(
+          views, clicks, "user_id", "ts", "4 hours", "2 hours",
+          carryLeft = Seq("event_id"), carryRight = Seq("event_id"))
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"q_stream_join oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        s.table(sink)
+          .select(col("k").as("user_id"),
+            col("l_event_id").as("view_id"), col("r_event_id").as("click_id"),
+            col("l_ts").as("view_ts"), col("r_ts").as("click_ts"))
+          .orderBy("user_id", "view_id", "click_id")
+      }),
+
     // Pairwise Pearson correlation matrix (Profile.correlations): all 6
     // pairs over 4 quantized lineitem measures from ONE scan — n + 2k
     // per-column sums + k(k-1)/2 cross sums, exact decimals, closed form

@@ -186,15 +186,21 @@ object StreamingSessions {
     * `[l_ts, l_ts + within]` (attribution joins: impressions x clicks).
     * Watermarks on BOTH inputs plus the interval condition let Spark expire
     * join state — without them a stream-stream join buffers forever.
+    * `carryLeft`/`carryRight` columns ride along as `l_<name>`/`r_<name>`
+    * (attribution needs the event ids, not just the timestamps).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, watermark: String, within: String): DataFrame = {
-    val l = left.select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
+      tsCol: String, watermark: String, within: String,
+      carryLeft: Seq[String] = Nil, carryRight: Seq[String] = Nil): DataFrame = {
+    val l = left.select(col(keyCol).as("k") +: col(tsCol).as("l_ts") +:
+        carryLeft.map(c => col(c).as(s"l_$c")): _*)
       .withWatermark("l_ts", watermark)
-    val r = right.select(col(keyCol).as("rk"), col(tsCol).as("r_ts"))
+    val r = right.select(col(keyCol).as("rk") +: col(tsCol).as("r_ts") +:
+        carryRight.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_ts", watermark)
     l.join(r, expr(s"k = rk AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
-      .select(col("k"), col("l_ts"), col("r_ts"))
+      .select(col("k") +: col("l_ts") +: col("r_ts") +:
+        (carryLeft.map(c => col(s"l_$c")) ++ carryRight.map(c => col(s"r_$c"))): _*)
   }
 
   /** Exactly-once-ish event dedup within the watermark horizon — the
