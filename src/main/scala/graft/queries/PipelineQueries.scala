@@ -2253,6 +2253,30 @@ object PipelineQueries {
             length(col("text")), k = 8)
           .orderBy(col("source"), col("priority").desc, col("doc_id"))),
 
+    // Rendezvous (highest-random-weight) hashing (Thaler-Ravishankar
+    // '98): route each doc to argmax_s md5(id|s) — the minimal-
+    // disruption shard router (resizing the fleet moves only the
+    // affected shard's keys, vs mod-m moving nearly all). Pure per-row
+    // expression, |shards| hashes + in-expression argmax; membership
+    // pinned per shard by count + id-sum digest, re-derived in DuckDB.
+    Q("q_rendezvous",
+      Some("""WITH sh AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6','s7']) AS shard),
+             |sc AS (SELECT doc_id, sh.shard,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || sh.shard), 1, 8) AS BIGINT) AS score
+             |  FROM documents CROSS JOIN sh),
+             |w AS (SELECT doc_id, shard,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, shard DESC) AS rk
+             |  FROM sc)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM w WHERE rk = 1 GROUP BY shard ORDER BY shard""".stripMargin),
+      (s, d) =>
+        Rendezvous.assign(t(s, d, "documents"), "doc_id",
+            (0 until 8).map(i => s"s$i"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+          .orderBy("shard")),
+
     // Content-hash train/valid/test split — assignment is a pure function
     // of doc_id (md5 bucket mod 1000), so it is stable across engines,
     // runs and partitionings: the split a production corpus needs to
