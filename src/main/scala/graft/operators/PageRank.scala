@@ -55,9 +55,10 @@ object PageRank {
     // localCheckpoint them ONCE so each iteration joins materialized
     // blocks instead of re-deriving the graph from the source scan — at
     // cluster scale this is the persisted, src-partitioned edge RDD every
-    // Pregel-style engine keeps. Ranks are checkpointed per round, which
-    // also truncates the lineage (an unbounded iteration count must not
-    // grow the plan tree). Same pattern as Dedup.resolveClusters.
+    // Pregel-style engine keeps. Ranks checkpoint every 4th round — often
+    // enough that an unbounded iteration count cannot grow the plan tree
+    // without bound, sparse enough that short runs stay one composite
+    // plan. Same pattern as Dedup.resolveClusters.
     // checkpoint the EDGE LIST FIRST: vertices, outdeg and withDeg all
     // derive from it, and without this barrier each derivation re-runs
     // the caller's whole edge-building pipeline (joins, unions,
@@ -75,7 +76,7 @@ object PageRank {
     val withDeg = e.join(outdeg, "src").localCheckpoint()
 
     var r = vertices.withColumn("rank", lit(Scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = withDeg
         .join(r, withDeg("src") === r("vertex"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -85,7 +86,12 @@ object PageRank {
         .select(col("vertex"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint()
+      // checkpoint every 4th round, not every round: a few rounds of
+      // join+agg lineage are cheap to carry, while each localCheckpoint
+      // is a full materialization — per-round checkpointing DOMINATED
+      // the 3-iteration query's cost. Unbounded iteration counts still
+      // get periodic lineage truncation.
+      if (i % 4 == 0 && i < iterations) r = r.localCheckpoint()
     }
     r.select(col("vertex"), col("rank").as("rank_micros"))
   }
