@@ -98,6 +98,50 @@ object AsOfJoin {
     bounded.filter(col("__side") === 1).drop("__ts", "__mts", "__side")
   }
 
+  /** Nearest as-of: each left row matches whichever of its backward
+    * (latest ≤ ts) and forward (earliest ≥ ts) candidates is closer in
+    * absolute time — pandas merge_asof(direction='nearest'), with the
+    * tie fixed to BACKWARD (documented contract; a tie must not depend
+    * on evaluation order). One union-tag frame, both directions carried
+    * as (match-ts, payload) structs by two window passes SHARING the
+    * (key)-hash shuffle (asc + desc sorts over one exchange, the scd2
+    * pattern) — still no O(n·m) blowup, still one shuffle.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((keyCol +: rightTsCol +: payloadCols).map(col): _*)
+      .withColumnRenamed(rightTsCol, "__rts")
+      .withColumn("__ts", col("__rts"))
+      .drop("__rts")
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__r", when(col("__side") === 0,
+        struct(col("__ts").as("t") +: payloadCols.map(col): _*)))
+    val wb = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol).orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__bw", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__fw", last(col("__r"), ignoreNulls = true).over(wf))
+    val db = abs(unix_micros(col("__ts")) - unix_micros(col("__bw").getField("t")))
+    val df_ = abs(unix_micros(col("__fw").getField("t")) - unix_micros(col("__ts")))
+    val pick = when(col("__fw").isNull, col("__bw"))
+      .when(col("__bw").isNull, col("__fw"))
+      .when(db <= df_, col("__bw"))
+      .otherwise(col("__fw"))
+    val chosen = payloadCols.foldLeft(carried.withColumn("__pick", pick)) {
+      (d, p) => d.withColumn(p, col("__pick").getField(p))
+    }
+    chosen.filter(col("__side") === 1)
+      .drop("__ts", "__side", "__r", "__bw", "__fw", "__pick")
+  }
+
   /** The same semantics through the custom-operator path: a Catalyst
     * logical node ([[graft.plans.AsOfJoinNode]]) lowered by a planner
     * strategy to a merge-based physical operator. Registered lazily on the

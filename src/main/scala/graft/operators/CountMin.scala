@@ -57,6 +57,34 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group sketch tables: (groupCol, cms_row, cms_bucket, cnt) — the
+    * pre-aggregated form a 100 TB corpus STORES (one tiny table per
+    * shard/day/source), so later questions are answered from sketches
+    * without rescanning. Merge any subset with [[merge]].
+    */
+  def sketchBy(keys: DataFrame, groupCol: String, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2 && width <= (1 << 20), s"width in [2,2^20]: $width")
+    val k = col(keyCol).cast("string")
+    keys
+      .select(col(groupCol), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("cms_row"), bucketOf(j, k, width).as("cms_bucket"))): _*))
+        .as("__cell"))
+      .groupBy(col(groupCol), col("__cell.cms_row").as("cms_row"),
+        col("__cell.cms_bucket").as("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch tables by cellwise sum — CMS linearity: the merge of
+    * per-group sketches equals the sketch of the union, bit-for-bit
+    * (spec-pinned and oracled by q_cms_merge). The merge input is
+    * groups·depth·width rows at most — KBs — however big the corpora
+    * behind them were.
+    */
+  def merge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
+
   /** Point-estimate a set of query keys against the sketch: for each key,
     * est = min over rows of its cell's count. `queries` rows carry the
     * key; the sketch side is ≤ depth·width rows and is BROADCAST — the

@@ -2056,6 +2056,32 @@ object PipelineQueries {
           .orderBy("event_id")
       }),
 
+    // Nearest as-of: whichever error is closer in absolute time, before
+    // or after; ties fixed to backward. The missing third direction of
+    // merge_asof — two window passes sharing one key shuffle.
+    Q("q_asof_nearest",
+      Some("""SELECT e.event_id,
+             |  CASE WHEN f.ts IS NULL THEN b.event_id
+             |       WHEN b.ts IS NULL THEN f.event_id
+             |       WHEN e.ts - b.ts <= f.ts - e.ts THEN b.event_id
+             |       ELSE f.event_id END AS near_error_id
+             |FROM (SELECT * FROM events WHERE user_id < 20) e
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) b
+             |  ON e.user_id = b.user_id AND e.ts >= b.ts
+             |ASOF LEFT JOIN (SELECT * FROM events
+             |                WHERE event_type = 'error' AND user_id < 20) f
+             |  ON e.user_id = f.user_id AND e.ts <= f.ts
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("near_error_id"))
+        AsOfJoin.nearest(ev, errs, "user_id", "ts", "ts", Seq("near_error_id"))
+          .select("event_id", "near_error_id")
+          .orderBy("event_id")
+      }),
+
     // Backward as-of with staleness bound: matches older than 1 h are null.
     Q("q_asof_tolerance",
       Some("""SELECT e.event_id,
@@ -2276,6 +2302,29 @@ object PipelineQueries {
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
           .orderBy("shard")),
+
+    // Mergeable CMS — the sketch-TABLE lifecycle at 100 TB: one tiny
+    // sketch per source stored pre-aggregated, merged by cellwise sum
+    // without rescanning any corpus. CMS linearity makes the merged
+    // table EQUAL the whole-corpus sketch bit-for-bit, so the oracle is
+    // the direct whole-corpus derivation — the oracled counterpart of
+    // the rows-only q_hll_merge.
+    Q("q_cms_merge",
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |rows_ AS (SELECT unnest(range(4)) AS j),
+             |cells AS (SELECT j,
+             |    CAST('0x' || substr(md5(j || '|' || token), 1, 8) AS BIGINT) % 256 AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks CROSS JOIN rows_ GROUP BY j, b)
+             |SELECT CAST(j AS INT) AS cms_row, b AS cms_bucket, cnt
+             |FROM cells ORDER BY cms_row, cms_bucket""".stripMargin),
+      (s, d) =>
+        CountMin.merge(
+            CountMin.sketchBy(
+              t(s, d, "documents").select(col("source"),
+                explode(split(lower(col("text")), " ")).as("token")),
+              "source", "token", depth = 4, width = 256))
+          .orderBy("cms_row", "cms_bucket")),
 
     // Content-hash train/valid/test split — assignment is a pure function
     // of doc_id (md5 bucket mod 1000), so it is stable across engines,

@@ -55,6 +55,17 @@ class CountMinSpec extends SparkTestBase {
     assert(merged.except(whole).count() === 0L)
   }
 
+  test("per-group sketches merge to exactly the whole-corpus sketch") {
+    val keyed = Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+    val merged = CountMin.merge(
+      CountMin.sketchBy(keyed, "source", "token", depth = 3, width = 64))
+    val whole = CountMin.sketch(keyed.select("token"), "token",
+      depth = 3, width = 64)
+    assert(merged.except(whole).count() === 0L)
+    assert(whole.except(merged).count() === 0L)
+  }
+
   test("sketch table is identical at any partitioning") {
     val p1 = CountMin.sketch(toks.repartition(1), "token", depth = 4, width = 256)
     val p13 = CountMin.sketch(toks.repartition(13), "token", depth = 4, width = 256)

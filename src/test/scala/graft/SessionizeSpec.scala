@@ -49,6 +49,31 @@ class SessionizeSpec extends SparkTestBase {
     assert(out("f1").isEmpty)              // right row is in the future
   }
 
+  test("nearest as-of: closest side wins, ties go backward, one-sided falls through") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "mid"),   // backward at 90 (d=10) vs forward at 150 (d=50) -> 90
+      (1L, 140L, "fwd"),   // backward at 90 (d=50) vs forward at 150 (d=10) -> 150
+      (1L, 120L, "tie"),   // 90 and 150 both d=30 -> backward wins the tie
+      (1L, 10L, "onlyF"),  // nothing at-or-before -> forward 90
+      (2L, 500L, "onlyB"), // nothing at-or-after -> backward 400
+      (3L, 7L, "none")     // no right rows for key 3 at all
+    ).toDF("k", "t", "name").withColumn("ts", timestamp_micros(col("t") * 1000000))
+    val right = Seq(
+      (1L, 90L, 90L), (1L, 150L, 150L), (2L, 400L, 400L)
+    ).toDF("k", "t", "payload").withColumn("rts", timestamp_micros(col("t") * 1000000))
+      .drop("t")
+    val out = AsOfJoin.nearest(left, right, "k", "ts", "rts", Seq("payload"))
+      .select("name", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("mid").contains(90L))
+    assert(out("fwd").contains(150L))
+    assert(out("tie").contains(90L), s"tie must break backward: ${out("tie")}")
+    assert(out("onlyF").contains(90L))
+    assert(out("onlyB").contains(400L))
+    assert(out("none").isEmpty)
+  }
+
   test("native (custom Catalyst operator) as-of join == union-trick implementation") {
     val ev = events.filter(col("user_id") < 30)
     val errs = ev.filter(col("event_type") === "error")
