@@ -188,13 +188,23 @@ object Mixture {
     * estimator contribution SCALED BY 2³² (divide by 2³² for weight
     * units; kept integral so the hash compare is exact).
     */
+  /** The shared first stage of every priority-sampling form (global,
+    * per-group, streaming): append `w` and the integer-exact `priority`
+    * = ⌊w·2³²/md5-u⌋, excluding rows with w outside [1, 2³¹) (the
+    * overflow contract). Pure per-row expressions — rides the scan.
+    */
+  def prioritized(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("__u", md5Bucket(idCol, 4294967296L) + 1L)
+      .filter(col("w") >= 1L && col("w") <= lit((1L << 31) - 1))
+      .withColumn("priority", expr("(w * 4294967296L) div __u"))
+      .drop("__u")
+
   def samplePriority(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
-    val base = df.select(col(idCol), weight.cast("long").as("w"),
-        (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
-      .filter(col("w") >= 1L && col("w") <= lit((1L << 31) - 1))
-      .withColumn("priority", expr("(w * 4294967296L) div __u"))
+    val base = prioritized(df, idCol, weight)
+      .select(col(idCol), col("w"), col("priority"))
     val topk1 = base
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(k + 1)
@@ -224,11 +234,8 @@ object Mixture {
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(groupCol), col(idCol),
-        weight.cast("long").as("w"),
-        (md5Bucket(idCol, 4294967296L) + 1L).as("__u"))
-      .filter(col("w") >= 1L && col("w") <= lit((1L << 31) - 1))
-      .withColumn("priority", expr("(w * 4294967296L) div __u"))
+    val base = prioritized(df, idCol, weight)
+      .select(col(groupCol), col(idCol), col("w"), col("priority"))
       .withColumn("__rank", row_number().over(Window.partitionBy(groupCol)
         .orderBy(col("priority").desc, col(idCol).asc)))
       .filter(col("__rank") <= k + 1)

@@ -687,6 +687,62 @@ object WarehouseQueries {
           .orderBy("user_id", "event_type")
       }),
 
+    // Streaming priority sampling (the monitor form of
+    // q_sample_priority_grouped): per source, the k+1 highest
+    // ⌊w·2³²/md5-u⌋ priorities live in RocksDB; priorities are pure
+    // functions of (id, w), so the maintained top-k SET is
+    // arrival-order-independent and a full drain equals the batch
+    // sampler's draw, estimator included — the oracle IS the batch SQL.
+    // Single-batch drain asserted only so the memory sink holds one
+    // emission generation (the sample itself is batching-proof,
+    // StreamingSampleSpec pins the multi-batch case).
+    Q("q_stream_sample",
+      Some("""WITH w AS (SELECT source, doc_id, CAST(length(text) AS BIGINT) AS w,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS u
+             |  FROM documents),
+             |p AS (SELECT source, doc_id, w, (w * 4294967296) // u AS priority FROM w
+             |  WHERE w >= 1 AND w <= 2147483647),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY priority DESC, doc_id) AS rk FROM p),
+             |b AS (SELECT * FROM r WHERE rk <= 9),
+             |tau AS (SELECT source, coalesce(min(CASE WHEN rk = 9 THEN priority END),
+             |    CAST(0 AS BIGINT)) AS tau FROM b GROUP BY source)
+             |SELECT b.source, b.doc_id, b.w, b.priority,
+             |  greatest(b.w * 4294967296, tau.tau) AS est_w_scaled
+             |FROM b JOIN tau USING (source) WHERE rk <= 8
+             |ORDER BY source, priority DESC, doc_id""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = "q_stream_sample_sink"
+        try {
+          val prioritized = Mixture.prioritized(
+            graft.Tables.tableStream(s, d, "documents"), "doc_id",
+            length(col("text")))
+          val tracked = graft.streaming.StreamingSample.track(
+            prioritized, "source", "doc_id", k = 8)
+          val q = tracked.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_sample oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
+        s.table(sink)
+          .select(col("key").as("source"), col("id").as("doc_id"),
+            col("w"), col("priority"), col("est_w_scaled"))
+          .orderBy(col("source"), col("priority").desc, col("doc_id"))
+      }),
+
     // Stream-stream interval join on the scoreboard (the attribution
     // shape: view -> click within 2h per user): TWO file-source streams
     // over the same events directory, watermarked on both sides so the

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Mixture
+import graft.streaming.{StreamingSample, WsItem}
+
+/** Streaming priority sampler: the final emission equals the batch
+  * grouped sampler REGARDLESS of how the stream is batched (priorities
+  * are pure data functions, so the top-k set is order-independent) —
+  * the property the SpaceSaving monitor cannot have.
+  */
+class StreamingSampleSpec extends SparkTestBase {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("multi-batch drain ends at exactly the batch sampler's draw") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val rows = (1L to 200L).map(i => (s"g${i % 3}", i, 1L + (i * 41) % 120))
+      val df = rows.toDF("grp", "id", "wt")
+      // feed the SAME rows in three arbitrary slices, adversarially
+      // ordered (descending id), through the monitor
+      val items = Mixture.prioritized(df, "id", col("wt"))
+        .select(col("grp").as("key"), col("id"), col("w"), col("priority"))
+        .as[WsItem].collect().sortBy(-_.id)
+      val Seq(s1, s2, s3) = items.grouped((items.length + 2) / 3).toSeq
+      val mem = MemoryStream[WsItem]
+      @volatile var finalBatch: Set[(String, Long, Long, Long, Long)] = Set.empty
+      val q = StreamingSample.track(mem.toDF(), "key", "id", k = 5)
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = bdf.collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+          if (rows.nonEmpty) finalBatch = rows
+        }
+        .start()
+      try {
+        mem.addData(s1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(s2.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(s3.toIndexedSeq: _*); q.processAllAvailable()
+        val batch = Mixture.samplePriorityByGroup(df, "grp", "id", col("wt"), 5)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        assert(finalBatch == batch,
+          s"stream drain diverged from batch draw:\n  stream=$finalBatch\n  batch=$batch")
+      } finally q.stop()
+    }
+  }
+
+  test("estimator tau appears only once k+1 rows have been seen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val mem = MemoryStream[WsItem]
+      val out = StreamingSample.track(mem.toDF(), "key", "id", k = 3)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("ws_tau").start()
+      try {
+        // 2 rows < k: est must be the raw scaled weight (tau = 0)
+        mem.addData(WsItem("k", 1L, 10L, 500L), WsItem("k", 2L, 20L, 400L))
+        q.processAllAvailable()
+        val first = spark.table("ws_tau").collect()
+        assert(first.forall(r => r.getLong(4) == r.getLong(2) * 4294967296L))
+      } finally q.stop()
+    }
+  }
+}
