@@ -687,6 +687,50 @@ object WarehouseQueries {
           .orderBy("user_id", "event_type")
       }),
 
+    // Streaming count-min sketch: the sketch TABLE as stream state —
+    // every token explodes to its depth md5 cells, each cell's counter
+    // lives in RocksDB keyed by cell (depth×width keys, one long each).
+    // CMS linearity makes the maintained table exactly the batch sketch
+    // of everything seen, at ANY batching/arrival order; the drained
+    // table oracles against the whole-corpus derivation (single-batch
+    // assert only so the memory sink holds one emission generation).
+    Q("q_stream_cms",
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |rows_ AS (SELECT unnest(range(4)) AS j),
+             |cells AS (SELECT j,
+             |    CAST('0x' || substr(md5(j || '|' || token), 1, 8) AS BIGINT) % 256 AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks CROSS JOIN rows_ GROUP BY j, b)
+             |SELECT CAST(j AS INT) AS cms_row, b AS cms_bucket, cnt
+             |FROM cells ORDER BY cms_row, cms_bucket""".stripMargin),
+      (s, d) => {
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = "q_stream_cms_sink"
+        try {
+          val toks = graft.Tables.tableStream(s, d, "documents")
+            .select(explode(split(lower(col("text")), " ")).as("token"))
+          val q = graft.streaming.StreamingCms.track(toks, "token",
+              depth = 4, width = 256)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_cms oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None    => s.conf.unset(providerKey)
+          }
+        }
+        s.table(sink).orderBy("cms_row", "cms_bucket")
+      }),
+
     // Streaming priority sampling (the monitor form of
     // q_sample_priority_grouped): per source, the k+1 highest
     // ⌊w·2³²/md5-u⌋ priorities live in RocksDB; priorities are pure

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.operators.CountMin
+
+/** Input/state/output rows for [[CmsCellProcessor]]. Top-level so
+  * Catalyst codegen can instantiate them from generated deserializers.
+  */
+case class CmsHit(cell: String)
+case class CmsCount(n: Long)
+case class CmsCellOut(cms_row: Int, cms_bucket: Long, cnt: Long)
+
+/** Streaming count-min sketch — the sketch TABLE maintained as stream
+  * state: every token occurrence explodes to its depth (row, bucket)
+  * cells batch-side (the same md5 buckets as [[CountMin]]), and each
+  * cell's counter lives in the state store keyed BY CELL — depth×width
+  * keys total, sharded across the cluster, one long each. CMS linearity
+  * makes the maintained table EXACTLY the batch sketch of everything
+  * seen so far, at any batching and any arrival order — so a full
+  * drain oracles against the whole-corpus derivation (q_stream_cms),
+  * and at any moment mid-stream the state IS a valid sketch for point
+  * queries (the continuously-current frequency table a rate limiter or
+  * hot-key monitor reads).
+  */
+class CmsCellProcessor
+    extends StatefulProcessor[String, CmsHit, CmsCellOut] {
+
+  @transient private var count: ValueState[CmsCount] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState("n",
+      Encoders.product[CmsCount], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[CmsHit],
+      timers: TimerValues): Iterator[CmsCellOut] = {
+    val prev = if (count.exists()) count.get().n else 0L
+    val n = prev + rows.size
+    count.update(CmsCount(n))
+    val Array(r, b) = key.split('|')
+    Iterator.single(CmsCellOut(r.toInt, b.toLong, n))
+  }
+}
+
+object StreamingCms {
+
+  /** Maintain a depth×width CMS over a stream of keys: emits each
+    * touched cell's current count per batch. The cell ids are the SAME
+    * md5 buckets as the batch [[CountMin.sketch]], so the drained table
+    * equals the batch sketch bit-for-bit.
+    */
+  def track(stream: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2 && width <= (1 << 20), s"width in [2,2^20]: $width")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val k = col(keyCol).cast("string")
+    stream
+      .select(explode(array((0 until depth).map(j =>
+        concat(lit(j + "|"), CountMin.bucketOf(j, k, width))): _*))
+        .as("cell"))
+      .as[CmsHit]
+      .groupByKey(_.cell)
+      .transformWithState(new CmsCellProcessor,
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+}

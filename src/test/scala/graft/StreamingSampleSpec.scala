@@ -60,6 +60,41 @@ class StreamingSampleSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CMS: multi-batch drain equals the batch sketch (linearity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val words = (1 to 120).map(i => s"w${i % 17}")
+      val mem = MemoryStream[String]
+      @volatile var finalCells: Set[(Int, Long, Long)] = Set.empty
+      val q = graft.streaming.StreamingCms.track(
+          mem.toDF().withColumnRenamed("value", "token"), "token",
+          depth = 3, width = 32)
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = bdf.collect()
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+          if (rows.nonEmpty) {
+            // later batches re-emit only TOUCHED cells with updated
+            // counts — overlay them on the running view
+            val touched = rows.map(c => (c._1, c._2))
+            finalCells = finalCells.filterNot(c => touched((c._1, c._2))) ++ rows
+          }
+        }
+        .start()
+      try {
+        val Seq(a, b) = words.grouped(60).toSeq
+        mem.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        val batch = graft.operators.CountMin.sketch(
+            words.toDF("token"), "token", depth = 3, width = 32)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        assert(finalCells == batch,
+          s"stream table diverged:\n  stream=$finalCells\n  batch=$batch")
+      } finally q.stop()
+    }
+  }
+
   test("estimator tau appears only once k+1 rows have been seen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
