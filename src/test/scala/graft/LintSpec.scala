@@ -108,4 +108,50 @@ class LintSpec extends SparkTestBase {
     assert(unexpected.isEmpty,
       s"new scale-killers crept into headline plans: $unexpected")
   }
+
+  test("the REST of the board carries no unacknowledged lint errors either") {
+    // Everything registered but not in the headline sweep, EXCEPT queries
+    // whose BUILDER runs real jobs (streaming drains, iterative
+    // driver-loop trainers/selectors, write-path round-trips) — linting
+    // those would execute them; their plans are audited via EXPLAINS.md
+    // and their own specs instead.
+    val executesOnBuild = Set(
+      // streaming drains
+      "q_stream_anomaly", "q_stream_session", "q_stream_neardedup",
+      "q_stream_heavy", "q_stream_join", "q_stream_sample", "q_stream_cms",
+      // driver-loop iterative builders (collect per round by contract)
+      "q_coreset", "q_mmr_select", "q_embed_knn_ivf", "q_embed_knn_ivfpq",
+      "q_embed_knn_pq", "q_pq_assign", "q_ivf_assign", "q_kmeans_step",
+      "q_pagerank", "q_dedup_clusters", "q_dedup_canonical", "q_bpe_pairs",
+      "q_bpe_encode", "q_pack_bpe", "q_mixture", "q_mix_upsample",
+      "q_mix_temperature", "q_sample_pps", "q_curriculum", "q_freq_items",
+      "q_heavy_hitters", "q_dedup_semantic", "q_decontaminate_semantic",
+      "q_recursive_cte", "q_hll_merge", "q_embed_standardize",
+      // write-path round-trips (produce files on build)
+      "q_write_partitioned", "q_write_bucketed", "q_write_zordered",
+      "q_multiformat", "q_schema_evolution", "q_compact", "q_dpp",
+      "q_incr_agg", "q_upsert", "q_zorder", "q_table_checksum",
+      "q_arrow_roundtrip", "q_create_external", "q_dsv2_scan")
+    val acknowledged = Set(
+      "q_dedup_jaccard", "q_embed_pairs", "q_join_cross",
+      // bounded-by-construction non-equi/cross shapes over tiny or
+      // pre-filtered sides, each documented at the registration site
+      "q_range_join", "q_band_join", "q_asof_join", "q_asof_forward",
+      "q_asof_nearest", "q_asof_tolerance", "q_dedup_incr_near",
+      "q_phash_neardup", "q_containment", "q_embed_pairs_lsh",
+      "q_dup_spans", "q_cut_dup_spans", "q_fuzzy_names", "q_winnow",
+      "q_winnow_md5", "q_dedup_minhash", "q_dedup_incr", "q_embed_knn",
+      "q_embed_l2", "q_hard_negatives", "q_decontaminate")
+    val rest = SparkEntry.queries.keySet -- ExplainDump.headline.toSet --
+      executesOnBuild
+    val offenders = rest.toSeq.sorted.flatMap { name =>
+      spark.catalog.clearCache()
+      val errs = PlanLint.lint(SparkEntry.queries(name)(spark, sf))
+        .filter(_.severity == "error")
+      if (errs.isEmpty) None else Some(name -> errs.map(_.rule).distinct)
+    }.toMap
+    val unexpected = offenders.view.filterKeys(!acknowledged(_)).toMap
+    assert(unexpected.isEmpty,
+      s"scale-killers outside the headline sweep: $unexpected")
+  }
 }
