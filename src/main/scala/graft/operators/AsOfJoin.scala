@@ -16,8 +16,21 @@ import org.apache.spark.sql.functions._
   * Semantics: backward inclusive — each left row matches the latest right
   * row with rightTs <= leftTs for the same key (right sorts before left on
   * ties, so an equal-timestamp right row matches).
+  *
+  * Tie contract: when several right rows share the same (key, ts), the
+  * one with the GREATEST payload tuple wins — the window order carries a
+  * payload-struct tiebreak (`__tie`), because last() over peers that are
+  * equal on every ordering key is otherwise order-UNDEFINED and the
+  * matched payload would flake run-to-run (and against an ASOF oracle).
   */
 object AsOfJoin {
+
+  /** Right-side total-order tiebreak: the payload tuple itself. Null on
+    * the left side (left rows never tie with right rows — __side already
+    * separates them).
+    */
+  private def tieOf(payloadCols: Seq[String]) =
+    when(col("__side") === 0, struct(payloadCols.map(col): _*))
 
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
@@ -32,12 +45,14 @@ object AsOfJoin {
       .drop("__rts")
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .withColumn("__tie", tieOf(payloadCols))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie")
   }
 
   /** Forward as-of: each left row matches the EARLIEST right row with
@@ -59,12 +74,14 @@ object AsOfJoin {
       .drop("__rts")
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts").desc, col("__side"))
+      .withColumn("__tie", tieOf(payloadCols))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").desc, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    carried.filter(col("__side") === 1).drop("__ts", "__side", "__tie")
   }
 
   /** Backward as-of with a staleness bound: matches older than
@@ -86,7 +103,9 @@ object AsOfJoin {
       .withColumn("__mts", col("__ts"))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+      .withColumn("__tie", tieOf(payloadCols))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (payloadCols :+ "__mts").foldLeft(unioned) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
@@ -95,7 +114,7 @@ object AsOfJoin {
     val bounded = payloadCols.foldLeft(carried) { (df, p) =>
       df.withColumn(p, when(fresh, col(p)))
     }
-    bounded.filter(col("__side") === 1).drop("__ts", "__mts", "__side")
+    bounded.filter(col("__side") === 1).drop("__ts", "__mts", "__side", "__tie")
   }
 
   /** Nearest as-of: each left row matches whichever of its backward
@@ -122,9 +141,13 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__r", when(col("__side") === 0,
         struct(col("__ts").as("t") +: payloadCols.map(col): _*)))
-    val wb = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+    // __r doubles as the tiebreak: equal-(key, ts) right rows order by
+    // their payload tuple, so last() is total-ordered and deterministic
+    val wb = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(keyCol).orderBy(col("__ts").desc, col("__side"))
+    val wf = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").desc, col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__bw", last(col("__r"), ignoreNulls = true).over(wb))

@@ -86,22 +86,33 @@ object CountMin {
     sketches.groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
 
   /** Point-estimate a set of query keys against the sketch: for each key,
-    * est = min over rows of its cell's count. `queries` rows carry the
-    * key; the sketch side is ≤ depth·width rows and is BROADCAST — the
-    * lookup join never shuffles the query side.
+    * est = min over rows of its cell's count, appended as `cms_est`.
+    * Estimates are computed once per DISTINCT key and joined back, so
+    * duplicate query rows each keep their row (no silent collapse) and
+    * the query frame's own columns never collide with the sketch's
+    * (cnt / cms_row / cms_bucket stay internal to the lookup). The
+    * sketch side is ≤ depth·width rows and is BROADCAST, as is the
+    * per-distinct-key estimate table — the query side never shuffles.
     */
   def estimate(queries: DataFrame, keyCol: String, cms: DataFrame,
       depth: Int, width: Int): DataFrame = {
+    require(!queries.columns.contains("cms_est"),
+      "queries already has a cms_est column")
     val k = col(keyCol).cast("string")
-    val cells = queries.select(col("*"),
-      explode(array((0 until depth).map(j =>
-        struct(lit(j).as("__r"), bucketOf(j, k, width).as("__b"))): _*)).as("__q"))
-    cells
+    val cells = queries.select(k.as("__cms_key")).distinct()
+      .select(col("__cms_key"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("__r"),
+            bucketOf(j, col("__cms_key"), width).as("__b"))): _*)).as("__q"))
+    val ests = cells
       .join(broadcast(cms),
         cells("__q.__r") === cms("cms_row") && cells("__q.__b") === cms("cms_bucket"),
         "left")
-      .groupBy(queries.columns.map(col): _*)
       // an absent cell means count 0, so the min over rows is 0 too
+      .groupBy("__cms_key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    queries
+      .join(broadcast(ests), k <=> ests("__cms_key"), "left")
+      .drop("__cms_key")
   }
 }

@@ -40,7 +40,9 @@ object Mmr {
     val spark = df.sparkSession
     val withV = df.select(col(idCol).cast("long").as("__id"),
       VectorStats.microUnits(col(vecCol), 1000000L).as("__v"))
-    val qRow = withV.orderBy("__id").limit(1).collect()(0)
+    val qHead = withV.orderBy("__id").limit(1).collect()
+    require(qHead.nonEmpty, "Mmr.select: input is empty (no query row)")
+    val qRow = qHead(0)
     val (qId, qVec) = (qRow.getLong(0), qRow.getSeq[Long](1).toIndexedSeq)
     val qLit = array(qVec.map(lit): _*)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -49,6 +51,12 @@ object Mmr {
       .select(col("__id"), col("__v"), dot(col("__v"), qLit).as("__rel"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // materializes the cache it would pay for anyway on pick 0; a pool
+      // smaller than k would otherwise surface as an opaque
+      // ArrayIndexOutOfBounds on the k-th greedy collect
+      val poolN = base.count()
+      require(poolN >= k,
+        s"Mmr.select: candidate pool has $poolN rows (input minus the query row) but k=$k")
       var picks = Vector.empty[(Long, IndexedSeq[Long], Long)]
       while (picks.size < k) {
         val scored =

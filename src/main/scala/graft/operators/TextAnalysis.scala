@@ -158,25 +158,34 @@ object TextAnalysis {
     */
   private def scoreByCostTable(df: DataFrame, idCol: String, terms: Column,
       costs: DataFrame, maxBroadcastVocab: Long,
-      nName: String, sumName: String): DataFrame = {
-    val persisted = costs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = persisted.count()
+      nName: String, sumName: String,
+      afterMaterialize: () => Unit = () => ()): DataFrame = {
+    // localCheckpoint, not persist: the cost table must be materialized
+    // once (path choice needs its size; the join path reuses it), but a
+    // CacheManager entry would outlive the returned plan — repeated
+    // invocations in a long-lived session accumulate cached blocks until
+    // someone calls clearCache. Checkpoint blocks belong to the RDD and
+    // are reclaimed by the ContextCleaner once the plan is GC'd.
+    val materialized = costs.localCheckpoint(true)
+    afterMaterialize()
+    val vocab = materialized.count()
     if (vocab <= maxBroadcastVocab) {
-      val costMap = persisted.agg(
-        map_from_arrays(collect_list(col("__k")), collect_list(col("__cost"))).as("__m"))
+      // collect to a plan literal: ≤ maxBroadcastVocab entries by
+      // definition, and the returned plan then holds no block references
+      val costMap = typedLit(materialized.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
       // bind the term array ONCE: it is an expensive HOF (tokenize +
       // zip for bigrams) referenced by both outputs, and HOFs get no
       // codegen subexpression elimination — the twice-referenced
       // non-cheap alias keeps its projection boundary (CollapseProject)
-      df.crossJoin(broadcast(costMap))
-        .withColumn("__t", terms)
+      df.withColumn("__t", terms)
         .select(col(idCol),
           coalesce(size(col("__t")), lit(0)).cast("long").as(nName),
           coalesce(aggregate(col("__t"), lit(0L),
-            (acc, t) => acc + element_at(col("__m"), t)), lit(0L)).as(sumName))
+            (acc, t) => acc + element_at(costMap, t)), lit(0L)).as(sumName))
     } else {
       val scored = df.select(col(idCol), explode(terms).as("__k"))
-        .join(persisted, "__k")
+        .join(materialized, "__k")
         .groupBy(col(idCol))
         .agg(count(lit(1)).cast("long").as(nName), sum(col("__cost")).as(sumName))
       // rows whose term array was null/empty have nothing to join — restore
@@ -263,7 +272,9 @@ object TextAnalysis {
       (a, b) => concat(a, lit(" "), b))
     // the bigram-TYPE table feeds FOUR aggregates below — persist it
     // (vocab-bounded) or each one re-scans and re-shuffles the corpus
-    // (measured 4.4x instead of ~1.5x on the 10x soak without this)
+    // (measured 4.4x instead of ~1.5x on the 10x soak without this);
+    // released via the afterMaterialize hook the moment the downstream
+    // cost table is checkpointed, so nothing stays cached across calls
     val pairs = df.select(explode(bigramsOf(toks)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).cast("double").as("__c2"))
       .withColumn("__w1", split(col("__b"), " ").getItem(0))
@@ -285,7 +296,7 @@ object TextAnalysis {
               * (col("__n1rev") / col("__nt"))
         ) * lit(1e6), 0).cast("long").as("__cost"))
     scoreByCostTable(df, idCol, bigramsOf(toks), costs, maxBroadcastVocab,
-      "n_bigrams", "nll_micro")
+      "n_bigrams", "nll_micro", () => { pairs.unpersist(); () })
   }
 
   /** Per-group Zipf fit — "does this shard's term distribution look like

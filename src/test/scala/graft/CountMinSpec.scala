@@ -66,6 +66,21 @@ class CountMinSpec extends SparkTestBase {
     assert(whole.except(merged).count() === 0L)
   }
 
+  test("estimate keeps duplicate query rows and tolerates a cnt column") {
+    import spark.implicits._
+    val cms = CountMin.sketch(toks, "token", depth = 4, width = 256)
+    // duplicate rows + a column named like the sketch's internals (cnt):
+    // the old all-columns groupBy collapsed the former and clashed on the
+    // latter
+    val tok = toks.limit(1).collect()(0).getString(0)
+    val queries = Seq((tok, 1L), (tok, 1L), (tok, 2L)).toDF("token", "cnt")
+    val est = CountMin.estimate(queries, "token", cms, depth = 4, width = 256)
+    assert(est.count() === 3L, "duplicate query rows must be preserved")
+    assert(est.columns.toSeq === Seq("token", "cnt", "cms_est"))
+    val exact = toks.filter(col("token") === tok).count()
+    assert(est.select("cms_est").collect().forall(_.getLong(0) >= exact))
+  }
+
   test("sketch table is identical at any partitioning") {
     val p1 = CountMin.sketch(toks.repartition(1), "token", depth = 4, width = 256)
     val p13 = CountMin.sketch(toks.repartition(13), "token", depth = 4, width = 256)

@@ -69,6 +69,18 @@ class MmrSpec extends SparkTestBase {
     assert(order.indexOf(3L) > order.indexOf(5L))
   }
 
+  test("k beyond the candidate pool fails fast with a clear message") {
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // pool = 2 (three rows minus the query row) — k=3 must not reach the
+    // greedy loop's collect
+    val e = intercept[IllegalArgumentException] {
+      Mmr.select(tiny, "vec_id", "embedding", 3)
+    }
+    assert(e.getMessage.contains("candidate pool"))
+  }
+
   test("trajectory is partitioning-invariant and never repeats an id") {
     val emb = Tables.t(spark, sf, "embeddings")
     val a = Mmr.select(emb, "vec_id", "embedding", 6)

@@ -167,4 +167,27 @@ class SessionizeSpec extends SparkTestBase {
       .select("payload").collect()(0).getLong(0)
     assert(out == 7L)
   }
+
+  test("duplicate (key, ts) right rows resolve deterministically: greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000)).drop("t")
+    // three right rows at the SAME (key, ts) with different payloads —
+    // last() over equal-ordering-key peers used to be order-undefined
+    val right = Seq((1L, 90L, 5L), (1L, 90L, 9L), (1L, 90L, 1L))
+      .toDF("k", "t", "payload")
+      .withColumn("rts", timestamp_micros(col("t") * 1000000)).drop("t")
+    (1 to 3).foreach { rep =>
+      val b = AsOfJoin.backward(left, right.repartition(rep), "k", "ts", "rts",
+        Seq("payload")).select("payload").collect()(0).getLong(0)
+      assert(b == 9L, s"backward tie pick not greatest payload (rep=$rep): $b")
+      val f = AsOfJoin.forward(left.withColumn("ts",
+          timestamp_micros(lit(50L) * 1000000)), right.repartition(rep),
+        "k", "ts", "rts", Seq("payload")).select("payload").collect()(0).getLong(0)
+      assert(f == 9L, s"forward tie pick not greatest payload (rep=$rep): $f")
+      val n = AsOfJoin.nearest(left, right.repartition(rep), "k", "ts", "rts",
+        Seq("payload")).select("payload").collect()(0).getLong(0)
+      assert(n == 9L, s"nearest tie pick not greatest payload (rep=$rep): $n")
+    }
+  }
 }
