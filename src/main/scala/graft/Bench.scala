@@ -101,6 +101,17 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
+    // Cost-regime split: the streaming scoreboard queries (q_stream_*)
+    // each pay a fixed streaming-engine startup per drain (~1-8 s) that is
+    // NOT data-dependent — folding them into one gated total lets that
+    // fixed cost grow with every streaming promotion and erode the 2x
+    // gate's meaning. batch_sec is the like-for-like figure against
+    // pre-streaming baselines; the gate rule in BASELINE.md compares
+    // batch-to-batch and tracks streaming_sec separately as a per-query
+    // fixed-cost budget.
+    val (streamQ, batchQ) = results.filter(_._2 >= 0).partition(_._1.startsWith("q_stream_"))
+    val streamingSec = streamQ.map(_._2).sum
+    val batchSec = batchQ.map(_._2).sum
     // Second probe reading after the suite: bracketing the run catches
     // contention that started mid-run. min(pre, post) is the calibration
     // figure (same minimum-estimator rationale as the per-query minima).
@@ -120,7 +131,7 @@ object Bench {
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       val rt = runTotals.map(fmt).mkString("[", ",", "]")
       val cal = s"""[${fmt(calibPre)},${fmt(calibPost)}]"""
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)

@@ -154,7 +154,8 @@ object FunctionQueries {
             expr("instr(p_name, ' ')").cast("long").as("space_at"))
           .orderBy("p_partkey")),
 
-    // Approximate quantile sketch — rows-only (sketch-specific results).
+    // Approximate quantile sketch — rows-only (sketch-specific results;
+    // terminal rows-only set: SURVEY.md §2.3.1).
     // Output is reshaped to scalar (flag, quantile, value) rows so the
     // driver's row-count/pandas check can consume it (array cells are
     // unhashable there).

@@ -441,7 +441,8 @@ object PipelineQueries {
             thresholdMilli = 800, maxDf = 64)
           .orderBy("id_a", "id_b")),
 
-    // SimHash near-dedup — rows-only: the fingerprint is built from
+    // SimHash near-dedup — rows-only (terminal set: SURVEY.md §2.3.1):
+    // the fingerprint is built from
     // per-token xxhash64 bits, and DuckDB has no xxhash64; restating the
     // oracle over md5-derived bits would verify a DIFFERENT fingerprint
     // function, not the one this operator ships. The bit-majority
@@ -1823,8 +1824,8 @@ object PipelineQueries {
     // one sketch per source, then hll_union_agg merges the binary
     // sketches WITHOUT rescanning documents — the pre-aggregation pattern
     // that makes corpus-wide distinct stats cheap at 100 TB (sketch
-    // tables roll up; raw data is touched once). Rows-only: sketch
-    // estimates are engine-specific; TextAnalysisSpec bounds the error
+    // tables roll up; raw data is touched once). Rows-only (terminal
+    // set: SURVEY.md §2.3.1): sketch estimates are engine-specific; TextAnalysisSpec bounds the error
     // against the exact count.
     Q("q_hll_merge", None,
       (s, d) => {
@@ -1962,7 +1963,8 @@ object PipelineQueries {
           .orderBy("doc_id")),
 
     // Whole-doc xxhash64 + winnowing fingerprint-set size (Schleimer et
-    // al., SIGMOD'03). Rows-only: the production fingerprint64/winnow
+    // al., SIGMOD'03). Rows-only (terminal set: SURVEY.md §2.3.1):
+    // the production fingerprint64/winnow
     // path hashes byte-level grams with xxhash64+splitmix, which DuckDB
     // cannot re-derive; the selection ALGORITHM is oracled cross-engine
     // by q_winnow_md5 above, and xxhash determinism / selection
@@ -2219,7 +2221,8 @@ object PipelineQueries {
           .orderBy("l_returnflag")),
 
     // Stratified sampling by class via Spark's native sampleBy — kept
-    // alongside the hash form to pin the engine API. Rows-only: seeded
+    // alongside the hash form to pin the engine API. Rows-only
+    // (terminal set: SURVEY.md §2.3.1): seeded
     // sampleBy draws from Spark's per-partition XORShift RNG, an
     // engine-internal stream no other engine can re-derive; the
     // deterministic twin q_sample_stratified_hash above IS oracled.
@@ -2421,7 +2424,8 @@ object PipelineQueries {
             col("n_strides"))
           .orderBy("doc_id", "w", "n_strides")),
 
-    // Seeded train/validation/test split — per-split counts. Rows-only:
+    // Seeded train/validation/test split — per-split counts. Rows-only
+    // (terminal set: SURVEY.md §2.3.1):
     // Spark's randomSplit draws from its per-partition XORShift RNG, an
     // engine-internal stream no other engine can re-derive; the
     // deterministic hash-threshold split IS oracled (q_hash_split).

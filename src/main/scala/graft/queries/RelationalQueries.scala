@@ -84,7 +84,8 @@ object RelationalQueries {
             round(var_samp(col("l_quantity")), 6).as("vr"))
           .orderBy("l_returnflag")),
 
-    // HyperLogLog distinct-count — no ANSI equivalent, rows-only check.
+    // HyperLogLog distinct-count — no ANSI equivalent, rows-only check
+    // (terminal rows-only set: SURVEY.md §2.3.1).
     Q("q_approx_distinct", None,
       (s, d) =>
         t(s, d, "lineitem").agg(
