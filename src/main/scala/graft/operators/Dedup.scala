@@ -213,8 +213,10 @@ object Dedup {
     * `bands`' r or pre-filter stop-shingles.
     */
   def minHashPairs(df: DataFrame, idCol: String, toksCol: Column,
-      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
-    minHashCore(df, idCol, toksCol, hashedToks(toksCol), threshold, k, bands)
+      threshold: Double, k: Int = 126, bands: Int = 21,
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    minHashCore(df, idCol, toksCol, hashedToks(toksCol), threshold, k, bands,
+      maxBucket)
 
   /** [[minHashPairs]] over pre-hashed sorted-distinct shingles (see
     * [[shinglesHashed]]): the signature reads the longs directly and the
@@ -222,22 +224,43 @@ object Dedup {
     * scan instead of a string-materializing chain.
     */
   def minHashPairsHashed(df: DataFrame, idCol: String, hashedCol: Column,
-      threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
-    minHashCore(df, idCol, hashedCol, hashedCol, threshold, k, bands)
+      threshold: Double, k: Int = 126, bands: Int = 21,
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    minHashCore(df, idCol, hashedCol, hashedCol, threshold, k, bands, maxBucket)
 
   private def minHashCore(df: DataFrame, idCol: String, sigInput: Column,
-      verifToks: Column, threshold: Double, k: Int, bands: Int): DataFrame = {
+      verifToks: Column, threshold: Double, k: Int, bands: Int,
+      maxBucket: Long): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     val r = k / bands
     val base = df.select(col(idCol).as("id"), sigInput.as("toks"))
     val sig = base.select(col("id"), minhash_sig(col("toks"), k).as("sig"))
     val verif = df.select(col(idCol).as("id"), verifToks.as("toks"))
     // band hash = xxhash64 over the band's slice of the signature, salted
     // with the band index so bands hash independently.
-    val banded = sig.select(col("id"), posexplode(
+    val allBanded = sig.select(col("id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
       .as(Seq("band", "bh")))
+    // Hot-bucket guard (off by default — unlimited keeps exact LSH
+    // recall, which the oracle checks): a band bucket of B docs is a
+    // SINGLE join key with B² candidate fan-out in ONE task — 1000 docs
+    // of shared boilerplate = 10⁶-row products per band on one reducer
+    // (measured on the round-11 adversarial-skew soak). Buckets past
+    // maxBucket are dropped via one partial-aggregable bucket count +
+    // broadcastable anti-join; recall loss is exactly the pairs whose
+    // EVERY shared band overflowed — in practice boilerplate/exact-dup
+    // text that an exact-dedup pre-pass ([[exact]]) should have removed.
+    val banded =
+      if (maxBucket == Long.MaxValue) allBanded
+      else {
+        val hot = allBanded.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxBucket)
+          .select("band", "bh")
+        allBanded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .filter(col("a.id") < col("b.id"))

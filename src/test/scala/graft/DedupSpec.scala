@@ -35,6 +35,31 @@ class DedupSpec extends SparkTestBase {
     assert(exact.nonEmpty) // corpus does contain near-dups
   }
 
+  test("maxBucket cap drops only oversized-bucket pairs, leaves the rest intact") {
+    import spark.implicits._
+    // 6 identical boilerplate docs (every band collides -> one bucket of
+    // 6 per band) + one genuine near-dup pair with distinct text: capping
+    // at 4 must eliminate the boilerplate clique entirely (its EVERY band
+    // overflows) and keep the small-bucket pair untouched.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val pairText = "completely different sentence about spark shuffles at scale x"
+    val rows = (1L to 6L).map(i => (i, boiler)) ++
+      Seq((10L, pairText), (11L, pairText + "y"))
+    val df = rows.toDF("doc_id", "text")
+    def pairs(cap: Long) = Dedup.minHashPairsHashed(df, "doc_id",
+        Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126,
+        bands = 21, maxBucket = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.contains((10L, 11L)))
+    assert(uncapped.count { case (a, b) => a <= 6 && b <= 6 } == 15,
+      s"expected the full 6-clique uncapped, got $uncapped")
+    val capped = pairs(4L)
+    assert(capped == Set((10L, 11L)),
+      s"cap=4 must drop exactly the boilerplate clique: $capped")
+  }
+
   test("prefix filter is lossless: filtered all-pairs == naive jaccard pairs") {
     // naive: array_intersect/union jaccard with no prefilters at a loose
     // threshold (0.3, same as q_dedup_jaccard) where the prefix is shortest

@@ -88,60 +88,84 @@ class LintSpec extends SparkTestBase {
     PlanLint.assertClean(li.orderBy("l_orderkey", "l_linenumber"))
   }
 
+  // ---- exception-list hygiene -------------------------------------------
+  // Every acknowledged name is a PAIR (name -> why the error is
+  // acceptable), and the registration site is not hand-maintained: it is
+  // recovered from the query sources and asserted to exist, so a renamed
+  // or deleted query breaks the build here instead of silently shrinking
+  // the sweep. A separate test fails any acknowledgment whose plan no
+  // longer lints dirty — the decay mode of name-only CI exception lists.
+
+  private lazy val querySources: Seq[(String, Vector[String])] = {
+    val dir = new java.io.File("src/main/scala/graft/queries")
+    dir.listFiles().filter(_.getName.endsWith(".scala")).toSeq.map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try f.getPath -> src.getLines().toVector finally src.close()
+    }
+  }
+
+  /** The unique `Q("name"` registration site, as file:line. */
+  private def site(name: String): String = {
+    val hits = for {
+      (p, lines) <- querySources
+      (l, i) <- lines.zipWithIndex if l.contains("Q(\"" + name + "\"")
+    } yield s"$p:${i + 1}"
+    assert(hits.size == 1,
+      s"$name: expected exactly one registration site, found $hits")
+    hits.head
+  }
+
+  // EMPTY — and kept that way by the stale-check test below. Round 11
+  // finding: the round-10 list carried 25 name-only exceptions
+  // (all-pairs baselines, non-equi joins, as-of demos, ...) and EVERY
+  // ONE of them linted clean at error severity — the error-level rules
+  // are UNPARTITIONED_WINDOW and CARTESIAN only, and the acknowledged
+  // shapes all plan as equi-joins on gram/band/block keys or degrade to
+  // broadcast nested-loop (a WARN, which this sweep never gated). The
+  // whole list was dead weight able to shadow real future regressions.
+  // A new entry must be a (name -> why) pair; the hygiene test pins its
+  // registration site and fails the build the day it lints clean again.
+  private val acknowledgedErrors = Map.empty[String, String]
+  private val acknowledged: Map[String, String] = acknowledgedErrors
+
+  // Queries whose BUILDER runs real jobs (streaming drains, iterative
+  // driver-loop trainers/selectors, write-path round-trips) — linting
+  // those would execute them; their plans are audited via EXPLAINS.md
+  // and their own specs instead.
+  private val executesOnBuild = Set(
+    // streaming drains
+    "q_stream_anomaly", "q_stream_session", "q_stream_neardedup",
+    "q_stream_heavy", "q_stream_join", "q_stream_sample", "q_stream_cms",
+    // driver-loop iterative builders (collect per round by contract)
+    "q_coreset", "q_mmr_select", "q_embed_knn_ivf", "q_embed_knn_ivfpq",
+    "q_embed_knn_pq", "q_pq_assign", "q_ivf_assign", "q_kmeans_step",
+    "q_pagerank", "q_dedup_clusters", "q_dedup_canonical", "q_bpe_pairs",
+    "q_bpe_encode", "q_pack_bpe", "q_mixture", "q_mix_upsample",
+    "q_mix_temperature", "q_sample_pps", "q_curriculum", "q_freq_items",
+    "q_heavy_hitters", "q_dedup_semantic", "q_decontaminate_semantic",
+    "q_recursive_cte", "q_hll_merge", "q_embed_standardize",
+    // write-path round-trips (produce files on build)
+    "q_write_partitioned", "q_write_bucketed", "q_write_zordered",
+    "q_multiformat", "q_schema_evolution", "q_compact", "q_dpp",
+    "q_incr_agg", "q_upsert", "q_zorder", "q_table_checksum",
+    "q_arrow_roundtrip", "q_create_external", "q_dsv2_scan")
+
   test("headline queries carry no unacknowledged lint errors") {
     // NESTED_LOOP/GLOBAL_SORT/info are deliberate in specific queries
     // (bounded inline tables, ordered oracles); ERRORS must be absent
-    // everywhere except the documented quadratic BASELINES, which exist
-    // to oracle the bounded production paths.
-    val acknowledgedErrors = Set(
-      "q_dedup_jaccard",   // all-pairs baseline for the LSH path
-      "q_embed_pairs",     // all-pairs cosine baseline for the LSH path
-      "q_join_cross"       // CROSS JOIN is the query's semantics
-    )
+    // everywhere except the documented quadratic BASELINES.
     val offenders = ExplainDump.headline.flatMap { name =>
       spark.catalog.clearCache()
       val errs = PlanLint.lint(SparkEntry.queries(name)(spark, sf))
         .filter(_.severity == "error")
       if (errs.isEmpty) None else Some(name -> errs.map(_.rule).distinct)
     }.toMap
-    val unexpected = offenders.view.filterKeys(!acknowledgedErrors(_)).toMap
+    val unexpected = offenders.view.filterKeys(!acknowledgedErrors.contains(_)).toMap
     assert(unexpected.isEmpty,
       s"new scale-killers crept into headline plans: $unexpected")
   }
 
   test("the REST of the board carries no unacknowledged lint errors either") {
-    // Everything registered but not in the headline sweep, EXCEPT queries
-    // whose BUILDER runs real jobs (streaming drains, iterative
-    // driver-loop trainers/selectors, write-path round-trips) — linting
-    // those would execute them; their plans are audited via EXPLAINS.md
-    // and their own specs instead.
-    val executesOnBuild = Set(
-      // streaming drains
-      "q_stream_anomaly", "q_stream_session", "q_stream_neardedup",
-      "q_stream_heavy", "q_stream_join", "q_stream_sample", "q_stream_cms",
-      // driver-loop iterative builders (collect per round by contract)
-      "q_coreset", "q_mmr_select", "q_embed_knn_ivf", "q_embed_knn_ivfpq",
-      "q_embed_knn_pq", "q_pq_assign", "q_ivf_assign", "q_kmeans_step",
-      "q_pagerank", "q_dedup_clusters", "q_dedup_canonical", "q_bpe_pairs",
-      "q_bpe_encode", "q_pack_bpe", "q_mixture", "q_mix_upsample",
-      "q_mix_temperature", "q_sample_pps", "q_curriculum", "q_freq_items",
-      "q_heavy_hitters", "q_dedup_semantic", "q_decontaminate_semantic",
-      "q_recursive_cte", "q_hll_merge", "q_embed_standardize",
-      // write-path round-trips (produce files on build)
-      "q_write_partitioned", "q_write_bucketed", "q_write_zordered",
-      "q_multiformat", "q_schema_evolution", "q_compact", "q_dpp",
-      "q_incr_agg", "q_upsert", "q_zorder", "q_table_checksum",
-      "q_arrow_roundtrip", "q_create_external", "q_dsv2_scan")
-    val acknowledged = Set(
-      "q_dedup_jaccard", "q_embed_pairs", "q_join_cross",
-      // bounded-by-construction non-equi/cross shapes over tiny or
-      // pre-filtered sides, each documented at the registration site
-      "q_range_join", "q_band_join", "q_asof_join", "q_asof_forward",
-      "q_asof_nearest", "q_asof_tolerance", "q_dedup_incr_near",
-      "q_phash_neardup", "q_containment", "q_embed_pairs_lsh",
-      "q_dup_spans", "q_cut_dup_spans", "q_fuzzy_names", "q_winnow",
-      "q_winnow_md5", "q_dedup_minhash", "q_dedup_incr", "q_embed_knn",
-      "q_embed_l2", "q_hard_negatives", "q_decontaminate")
     val rest = SparkEntry.queries.keySet -- ExplainDump.headline.toSet --
       executesOnBuild
     val offenders = rest.toSeq.sorted.flatMap { name =>
@@ -150,8 +174,29 @@ class LintSpec extends SparkTestBase {
         .filter(_.severity == "error")
       if (errs.isEmpty) None else Some(name -> errs.map(_.rule).distinct)
     }.toMap
-    val unexpected = offenders.view.filterKeys(!acknowledged(_)).toMap
+    val unexpected = offenders.view.filterKeys(!acknowledged.contains(_)).toMap
     assert(unexpected.isEmpty,
       s"scale-killers outside the headline sweep: $unexpected")
+  }
+
+  test("every exception-list entry points at a live registration and still lints dirty") {
+    (acknowledged.keySet ++ executesOnBuild).foreach { name =>
+      val s = site(name) // asserts exactly one Q("name" site exists
+      assert(SparkEntry.queries.contains(name),
+        s"$name ($s): in an exception list but not registered")
+    }
+    // stale-acknowledgment check: an acknowledged plan that now lints
+    // CLEAN means the exception no longer covers anything — remove it
+    // before the list decays into noise. (executesOnBuild is excluded:
+    // those are skipped for execution cost, not lint findings.)
+    val stale = acknowledged.toSeq.sortBy(_._1).flatMap { case (name, reason) =>
+      spark.catalog.clearCache()
+      val errs = PlanLint.lint(SparkEntry.queries(name)(spark, sf))
+        .filter(_.severity == "error")
+      if (errs.isEmpty) Some(s"$name (${site(name)}): '$reason'") else None
+    }
+    assert(stale.isEmpty,
+      s"stale acknowledgments — these lint clean now, remove them from " +
+        s"LintSpec:\n  ${stale.mkString("\n  ")}")
   }
 }
