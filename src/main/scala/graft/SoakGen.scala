@@ -15,7 +15,19 @@ import org.apache.spark.sql.functions._
   * per-copy perturbation on the first component.
   *
   * Dev tool for the BASELINE.md heavy-tail soak — not part of the library
-  * surface. Usage: runMain graft.SoakGen [srcDir dstDir copies]
+  * surface. Usage: runMain graft.SoakGen [srcDir dstDir copies [mutate]]
+  *
+  * `mutate` mode (round 11, for the 100x point-check): the per-copy
+  * copytag prefix makes cross-copy docs NEAR-DUPS (j ~ 0.96), so pair
+  * counts grow QUADRATICALLY in `copies` — fine at 10 copies (45
+  * pairs/clique), workload-distorting at 100 (4950/clique: the
+  * generator, not the engine, would dominate the scaling ratio).
+  * `mutate` instead applies a per-copy vowel substitution to the text:
+  * every token changes, so cross-copy Jaccard ~ 0, while within-copy
+  * near-dup structure is preserved exactly (both members of a pair get
+  * the same transform) — pair counts scale LINEARLY in copies, which is
+  * what a scaling measurement needs. (Mappings repeat every 26 copies,
+  * re-introducing bounded cliques of ~copies/26 — negligible.)
   */
 object SoakGen {
   private val KeyStride = 10000000L
@@ -24,6 +36,7 @@ object SoakGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mutate = args.length > 3 && args(3) == "mutate"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,8 +70,13 @@ object SoakGen {
         .withColumn("user_id", col("user_id") + lit(i * KeyStride))
     }
     replicate("documents") { (df, i) =>
-      val txt = if (i == 0) col("text")
-        else concat(lit(s"copytag$i "), col("text"))
+      val txt =
+        if (i == 0) col("text")
+        else if (mutate) {
+          val abc = "abcdefghijklmnopqrstuvwxyz"
+          val repl = (0 until 5).map(v => abc((i * 5 + v * 3 + 1) % 26)).mkString
+          translate(col("text"), "aeiou", repl)
+        } else concat(lit(s"copytag$i "), col("text"))
       df.withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast(df.schema("n_chars").dataType))

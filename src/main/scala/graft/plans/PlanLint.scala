@@ -202,4 +202,12 @@ object PlanLint {
     }
     agg.children.exists(shuffledUnreduced)
   }
+
+  /** Session-level audit: register a [[PlanLintListener]] that lints
+    * EVERY query the session runs and logs findings (see its Scaladoc
+    * for the config-based alternative). Returns the listener so callers
+    * can read findings back or unregister it.
+    */
+  def watch(spark: org.apache.spark.sql.SparkSession): PlanLintListener =
+    PlanLintListener.watch(spark)
 }

@@ -88,6 +88,32 @@ class LintSpec extends SparkTestBase {
     PlanLint.assertClean(li.orderBy("l_orderkey", "l_linenumber"))
   }
 
+  test("session listener audits every query: findings logged, clean runs silent") {
+    import org.apache.spark.sql.expressions.Window
+    val l = PlanLint.watch(spark)
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      // a clean query first: must produce no report
+      li.filter(col("l_quantity") > 10).count()
+      // then a scale-killer: global window over raw rows
+      li.withColumn("rn",
+          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
+        .write.format("noop").mode("overwrite").save()
+      // listener events are posted asynchronously — poll up to 10 s
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var hits = Seq.empty[graft.plans.PlanLintListener.Report]
+      while (hits.isEmpty && System.nanoTime() < deadline) {
+        hits = l.reports.filter(
+          _.findings.exists(_.rule == "UNPARTITIONED_WINDOW"))
+        if (hits.isEmpty) Thread.sleep(100)
+      }
+      assert(hits.nonEmpty,
+        s"UNPARTITIONED_WINDOW never surfaced; got ${l.reports}")
+      assert(!l.reports.exists(r => r.findings.isEmpty),
+        "clean queries must not produce reports")
+    } finally graft.plans.PlanLintListener.unwatch(spark, l)
+  }
+
   // ---- exception-list hygiene -------------------------------------------
   // Every acknowledged name is a PAIR (name -> why the error is
   // acceptable), and the registration site is not hand-maintained: it is
