@@ -153,10 +153,14 @@ object SkewSoak {
     }
 
     // ---- 3. scoreboard queries on the skewed replica (AQE on) --------
+    // includes the streaming monitors: a 92%-hot key through
+    // transformWithState means one state-store partition receives ~all
+    // rows per micro-batch — the streaming face of the same pathology
     if (phase != "sweep") {
     Seq("q_join_inner", "q_skew_join", "q_topk_grouped",
         "q_events_anomaly", "q_events_anomaly_chunked",
-        "q_dedup_minhash", "q_dedup_clusters").foreach(n =>
+        "q_dedup_minhash", "q_dedup_clusters",
+        "q_stream_anomaly", "q_stream_session").foreach(n =>
       timed(n)(SparkEntry.queries(n)(spark, dir)))
 
     // the hot-LSH-bucket guard: same chain as q_dedup_minhash with band

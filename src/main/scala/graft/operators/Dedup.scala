@@ -123,20 +123,23 @@ object Dedup {
     * dedup affordable against a 100 TB corpus.
     */
   def minHashIncremental(newDf: DataFrame, corpus: DataFrame, idCol: String,
-      toksCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+      toksCol: Column, threshold: Double, k: Int = 126, bands: Int = 21,
+      maxBucket: Long = Long.MaxValue): DataFrame =
     minHashIncrementalCore(newDf, corpus, idCol, toksCol, hashedToks(toksCol),
-      threshold, k, bands)
+      threshold, k, bands, maxBucket)
 
   /** [[minHashIncremental]] over pre-hashed shingles ([[shinglesHashed]]). */
   def minHashIncrementalHashed(newDf: DataFrame, corpus: DataFrame, idCol: String,
-      hashedCol: Column, threshold: Double, k: Int = 126, bands: Int = 21): DataFrame =
+      hashedCol: Column, threshold: Double, k: Int = 126, bands: Int = 21,
+      maxBucket: Long = Long.MaxValue): DataFrame =
     minHashIncrementalCore(newDf, corpus, idCol, hashedCol, hashedCol,
-      threshold, k, bands)
+      threshold, k, bands, maxBucket)
 
   private def minHashIncrementalCore(newDf: DataFrame, corpus: DataFrame,
       idCol: String, sigInput: Column, verifToks: Column, threshold: Double,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, maxBucket: Long): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     val r = k / bands
     def banded(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"), minhash_sig(sigInput, k).as("sig"))
@@ -144,9 +147,21 @@ object Dedup {
           expr(s"transform(sequence(0, ${bands - 1}), " +
             s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
           .as(Seq("band", s"${side}_bh")))
+    val oldAll = banded(corpus, "old").withColumnRenamed("old_bh", "new_bh")
+    // Same hot-bucket guard as [[minHashCore]], applied to the CORPUS
+    // side (the big one): a boilerplate bucket of B corpus docs matches
+    // every same-boilerplate new doc B times in one join key — cap it.
+    val oldB =
+      if (maxBucket == Long.MaxValue) oldAll
+      else {
+        val hot = oldAll.groupBy("band", "new_bh")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxBucket)
+          .select("band", "new_bh")
+        oldAll.join(broadcast(hot), Seq("band", "new_bh"), "left_anti")
+      }
     val cand = banded(newDf, "new")
-      .join(banded(corpus, "old").withColumnRenamed("old_bh", "new_bh"),
-        Seq("band", "new_bh"))
+      .join(oldB, Seq("band", "new_bh"))
       .select("new_id", "old_id").distinct()
     val newToks = newDf.select(col(idCol).as("new_id"), verifToks.as("toks_a"))
     val oldToks = corpus.select(col(idCol).as("old_id"), verifToks.as("toks_b"))

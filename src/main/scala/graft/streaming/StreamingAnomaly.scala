@@ -28,6 +28,15 @@ case class ScoredPoint(key: String, ts: Timestamp, tie: Option[Long],
   * are processed in (ts, tie) order; across batches the stream's
   * arrival order per key is the scoring order, which is the streaming
   * contract (a monitor scores what it has seen so far).
+  *
+  * KEY-SKEW LIMIT (measured, round-11 adversarial soak): per-key
+  * ORDERED state cannot be split — a key owning 92% of the stream
+  * serializes one state partition (7.5× straggler at sf1; every
+  * stateful engine shares this bound, the rows of one key must be
+  * scored in order somewhere). Remedies are upstream of the operator:
+  * monitor a finer key (type × region, type × shard-of-entity), or run
+  * the batch twin `Robust.rollingZScoreChunked` as a parallel backfill
+  * and keep the stream for alerting freshness only.
   */
 class RollingZProcessor(k: Int)
     extends StatefulProcessor[String, AnomalyPoint, ScoredPoint] {

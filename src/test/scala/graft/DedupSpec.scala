@@ -60,6 +60,26 @@ class DedupSpec extends SparkTestBase {
       s"cap=4 must drop exactly the boilerplate clique: $capped")
   }
 
+  test("incremental maxBucket cap drops only corpus-side hot-bucket matches") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = ((1L to 6L).map(i => (i, boiler)) :+
+      ((10L, "completely different sentence about spark shuffles at scale x")))
+      .toDF("doc_id", "text")
+    val fresh = Seq((100L, boiler),
+      (101L, "completely different sentence about spark shuffles at scale y"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Long) = Dedup.minHashIncrementalHashed(fresh, corpus,
+        "doc_id", Dedup.shinglesHashed(col("text"), 5), threshold = 0.7,
+        k = 126, bands = 21, maxBucket = cap)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped == ((1L to 6L).map(i => (100L, i)).toSet + ((101L, 10L))),
+      s"uncapped: $uncapped")
+    assert(pairs(4L) == Set((101L, 10L)), s"capped: ${pairs(4L)}")
+  }
+
   test("prefix filter is lossless: filtered all-pairs == naive jaccard pairs") {
     // naive: array_intersect/union jaccard with no prefilters at a loose
     // threshold (0.3, same as q_dedup_jaccard) where the prefix is shortest

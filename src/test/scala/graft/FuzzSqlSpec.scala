@@ -226,4 +226,40 @@ class FuzzSqlSpec extends SparkTestBase {
     // Gen.option/someOf cannot fail to produce, but guard the guard:
     assert(ran >= NIter * 9 / 10, s"only $ran/$NIter queries generated")
   }
+
+  test("CREATE EXTERNAL TABLE column defs round-trip for 500 generated schemas") {
+    // the other half of the frontend: the reference's SQL-type -> Arrow
+    // mapping (queryplanner.rs:176-191), realized as parseSchema — fuzz
+    // the rendered `name TYPE [NOT NULL]` defs against the parsed
+    // StructType field-for-field
+    val types: Seq[(String, DataType)] = Seq(
+      "BOOLEAN" -> BooleanType, "TINYINT" -> ByteType,
+      "SMALLINT" -> ShortType, "INT" -> IntegerType,
+      "INTEGER" -> IntegerType, "BIGINT" -> LongType,
+      "FLOAT" -> FloatType, "REAL" -> FloatType, "DOUBLE" -> DoubleType,
+      "CHAR" -> StringType, "VARCHAR" -> StringType, "TEXT" -> StringType,
+      "STRING" -> StringType, "TIMESTAMP" -> TimestampType,
+      "DATE" -> DateType, "BINARY" -> BinaryType,
+      "UINT8" -> ShortType, "UINT16" -> IntegerType,
+      "UINT32" -> LongType, "UINT64" -> DecimalType(20, 0))
+    val genSchema: Gen[Seq[(String, (String, DataType), Boolean)]] = for {
+      n <- Gen.choose(1, 12)
+      ts <- Gen.listOfN(n, Gen.oneOf(types))
+      nn <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield ts.zip(nn).zipWithIndex.map { case ((t, not), i) => (s"c$i", t, not) }
+    (0 until 500).foreach { seed =>
+      genSchema(Gen.Parameters.default, Seed(seed.toLong)).foreach { fields =>
+        val defs = fields.map { case (nm, (sql, _), nn) =>
+          s"$nm $sql${if (nn) " NOT NULL" else ""}"
+        }.mkString(", ")
+        val parsed = graft.engine.GraftSql.parseSchema(defs)
+        assert(parsed.length == fields.size, s"seed=$seed: $defs")
+        parsed.fields.zip(fields).foreach { case (f, (nm, (_, dt), nn)) =>
+          assert(f.name == nm && f.dataType == dt && f.nullable == !nn,
+            s"seed=$seed field ${f.name}: got (${f.dataType}, nullable=${f.nullable})" +
+              s" want ($dt, nullable=${!nn}) from: $defs")
+        }
+      }
+    }
+  }
 }
