@@ -88,9 +88,13 @@ object SkewGen {
       val txt = when(pmod(col("doc_id"), lit(50)) === 7, lit(Boilerplate))
         .otherwise(if (i == 0) col("text")
           else concat(lit(s"copytag$i "), col("text")))
+      // n_chars from the UPDATED text column, not by re-evaluating txt —
+      // txt's col("text") would resolve against the already-prefixed
+      // text and count the copytag prefix twice
       df.withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
         .withColumn("text", txt)
-        .withColumn("n_chars", length(txt).cast(df.schema("n_chars").dataType))
+        .withColumn("n_chars",
+          length(col("text")).cast(df.schema("n_chars").dataType))
     }
     replicate("embeddings") { (df, i) =>
       val perturbed = transform(col("embedding"),

@@ -77,9 +77,15 @@ object SoakGen {
           val repl = (0 until 5).map(v => abc((i * 5 + v * 3 + 1) % 26)).mkString
           translate(col("text"), "aeiou", repl)
         } else concat(lit(s"copytag$i "), col("text"))
+      // n_chars from the UPDATED text column, not by re-evaluating txt —
+      // txt's col("text") would resolve against the already-prefixed
+      // text and count the copytag prefix twice (latent since round 10;
+      // the mutate branch was immune only because translate() preserves
+      // length)
       df.withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
         .withColumn("text", txt)
-        .withColumn("n_chars", length(txt).cast(df.schema("n_chars").dataType))
+        .withColumn("n_chars",
+          length(col("text")).cast(df.schema("n_chars").dataType))
     }
     replicate("embeddings") { (df, i) =>
       val perturbed = transform(col("embedding"),

@@ -18,19 +18,30 @@ import org.apache.spark.sql.functions._
   * ties, so an equal-timestamp right row matches).
   *
   * Tie contract: when several right rows share the same (key, ts), the
-  * one with the GREATEST payload tuple wins — the window order carries a
-  * payload-struct tiebreak (`__tie`), because last() over peers that are
-  * equal on every ordering key is otherwise order-UNDEFINED and the
-  * matched payload would flake run-to-run (and against an ASOF oracle).
+  * one with the GREATEST tuple of ORDERABLE payload columns wins — the
+  * window order carries a payload-struct tiebreak (`__tie`), because
+  * last() over peers that are equal on every ordering key is otherwise
+  * order-UNDEFINED and the matched payload would flake run-to-run (and
+  * against an ASOF oracle). Non-orderable payload columns (maps) are
+  * excluded from the tiebreak — they still join and carry fine; if NO
+  * payload column is orderable, ties stay engine-ordered as before.
   */
 object AsOfJoin {
 
-  /** Right-side total-order tiebreak: the payload tuple itself. Null on
-    * the left side (left rows never tie with right rows — __side already
+  /** Right-side total-order tiebreak: the tuple of orderable payload
+    * columns (Window.orderBy rejects map-typed sort keys — a map payload
+    * must not break a join that previously worked). Null on the left
+    * side (left rows never tie with right rows — __side already
     * separates them).
     */
-  private def tieOf(payloadCols: Seq[String]) =
-    when(col("__side") === 0, struct(payloadCols.map(col): _*))
+  private def tieOf(schema: org.apache.spark.sql.types.StructType,
+      payloadCols: Seq[String]) = {
+    val orderable = payloadCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(schema(c).dataType))
+    if (orderable.isEmpty) lit(0L)
+    else when(col("__side") === 0, struct(orderable.map(col): _*))
+  }
 
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
@@ -45,7 +56,7 @@ object AsOfJoin {
       .drop("__rts")
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__tie", tieOf(payloadCols))
+      .withColumn("__tie", tieOf(r.schema, payloadCols))
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -74,7 +85,7 @@ object AsOfJoin {
       .drop("__rts")
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__tie", tieOf(payloadCols))
+      .withColumn("__tie", tieOf(r.schema, payloadCols))
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts").desc, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,7 +114,7 @@ object AsOfJoin {
       .withColumn("__mts", col("__ts"))
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__tie", tieOf(payloadCols))
+      .withColumn("__tie", tieOf(r.schema, payloadCols))
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -141,13 +152,14 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__r", when(col("__side") === 0,
         struct(col("__ts").as("t") +: payloadCols.map(col): _*)))
-    // __r doubles as the tiebreak: equal-(key, ts) right rows order by
-    // their payload tuple, so last() is total-ordered and deterministic
+      .withColumn("__tie", tieOf(r.schema, payloadCols))
+    // __tie (the orderable payload subset), NOT __r: the carried struct
+    // may contain non-orderable columns that Window.orderBy rejects
     val wb = Window.partitionBy(keyCol)
-      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keyCol)
-      .orderBy(col("__ts").desc, col("__side"), col("__r"))
+      .orderBy(col("__ts").desc, col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__bw", last(col("__r"), ignoreNulls = true).over(wb))
@@ -162,7 +174,7 @@ object AsOfJoin {
       (d, p) => d.withColumn(p, col("__pick").getField(p))
     }
     chosen.filter(col("__side") === 1)
-      .drop("__ts", "__side", "__r", "__bw", "__fw", "__pick")
+      .drop("__ts", "__side", "__r", "__tie", "__bw", "__fw", "__pick")
   }
 
   /** The same semantics through the custom-operator path: a Catalyst

@@ -91,13 +91,19 @@ object CountMin {
     * duplicate query rows each keep their row (no silent collapse) and
     * the query frame's own columns never collide with the sketch's
     * (cnt / cms_row / cms_bucket stay internal to the lookup). The
-    * sketch side is ≤ depth·width rows and is BROADCAST, as is the
-    * per-distinct-key estimate table — the query side never shuffles.
+    * SKETCH side is ≤ depth·width rows and is broadcast; the
+    * per-distinct-key estimate table is left to the planner — it is
+    * bounded by the number of distinct query keys, which for CMS (point
+    * queries over unbounded key domains) can itself be huge, so forcing
+    * a broadcast would put an 8 GB/driver-memory ceiling where a
+    * shuffle join scales (AQE broadcasts it anyway when it is small).
     */
   def estimate(queries: DataFrame, keyCol: String, cms: DataFrame,
       depth: Int, width: Int): DataFrame = {
     require(!queries.columns.contains("cms_est"),
       "queries already has a cms_est column")
+    require(!queries.columns.contains("__cms_key"),
+      "queries already has a __cms_key column")
     val k = col(keyCol).cast("string")
     val cells = queries.select(k.as("__cms_key")).distinct()
       .select(col("__cms_key"),
@@ -112,7 +118,7 @@ object CountMin {
       .groupBy("__cms_key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
     queries
-      .join(broadcast(ests), k <=> ests("__cms_key"), "left")
+      .join(ests, k <=> ests("__cms_key"), "left")
       .drop("__cms_key")
   }
 }

@@ -53,10 +53,15 @@ object Mmr {
     try {
       // materializes the cache it would pay for anyway on pick 0; a pool
       // smaller than k would otherwise surface as an opaque
-      // ArrayIndexOutOfBounds on the k-th greedy collect
-      val poolN = base.count()
-      require(poolN >= k,
-        s"Mmr.select: candidate pool has $poolN rows (input minus the query row) but k=$k")
+      // ArrayIndexOutOfBounds on the k-th greedy collect. DISTINCT ids,
+      // not rows: the greedy loop excludes picked ids, so duplicate-id
+      // rows all leave the pool together after one pick
+      val pool = base.agg(count(lit(1)).as("n"),
+        countDistinct(col("__id")).as("d")).collect()(0)
+      val (poolN, poolD) = (pool.getLong(0), pool.getLong(1))
+      require(poolD >= k,
+        s"Mmr.select: candidate pool has $poolD distinct ids " +
+          s"($poolN rows, input minus the query row) but k=$k")
       var picks = Vector.empty[(Long, IndexedSeq[Long], Long)]
       while (picks.size < k) {
         val scored =

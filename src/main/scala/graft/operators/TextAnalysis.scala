@@ -160,20 +160,28 @@ object TextAnalysis {
       costs: DataFrame, maxBroadcastVocab: Long,
       nName: String, sumName: String,
       afterMaterialize: () => Unit = () => ()): DataFrame = {
-    // localCheckpoint, not persist: the cost table must be materialized
-    // once (path choice needs its size; the join path reuses it), but a
-    // CacheManager entry would outlive the returned plan — repeated
-    // invocations in a long-lived session accumulate cached blocks until
-    // someone calls clearCache. Checkpoint blocks belong to the RDD and
-    // are reclaimed by the ContextCleaner once the plan is GC'd.
-    val materialized = costs.localCheckpoint(true)
-    afterMaterialize()
+    // RDD-level persist, not DataFrame persist and not localCheckpoint:
+    // the cost table must be materialized once (path choice needs its
+    // size; the join path reuses it), but a CacheManager entry would
+    // outlive the returned plan (repeated invocations in a long-lived
+    // session accumulate cached blocks until someone calls clearCache),
+    // and a localCheckpoint TRUNCATES lineage — after an executor loss
+    // the returned join-path plan would be unrecoverable. An RDD persist
+    // gives all three: blocks are auto-reclaimed by the ContextCleaner
+    // when the plan is GC'd, lineage survives for recompute on block
+    // loss, and the table (vocab-bounded, small) is evaluated once.
+    val spark = df.sparkSession
+    val costRdd = costs.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val materialized = spark.createDataFrame(costRdd, costs.schema)
     val vocab = materialized.count()
+    afterMaterialize() // upstream caches (knBigramNll's pairs) now released
     if (vocab <= maxBroadcastVocab) {
       // collect to a plan literal: ≤ maxBroadcastVocab entries by
       // definition, and the returned plan then holds no block references
       val costMap = typedLit(materialized.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      costRdd.unpersist(blocking = false) // driver holds the literal now
       // bind the term array ONCE: it is an expensive HOF (tokenize +
       // zip for bigrams) referenced by both outputs, and HOFs get no
       // codegen subexpression elimination — the twice-referenced

@@ -151,8 +151,7 @@ class LintSpec extends SparkTestBase {
   // whole list was dead weight able to shadow real future regressions.
   // A new entry must be a (name -> why) pair; the hygiene test pins its
   // registration site and fails the build the day it lints clean again.
-  private val acknowledgedErrors = Map.empty[String, String]
-  private val acknowledged: Map[String, String] = acknowledgedErrors
+  private val acknowledged = Map.empty[String, String]
 
   // Queries whose BUILDER runs real jobs (streaming drains, iterative
   // driver-loop trainers/selectors, write-path round-trips) — linting
@@ -186,7 +185,7 @@ class LintSpec extends SparkTestBase {
         .filter(_.severity == "error")
       if (errs.isEmpty) None else Some(name -> errs.map(_.rule).distinct)
     }.toMap
-    val unexpected = offenders.view.filterKeys(!acknowledgedErrors.contains(_)).toMap
+    val unexpected = offenders.view.filterKeys(!acknowledged.contains(_)).toMap
     assert(unexpected.isEmpty,
       s"new scale-killers crept into headline plans: $unexpected")
   }

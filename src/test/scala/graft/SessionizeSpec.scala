@@ -168,6 +168,30 @@ class SessionizeSpec extends SparkTestBase {
     assert(out == 7L)
   }
 
+  test("non-orderable (map) payload columns still join: excluded from the tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000)).drop("t")
+    // a map payload cannot be a Window sort key — the tiebreak must skip
+    // it rather than fail the whole join at analysis
+    val right = Seq((1L, 90L, Map("a" -> "1")), (1L, 80L, Map("b" -> "2")))
+      .toDF("k", "t", "attrs")
+      .withColumn("rts", timestamp_micros(col("t") * 1000000)).drop("t")
+    Seq(
+      AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("attrs")),
+      AsOfJoin.forward(left.withColumn("ts",
+        timestamp_micros(lit(50L) * 1000000)), right, "k", "ts", "rts", Seq("attrs")),
+      AsOfJoin.nearest(left, right, "k", "ts", "rts", Seq("attrs"))
+    ).foreach { out =>
+      val m = out.select("attrs").collect()(0).getMap[String, String](0)
+      assert(m.nonEmpty)
+    }
+    // backward must still pick the LATEST map (ts=90), no tie involved
+    val b = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("attrs"))
+      .select("attrs").collect()(0).getMap[String, String](0)
+    assert(b == Map("a" -> "1"))
+  }
+
   test("duplicate (key, ts) right rows resolve deterministically: greatest payload") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e")).toDF("k", "t", "name")
