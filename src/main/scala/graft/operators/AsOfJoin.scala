@@ -18,29 +18,41 @@ import org.apache.spark.sql.functions._
   * ties, so an equal-timestamp right row matches).
   *
   * Tie contract: when several right rows share the same (key, ts), the
-  * one with the GREATEST tuple of ORDERABLE payload columns wins — the
-  * window order carries a payload-struct tiebreak (`__tie`), because
-  * last() over peers that are equal on every ordering key is otherwise
-  * order-UNDEFINED and the matched payload would flake run-to-run (and
-  * against an ASOF oracle). Non-orderable payload columns (maps) are
-  * excluded from the tiebreak — they still join and carry fine; if NO
-  * payload column is orderable, ties stay engine-ordered as before.
+  * pick is DETERMINISTIC — the row with the greatest xxhash64 of its
+  * hashable payload columns wins (arbitrary but stable; collisions at
+  * 2^-64 are the accepted residue). last() over peers that are equal on
+  * every ordering key is otherwise order-UNDEFINED and the matched
+  * payload would flake run-to-run (and against an ASOF oracle). The
+  * hash, not the payload tuple itself, is the sort key on purpose: a
+  * document-text payload as a window sort key would put the full text
+  * bytes in every row's sort buffer; the hash is 8 bytes regardless.
+  * Payload columns xxhash64 cannot digest (maps, unless enabled) are
+  * excluded; if NO payload column is hashable, ties stay engine-ordered
+  * as before.
   */
 object AsOfJoin {
 
-  /** Right-side total-order tiebreak: the tuple of orderable payload
-    * columns (Window.orderBy rejects map-typed sort keys — a map payload
-    * must not break a join that previously worked). Null on the left
-    * side (left rows never tie with right rows — __side already
-    * separates them).
+  /** Right-side tiebreak: xxhash64 over the hashable payload columns
+    * (maps are unhashable unless spark.sql.legacy.allowHashOnMapType —
+    * a map payload must not break a join that worked before ties were
+    * fixed). Null on the left side (left rows never tie with right rows
+    * — __side already separates them).
     */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+  }
+
   private def tieOf(schema: org.apache.spark.sql.types.StructType,
       payloadCols: Seq[String]) = {
-    val orderable = payloadCols.filter(c =>
-      org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(schema(c).dataType))
-    if (orderable.isEmpty) lit(0L)
-    else when(col("__side") === 0, struct(orderable.map(col): _*))
+    val hashable = payloadCols.filterNot(c => containsMap(schema(c).dataType))
+    if (hashable.isEmpty) lit(0L)
+    else when(col("__side") === 0, xxhash64(hashable.map(col): _*))
   }
 
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
@@ -153,8 +165,8 @@ object AsOfJoin {
       .withColumn("__r", when(col("__side") === 0,
         struct(col("__ts").as("t") +: payloadCols.map(col): _*)))
       .withColumn("__tie", tieOf(r.schema, payloadCols))
-    // __tie (the orderable payload subset), NOT __r: the carried struct
-    // may contain non-orderable columns that Window.orderBy rejects
+    // __tie (the payload hash), NOT __r: the carried struct may contain
+    // non-hashable columns, and its full bytes must stay out of the sort
     val wb = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
