@@ -123,6 +123,21 @@ object SkewSoak {
       timed(s"join salt=$f${if (f == hotSalt) " (hot_salt)" else ""}")(
         graft.operators.SkewJoin.saltedJoin(big, small, "l_orderkey", f)))
 
+    // Aggregation face: exact distinct user_ids per event_type with one
+    // type owning 92% of rows. Measured finding (round 11): Spark plans
+    // BOTH shapes skew-safely for a single distinct aggregate — the
+    // first exchange is on (type, user), which the user component
+    // distributes — so naive and two-stage run at parity (the SkewAgg
+    // Scaladoc records what the explicit form still buys).
+    timed("cntDistinct+sum naive (Expand)")(
+      ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"),
+        sum("value").as("s")))
+    timed("cntDistinct+sum two-stage")(
+      graft.operators.SkewAgg.exactDistinct(ev, Seq("event_type"),
+          col("user_id"))
+        .join(ev.groupBy("event_type").agg(sum("value").as("s")),
+          "event_type"))
+
     // AQE's runtime remedy on the same plain join: thresholds scaled to
     // this replica (the hot shuffle partition is ~10 MB compressed, far
     // under the 256 MB default that targets real executors)
