@@ -154,6 +154,37 @@ object FunctionQueries {
             expr("instr(p_name, ' ')").cast("long").as("space_at"))
           .orderBy("p_partkey")),
 
+    // Mergeable histogram-quantile sketch (HistQuantile) — the
+    // DETERMINISTIC quantile summary beside the engine-internal GK
+    // sketch below: exact integer bucket counts over a declared range,
+    // merge-by-sum lifecycle (the CMS pattern), upper-edge estimates a
+    // pure integer function of the data — DuckDB re-derives sketch,
+    // cumulative ranks and estimates bit-for-bit. This is
+    // q_approx_quantile's oracled sibling (SURVEY §2.3.1).
+    Q("q_hist_quantile",
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+             |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem),
+             |s AS (SELECT g, (LEAST(12799999, GREATEST(0, c)) * 64) // 12800000 AS b,
+             |    count(*) AS cnt FROM v GROUP BY 1, 2),
+             |c2 AS (SELECT g, b, SUM(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY g) AS n FROM s),
+             |q AS (SELECT g, phi, MIN(b) AS qb FROM c2
+             |  CROSS JOIN (VALUES (500000), (990000)) p(phi)
+             |  WHERE cum * 1000000 >= n * phi GROUP BY g, phi)
+             |SELECT g AS l_returnflag, CAST(phi AS BIGINT) AS phi_ppm,
+             |  CAST((qb + 1) * 200000 AS BIGINT) AS est
+             |FROM q ORDER BY l_returnflag, phi_ppm, est""".stripMargin),
+      (s, d) => {
+        import graft.operators.HistQuantile
+        val sk = HistQuantile.sketchBy(t(s, d, "lineitem"),
+          Seq("l_returnflag"), Money.cents(col("l_extendedprice")),
+          lo = 0L, hi = 12800000L, buckets = 64)
+        HistQuantile.quantiles(sk, Seq("l_returnflag"),
+            lo = 0L, hi = 12800000L, buckets = 64,
+            phisPpm = Seq(500000L, 990000L))
+          .orderBy("l_returnflag", "phi_ppm", "est")
+      }),
+
     // Approximate quantile sketch — rows-only (sketch-specific results;
     // terminal rows-only set: SURVEY.md §2.3.1).
     // Output is reshaped to scalar (flag, quantile, value) rows so the
