@@ -41,7 +41,12 @@ object GraftSql {
 
   /** SQL type -> Spark type, the mapping the reference declares at
     * /root/reference/src/planner/queryplanner.rs:176-191 (NOT NULL honored
-    * as nullable=false, :167).
+    * as nullable=false, :167). Two deliberate divergences, Spark-idiomatic
+    * by choice: FLOAT/REAL -> 32-bit FloatType (the reference widens
+    * Float(_)/Real to Arrow Float64; we honor the declared width), and
+    * TIMESTAMP -> Spark's microsecond TimestampType (Arrow's default is
+    * nanosecond; Spark has no ns timestamp type). Pinned by
+    * FuzzSqlSpec's schema round-trip.
     */
   private[graft] def parseSchema(defs: String): StructType = {
     val fields = defs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>

@@ -55,13 +55,18 @@ object HistQuantile {
 
   /** Per-group sketch table: (groupCols..., hq_bucket, cnt), only
     * non-zero cells. ONE partial-aggregable pass; at most
-    * groups × buckets rows out.
+    * groups × buckets rows out. NULL values are dropped (a NULL has no
+    * bucket): without the filter a NULL hq_bucket cell would count
+    * toward N in [[quantiles]] and — under Spark's nulls-first window
+    * order — inflate every cumulative count, skewing every estimate
+    * and diverging from engines that sort nulls last.
     */
   def sketchBy(df: DataFrame, groupCols: Seq[String], value: Column,
       lo: Long, hi: Long, buckets: Int): DataFrame = {
     checkRange(lo, hi, buckets)
     val g = groupCols.map(col)
-    df.select(g :+ bucketOf(value, lo, hi, buckets).as("hq_bucket"): _*)
+    df.filter(value.isNotNull)
+      .select(g :+ bucketOf(value, lo, hi, buckets).as("hq_bucket"): _*)
       .groupBy(g :+ col("hq_bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
   }

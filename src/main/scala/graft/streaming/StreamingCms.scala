@@ -9,6 +9,7 @@ import graft.operators.CountMin
   * Catalyst codegen can instantiate them from generated deserializers.
   */
 case class CmsHit(cell: String)
+case class CmsDelta(cell: String, n: Long)
 case class CmsCount(n: Long)
 case class CmsCellOut(cms_row: Int, cms_bucket: Long, cnt: Long)
 
@@ -23,9 +24,15 @@ case class CmsCellOut(cms_row: Int, cms_bucket: Long, cnt: Long)
   * and at any moment mid-stream the state IS a valid sketch for point
   * queries (the continuously-current frequency table a rate limiter or
   * hot-key monitor reads).
+  *
+  * The processor receives per-partition PRE-COMBINED deltas (cell,
+  * count) — see [[StreamingCms.track]] — and adds their sum, so the
+  * maintained count is identical to counting raw occurrences (sum is
+  * associative/commutative: linearity holds at any batching AND any
+  * pre-combine partitioning).
   */
 class CmsCellProcessor
-    extends StatefulProcessor[String, CmsHit, CmsCellOut] {
+    extends StatefulProcessor[String, CmsDelta, CmsCellOut] {
 
   @transient private var count: ValueState[CmsCount] = _
 
@@ -33,10 +40,12 @@ class CmsCellProcessor
     count = getHandle.getValueState("n",
       Encoders.product[CmsCount], TTLConfig.NONE)
 
-  override def handleInputRows(key: String, rows: Iterator[CmsHit],
+  override def handleInputRows(key: String, rows: Iterator[CmsDelta],
       timers: TimerValues): Iterator[CmsCellOut] = {
     val prev = if (count.exists()) count.get().n else 0L
-    val n = prev + rows.size
+    var add = 0L
+    rows.foreach(add += _.n)
+    val n = prev + add
     count.update(CmsCount(n))
     val Array(r, b) = key.split('|')
     Iterator.single(CmsCellOut(r.toInt, b.toLong, n))
@@ -49,6 +58,17 @@ object StreamingCms {
     * touched cell's current count per batch. The cell ids are the SAME
     * md5 buckets as the batch [[CountMin.sketch]], so the drained table
     * equals the batch sketch bit-for-bit.
+    *
+    * Shuffle shape: occurrences are pre-counted per PARTITION before the
+    * stateful shuffle (the streaming analogue of map-side combine, which
+    * transformWithState's groupByKey does not do on its own), so the
+    * state exchange carries O(partitions × touched cells) delta rows
+    * per batch instead of O(occurrences × depth) — at 100 TB the
+    * difference between re-shuffling the corpus and shuffling a few
+    * thousand (cell, count) rows per task. The per-partition map is
+    * bounded by depth×width entries (the sketch's own size, ≤ 16·2^20
+    * by the require below) regardless of how many occurrences a
+    * partition holds.
     */
   def track(stream: DataFrame, keyCol: String, depth: Int,
       width: Int): DataFrame = {
@@ -62,6 +82,11 @@ object StreamingCms {
         concat(lit(j + "|"), CountMin.bucketOf(j, k, width))): _*))
         .as("cell"))
       .as[CmsHit]
+      .mapPartitions { hits =>
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        hits.foreach(h => local.update(h.cell, local.getOrElse(h.cell, 0L) + 1L))
+        local.iterator.map { case (cell, n) => CmsDelta(cell, n) }
+      }
       .groupByKey(_.cell)
       .transformWithState(new CmsCellProcessor,
         TimeMode.None, OutputMode.Append)

@@ -231,7 +231,14 @@ class FuzzSqlSpec extends SparkTestBase {
     // the other half of the frontend: the reference's SQL-type -> Arrow
     // mapping (queryplanner.rs:176-191), realized as parseSchema — fuzz
     // the rendered `name TYPE [NOT NULL]` defs against the parsed
-    // StructType field-for-field
+    // StructType field-for-field.
+    // Two DELIBERATE divergences from the reference's table (documented
+    // at GraftSql.parseSchema): FLOAT/REAL map to Spark's 32-bit
+    // FloatType where queryplanner.rs maps Float(_)/Real -> Float64
+    // (we honor the declared width; the reference widens), and
+    // TIMESTAMP is Spark's microsecond TimestampType where Arrow's is
+    // nanosecond (Spark has no ns timestamp). This test pins OUR
+    // contract, not byte-fidelity to the reference's Arrow schema.
     val types: Seq[(String, DataType)] = Seq(
       "BOOLEAN" -> BooleanType, "TINYINT" -> ByteType,
       "SMALLINT" -> ShortType, "INT" -> IntegerType,

@@ -66,6 +66,31 @@ class HistQuantileSpec extends SparkTestBase {
     assert(got == Seq(0L, 0L, 0L, 1L, Buckets - 1L, Buckets - 1L, Buckets - 1L))
   }
 
+  test("NULL values are dropped: neither a phantom bucket nor a count toward N") {
+    import spark.implicits._
+    // Spark's nulls-first window order would fold a NULL-bucket cell
+    // into every cumulative count, skewing every estimate — sketchBy
+    // must drop nulls so the sketch (and N) covers only real values.
+    val base = Seq[(String, java.lang.Long)](
+      ("g", 100L), ("g", 300L), ("g", 500L), ("g", 700L))
+    val withNulls = base ++ Seq[(String, java.lang.Long)](
+      ("g", null), ("g", null), ("g", null))
+    def sk(rows: Seq[(String, java.lang.Long)]) =
+      HistQuantile.sketchBy(rows.toDF("g", "v"), Seq("g"), col("v"),
+        0L, 800L, 8)
+    val clean = sk(base).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val dirty = sk(withNulls).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dirty == clean, s"nulls leaked into the sketch: $dirty vs $clean")
+    // and the quantile estimates are therefore identical too
+    def est(rows: Seq[(String, java.lang.Long)]) =
+      HistQuantile.quantiles(sk(rows), Seq("g"), 0L, 800L, 8,
+        Seq(500000L, 1000000L))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(est(withNulls) == est(base))
+  }
+
   test("range misconfiguration fails fast") {
     intercept[IllegalArgumentException](
       HistQuantile.sketchBy(li, Seq("g"), col("c"), 0L, 1000L, 64)) // 1000 % 64 != 0
