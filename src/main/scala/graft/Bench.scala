@@ -46,6 +46,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Every batch action the bench runs is audited by the session-level
+    // plan lint (the same rules LintSpec gates the board with at build
+    // time — this additionally covers the plans only produced DURING
+    // execution: iterative builders' inner jobs, write-path round-trips,
+    // foreachBatch actions). Error-severity findings are counted into
+    // the JSON line as lint_errors (expected 0, see BASELINE.md) and the
+    // run fails AFTER printing the artifact if any appeared.
+    val lint = graft.plans.PlanLintListener.watch(spark)
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val sec =
@@ -116,6 +125,15 @@ object Bench {
     // contention that started mid-run. min(pre, post) is the calibration
     // figure (same minimum-estimator rationale as the per-query minima).
     val calibPost = calibrate()
+    // Streaming-engine startup probe (fixed work, no testdata): what a
+    // scoreboard drain pays BEFORE touching data on this machine right
+    // now. Run twice post-suite (streaming classes already warmed by the
+    // q_stream_* queries, matching their steady state); min of the two
+    // is the calibration figure. Normalization rule in BASELINE.md
+    // ("Streaming noise calibration").
+    val streamCalib = Seq.fill(2)(graft.streaming.StreamingCalib.drainOnce(spark))
+    val lintErrors = lint.reports
+      .map(_.findings.count(_.severity == "error")).sum
 
     def fmt(v: Double): String = "%.3f".format(v)
     // Keep the slowest entries; drop from the cheap end until it fits.
@@ -131,12 +149,18 @@ object Bench {
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       val rt = runTotals.map(fmt).mkString("[", ",", "]")
       val cal = s"""[${fmt(calibPre)},${fmt(calibPost)}]"""
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      val sCal = streamCalib.map(fmt).mkString("[", ",", "]")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"streaming_calib_sec":$sCal,"lint_errors":$lintErrors,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)
       drop += 1
     println(line(asc.drop(drop), asc.take(drop)))
+    // Fail-after-print: the artifact above survives; a nonzero exit says
+    // a scale-killer (error-severity lint rule) appeared in an EXECUTED
+    // plan this round — details were logged at WARN with [graft-lint].
+    require(lintErrors == 0,
+      s"$lintErrors error-severity lint findings in executed plans")
     spark.stop()
   }
 }

@@ -26,13 +26,19 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query among the corpus.
     * Ties broken by ascending corpus id -> fully deterministic output.
+    * Rows with a NULL vector (an embedding job's failed rows) are
+    * excluded on both sides — cosine_sim would score them null, which
+    * has no place in a top-k ordering (and fails the non-null scoring
+    * row under Dataset encoding).
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .filter(col("q_vec").isNotNull)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .filter(col("c_vec").isNotNull)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id").cast("long"), col("c_id").cast("long"),
@@ -55,8 +61,10 @@ object Similarity {
     import spark.implicits._
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       col(labelCol).as("q_lab"))
+      .filter(col("q_vec").isNotNull)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col(labelCol).as("c_lab"))
+      .filter(col("c_vec").isNotNull)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_lab") =!= col("q_lab"))
       .select(col("q_id").cast("long"), col("c_id").cast("long"),

@@ -65,10 +65,12 @@ object StreamingCms {
     * state exchange carries O(partitions × touched cells) delta rows
     * per batch instead of O(occurrences × depth) — at 100 TB the
     * difference between re-shuffling the corpus and shuffling a few
-    * thousand (cell, count) rows per task. The per-partition map is
-    * bounded by depth×width entries (the sketch's own size, ≤ 16·2^20
-    * by the require below) regardless of how many occurrences a
-    * partition holds.
+    * thousand (cell, count) rows per task. Task memory for the combine
+    * map is capped by [[MapSideCombine.DefaultCap]] (the map flushes
+    * its deltas and clears when full), NOT by depth×width — a sketch
+    * sized at the allowed maximum 16·2^20 cells would otherwise admit a
+    * multi-GB per-task map. CMS linearity makes flushed duplicates
+    * harmless: deltas for the same cell simply sum.
     */
   def track(stream: DataFrame, keyCol: String, depth: Int,
       width: Int): DataFrame = {
@@ -82,11 +84,8 @@ object StreamingCms {
         concat(lit(j + "|"), CountMin.bucketOf(j, k, width))): _*))
         .as("cell"))
       .as[CmsHit]
-      .mapPartitions { hits =>
-        val local = scala.collection.mutable.HashMap.empty[String, Long]
-        hits.foreach(h => local.update(h.cell, local.getOrElse(h.cell, 0L) + 1L))
-        local.iterator.map { case (cell, n) => CmsDelta(cell, n) }
-      }
+      .mapPartitions(hits => MapSideCombine.counts(hits.map(_.cell))
+        .map { case (cell, n) => CmsDelta(cell, n) })
       .groupByKey(_.cell)
       .transformWithState(new CmsCellProcessor,
         TimeMode.None, OutputMode.Append)

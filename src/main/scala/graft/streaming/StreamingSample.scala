@@ -60,6 +60,18 @@ object StreamingSample {
   /** Track the k highest-priority rows per key over a stream whose rows
     * already carry `w` and `priority` columns (from
     * `Mixture.prioritized`). Emits each key's current top-k per batch.
+    *
+    * Shuffle shape: each task pre-reduces its rows to the per-key
+    * top-(k+1) before the stateful shuffle — the global top-(k+1) is
+    * always contained in the union of per-partition top-(k+1) sets, so
+    * the drained sample is unchanged (and priorities are pure data
+    * functions, so this holds at any partitioning). The state exchange
+    * then carries ≤ (k+1) rows per (task, key) per batch instead of
+    * every occurrence — a hot source that would otherwise funnel its
+    * whole batch through one state partition arrives as k+1 rows per
+    * task. Task memory for the reduction is ≤ (k+1) entries per
+    * distinct key present in the partition, never more than the rows
+    * themselves.
     */
   def track(stream: DataFrame, keyCol: String, idCol: String,
       k: Int): DataFrame = {
@@ -70,9 +82,34 @@ object StreamingSample {
       .select(col(keyCol).cast("string").as("key"),
         col(idCol).cast("long").as("id"), col("w"), col("priority"))
       .as[WsItem]
+      .mapPartitions(partitionTopK(_, k))
       .groupByKey(_.key)
       .transformWithState(new PrioritySampleProcessor(k),
         TimeMode.None, OutputMode.Append)
       .toDF()
+  }
+
+  /** Reduce one partition's rows to the top-(k+1) per key under the
+    * sampler's order (highest priority first, ties by id) — the same
+    * order [[PrioritySampleProcessor]] sorts by, so dropping rows here
+    * can never change the processor's merged top-(k+1).
+    */
+  private[graft] def partitionTopK(rows: Iterator[WsItem],
+      k: Int): Iterator[WsItem] = {
+    val ord = Ordering.by[WsItem, (Long, Long)](r => (-r.priority, r.id))
+    val top = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[WsItem]]
+    rows.foreach { r =>
+      val buf = top.getOrElseUpdate(r.key,
+        new scala.collection.mutable.ArrayBuffer[WsItem](k + 2))
+      if (buf.size < k + 1 || ord.lt(r, buf.last)) {
+        // insert in sorted position; evict the current worst if full
+        var i = buf.size
+        while (i > 0 && ord.lt(r, buf(i - 1))) i -= 1
+        buf.insert(i, r)
+        if (buf.size > k + 1) buf.remove(buf.size - 1)
+      }
+    }
+    top.valuesIterator.flatten
   }
 }
