@@ -806,21 +806,36 @@ object WarehouseQueries {
              |ORDER BY a.user_id, view_id, click_id""".stripMargin),
       (s, d) => {
         val sink = "q_stream_join_sink"
-        val views = graft.Tables.eventsStream(s, d)
-          .filter(col("event_type") === "view")
-        val clicks = graft.Tables.eventsStream(s, d)
-          .filter(col("event_type") === "click")
-        val joined = graft.streaming.StreamingSessions.intervalJoin(
-          views, clicks, "user_id", "ts", "4 hours", "2 hours",
-          carryLeft = Seq("event_id"), carryRight = Seq("event_id"))
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches == 1,
-          s"q_stream_join oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        // State-partition sizing: a stream-stream join materializes FOUR
+        // state stores per shuffle partition, and store initialization is
+        // the drain's dominant fixed cost (~30 ms/store measured: 128
+        // stores at 32 partitions ≈ 3.7 s/run vs a 0.7 s batch twin).
+        // Streaming state partitioning is a STATE-VOLUME sizing decision
+        // pinned at the first checkpoint — not a CPU-count one — so the
+        // drain sets it explicitly instead of inheriting cpus; at
+        // production state volumes the same knob goes UP, by state size
+        // per partition. Restored after the drain (batch queries keep
+        // the session default).
+        val shuffleKey = "spark.sql.shuffle.partitions"
+        val prevShuffle = s.conf.get(shuffleKey)
+        s.conf.set(shuffleKey, "8")
+        try {
+          val views = graft.Tables.eventsStream(s, d)
+            .filter(col("event_type") === "view")
+          val clicks = graft.Tables.eventsStream(s, d)
+            .filter(col("event_type") === "click")
+          val joined = graft.streaming.StreamingSessions.intervalJoin(
+            views, clicks, "user_id", "ts", "4 hours", "2 hours",
+            carryLeft = Seq("event_id"), carryRight = Seq("event_id"))
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_join oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        } finally s.conf.set(shuffleKey, prevShuffle)
         s.table(sink)
           .select(col("k").as("user_id"),
             col("l_event_id").as("view_id"), col("r_event_id").as("click_id"),
