@@ -491,12 +491,11 @@ object WarehouseQueries {
              |FROM z WHERE sd > 0.0 AND abs(dev / sd) > 3.0
              |ORDER BY event_id, event_type, z_milli""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val sink = "q_stream_anomaly_sink"
-        try {
+        // RocksDB provider + explicit state-partition sizing for the
+        // duration of the drain (see StateScope — state partitioning is a
+        // state-volume decision, not a CPU-count one).
+        graft.streaming.StateScope.withStateConf(s) {
           val scored = graft.streaming.StreamingAnomaly.score(
             graft.Tables.eventsStream(s, d), "event_type", "ts", "event_id",
             floor(col("value") * lit(100.0)), k = 100)
@@ -518,11 +517,6 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_anomaly oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
         s.table(sink).orderBy("event_id", "event_type", "z_milli")
       }),
@@ -556,16 +550,12 @@ object WarehouseQueries {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         // Fresh checkpoint per invocation: reusing one would resume from
         // committed offsets and drain zero rows on a re-run (bench runs
         // every query twice).
         val ckpt = java.nio.file.Files
           .createTempDirectory("q-stream-session-ckpt").toString
-        try {
+        graft.streaming.StateScope.withStateConf(s) {
           val log = graft.streaming.StreamingSessions.drainSessionLog(
             graft.Tables.eventsStream(s, d), "ts", "user_id",
             gapMs = 30L * 60L * 1000L, sinkName = "q_stream_session_sink",
@@ -578,11 +568,6 @@ object WarehouseQueries {
               timestamp_micros(col("start_us")).as("session_start"),
               timestamp_micros(col("last_us")).as("session_end"))
             .orderBy("user_id", "session_id")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
       }),
 
@@ -610,12 +595,8 @@ object WarehouseQueries {
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
               |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val sink = "q_stream_neardedup_sink"
-        try {
+        graft.streaming.StateScope.withStateConf(s) {
           val cands = graft.streaming.StreamingNearDedup.candidatePairs(
             graft.Tables.tableStream(s, d, "documents"), "doc_id", "text")
           val q = cands.writeStream.outputMode("append")
@@ -626,11 +607,6 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_neardedup oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
         graft.streaming.StreamingNearDedup.verified(
             s.table(sink).dropDuplicates("new_id", "old_id"),
@@ -656,12 +632,8 @@ object WarehouseQueries {
              |HAVING count(*) >= 20
              |ORDER BY user_id, event_type""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val sink = "q_stream_heavy_sink"
-        try {
+        graft.streaming.StateScope.withStateConf(s) {
           val tracked = graft.streaming.StreamingHeavyHitters.track(
             graft.Tables.eventsStream(s, d), "user_id", "event_type",
             m = 16, minGuaranteed = 20L)
@@ -675,11 +647,6 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_heavy oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
         s.table(sink)
           .select(col("key").cast("long").as("user_id"),
@@ -704,12 +671,8 @@ object WarehouseQueries {
              |SELECT CAST(j AS INT) AS cms_row, b AS cms_bucket, cnt
              |FROM cells ORDER BY cms_row, cms_bucket""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val sink = "q_stream_cms_sink"
-        try {
+        graft.streaming.StateScope.withStateConf(s) {
           val toks = graft.Tables.tableStream(s, d, "documents")
             .select(explode(split(lower(col("text")), " ")).as("token"))
           val q = graft.streaming.StreamingCms.track(toks, "token",
@@ -722,11 +685,6 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_cms oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
         s.table(sink).orderBy("cms_row", "cms_bucket")
       }),
@@ -756,12 +714,8 @@ object WarehouseQueries {
              |FROM b JOIN tau USING (source) WHERE rk <= 8
              |ORDER BY source, priority DESC, doc_id""".stripMargin),
       (s, d) => {
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(providerKey)
-        s.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val sink = "q_stream_sample_sink"
-        try {
+        graft.streaming.StateScope.withStateConf(s) {
           val prioritized = Mixture.prioritized(
             graft.Tables.tableStream(s, d, "documents"), "doc_id",
             length(col("text")))
@@ -775,11 +729,6 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_sample oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(providerKey, v)
-            case None    => s.conf.unset(providerKey)
-          }
         }
         s.table(sink)
           .select(col("key").as("source"), col("id").as("doc_id"),
@@ -806,20 +755,14 @@ object WarehouseQueries {
              |ORDER BY a.user_id, view_id, click_id""".stripMargin),
       (s, d) => {
         val sink = "q_stream_join_sink"
-        // State-partition sizing: a stream-stream join materializes FOUR
-        // state stores per shuffle partition, and store initialization is
-        // the drain's dominant fixed cost (~30 ms/store measured: 128
-        // stores at 32 partitions ≈ 3.7 s/run vs a 0.7 s batch twin).
-        // Streaming state partitioning is a STATE-VOLUME sizing decision
-        // pinned at the first checkpoint — not a CPU-count one — so the
-        // drain sets it explicitly instead of inheriting cpus; at
-        // production state volumes the same knob goes UP, by state size
-        // per partition. Restored after the drain (batch queries keep
-        // the session default).
-        val shuffleKey = "spark.sql.shuffle.partitions"
-        val prevShuffle = s.conf.get(shuffleKey)
-        s.conf.set(shuffleKey, "8")
-        try {
+        // State-partition sizing matters MOST here: a stream-stream join
+        // materializes FOUR state stores per shuffle partition, and store
+        // initialization is the drain's dominant fixed cost (~30 ms/store
+        // measured: 128 stores at 32 partitions ≈ 3.7 s/run vs a 0.7 s
+        // batch twin). StateScope pins 8 partitions (a state-volume
+        // decision, see its doc) and the production RocksDB provider,
+        // restoring the session defaults after.
+        graft.streaming.StateScope.withStateConf(s) {
           val views = graft.Tables.eventsStream(s, d)
             .filter(col("event_type") === "view")
           val clicks = graft.Tables.eventsStream(s, d)
@@ -835,7 +778,7 @@ object WarehouseQueries {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,
             s"q_stream_join oracle requires a single-batch drain; saw $dataBatches data micro-batches")
-        } finally s.conf.set(shuffleKey, prevShuffle)
+        }
         s.table(sink)
           .select(col("k").as("user_id"),
             col("l_event_id").as("view_id"), col("r_event_id").as("click_id"),

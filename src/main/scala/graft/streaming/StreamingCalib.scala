@@ -37,12 +37,12 @@ class CalibProcessor extends StatefulProcessor[String, CalibRow, CalibRow] {
   */
 object StreamingCalib {
 
-  def drainOnce(spark: SparkSession): Double = {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+  // Runs under the same StateScope sizing as the scoreboard drains (8
+  // state partitions), so the probe's store-init share matches what a
+  // drain actually pays — the reading is the drains' startup floor, not
+  // the session-CPU-count store cost.
+  def drainOnce(spark: SparkSession): Double =
+    StateScope.withStateConf(spark) {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val mem = MemoryStream[CalibRow]
@@ -55,9 +55,5 @@ object StreamingCalib {
       q.processAllAvailable()
       q.stop()
       (System.nanoTime() - t0) / 1e9
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
     }
-  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.StateScope
+
+/** StateScope — the scoping contract the scoreboard drains rely on: the
+  * RocksDB provider and the state-partition count hold exactly for the
+  * body's duration, and the session's previous values come back whether
+  * the body returns or throws (a drain failure must not leak an 8-way
+  * shuffle default into the rest of a 32-core batch session).
+  */
+class StateScopeSpec extends SparkTestBase {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val shuffleKey = "spark.sql.shuffle.partitions"
+
+  test("body sees RocksDB provider + pinned partitions; both restored after") {
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevProvider = spark.conf.getOption(providerKey)
+    val seen = StateScope.withStateConf(spark, statePartitions = 5) {
+      (spark.conf.get(providerKey), spark.conf.get(shuffleKey))
+    }
+    assert(seen == (StateScope.RocksDb, "5"))
+    assert(spark.conf.get(shuffleKey) == prevShuffle)
+    assert(spark.conf.getOption(providerKey) == prevProvider)
+  }
+
+  test("restores on exception too, and propagates it") {
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val boom = intercept[IllegalStateException] {
+      StateScope.withStateConf(spark) { throw new IllegalStateException("drain failed") }
+    }
+    assert(boom.getMessage == "drain failed")
+    assert(spark.conf.get(shuffleKey) == prevShuffle)
+  }
+
+  test("a previously-set provider value is restored, not unset") {
+    spark.conf.set(providerKey, "com.example.SomeProvider")
+    try {
+      StateScope.withStateConf(spark) {
+        assert(spark.conf.get(providerKey) == StateScope.RocksDb)
+      }
+      assert(spark.conf.get(providerKey) == "com.example.SomeProvider")
+    } finally spark.conf.unset(providerKey)
+  }
+
+  test("returns the body's value") {
+    assert(StateScope.withStateConf(spark)(41 + 1) == 42)
+  }
+}
