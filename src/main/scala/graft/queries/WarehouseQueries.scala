@@ -736,6 +736,38 @@ object WarehouseQueries {
           .orderBy(col("source"), col("priority").desc, col("doc_id"))
       }),
 
+    // Streaming exact-dedup monitor (the streaming twin of q_dedup_exact,
+    // and the monitor form of the ingest question q_dedup_incr answers in
+    // batch): the dedup TABLE as stream state — one (keep_id, n_copies)
+    // entry per distinct sha2-256 content digest in RocksDB. min and sum
+    // are both associative+commutative, so the maintained table equals
+    // the batch dedup of everything seen at ANY batching/arrival order
+    // (CMS-style linearity, two-slice case pinned by StreamingDedupSpec);
+    // the single-batch assert below only keeps the memory sink to one
+    // emission generation. Documents never shuffle — per-partition
+    // (digest, min id, count) pre-reduction, then digest-keyed state.
+    Q("q_stream_dedup",
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val sink = "q_stream_dedup_sink"
+        graft.streaming.StateScope.withStateConf(s) {
+          val tracked = graft.streaming.StreamingDedup.track(
+            graft.Tables.tableStream(s, d, "documents"), "doc_id", "text")
+          val q = tracked.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_dedup oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        }
+        s.table(sink).select(col("keep_id"), col("n_copies"))
+          .orderBy("keep_id")
+      }),
+
     // Stream-stream interval join on the scoreboard (the attribution
     // shape: view -> click within 2h per user): TWO file-source streams
     // over the same events directory, watermarked on both sides so the

@@ -57,4 +57,38 @@ object MapSideCombine {
         out.next()
       }
     }
+
+  /** Per-key (min value, occurrence count) within one partition, same
+    * size-capped flush discipline as [[counts]]. For state updates that
+    * take a min and a sum (the exact-dedup monitor: keep_id = min id,
+    * n_copies = sum) — both associative+commutative, so flush-duplicated
+    * keys recombine exactly in the stateful processor.
+    */
+  def minCounts[K](pairs: Iterator[(K, Long)],
+      cap: Int = DefaultCap): Iterator[(K, (Long, Long))] =
+    new Iterator[(K, (Long, Long))] {
+      private val local = mutable.HashMap.empty[K, (Long, Long)]
+      private var out: Iterator[(K, (Long, Long))] = Iterator.empty
+
+      private def refill(): Unit = {
+        while (pairs.hasNext && local.size < cap) {
+          val (k, v) = pairs.next()
+          local.get(k) match {
+            case Some((m, n)) => local.update(k, (math.min(m, v), n + 1L))
+            case None         => local.update(k, (v, 1L))
+          }
+        }
+        out = local.toArray.iterator
+        local.clear()
+      }
+
+      override def hasNext: Boolean = {
+        if (!out.hasNext && pairs.hasNext) refill()
+        out.hasNext
+      }
+      override def next(): (K, (Long, Long)) = {
+        if (!hasNext) throw new NoSuchElementException("empty")
+        out.next()
+      }
+    }
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Input/state/output rows for [[DedupDigestProcessor]]. Top-level so
+  * Catalyst codegen can instantiate them from generated deserializers.
+  */
+case class DedupArrival(digest: String, min_id: Long, n: Long)
+case class DedupAgg(keep_id: Long, n_copies: Long)
+case class DedupOut(digest: String, keep_id: Long, n_copies: Long)
+
+/** Streaming exact-dedup monitor — the dedup TABLE maintained as stream
+  * state: one (keep_id, n_copies) entry per distinct content digest,
+  * sharded across the cluster by digest. Both components are
+  * associative+commutative folds (min over ids, sum over occurrences),
+  * so the maintained entry is EXACTLY the batch `Dedup.exact` row for
+  * everything seen so far, at ANY batching, arrival order, and
+  * pre-combine partitioning — the same linearity argument as the CMS
+  * monitor. Mid-stream, the state answers the ingest question directly:
+  * an arriving doc whose digest exists is a duplicate of keep_id; a full
+  * drain equals the whole-corpus dedup table (q_stream_dedup's oracle).
+  *
+  * Each batch emits the updated row for every digest TOUCHED in that
+  * batch (untouched digests re-emit nothing — per-batch work is bounded
+  * by the batch, not the corpus).
+  *
+  * State bound: 8-byte keep_id + 8-byte count per DISTINCT content
+  * digest — linear in distinct corpus content, the honest floor for
+  * exact dedup (any exact scheme must remember every distinct content
+  * seen). At production lifetimes, bound the window with a TTL on the
+  * state (dedup-within-horizon) or periodically compact the state into a
+  * static corpus-digest table consumed by the batch
+  * `Dedup.exactIncremental` anti-join.
+  */
+class DedupDigestProcessor
+    extends StatefulProcessor[String, DedupArrival, DedupOut] {
+
+  @transient private var agg: ValueState[DedupAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState("a",
+      Encoders.product[DedupAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DedupArrival],
+      timers: TimerValues): Iterator[DedupOut] = {
+    var minId = Long.MaxValue
+    var add = 0L
+    rows.foreach { r =>
+      if (r.min_id < minId) minId = r.min_id
+      add += r.n
+    }
+    val prev = if (agg.exists()) agg.get() else DedupAgg(Long.MaxValue, 0L)
+    val next = DedupAgg(math.min(prev.keep_id, minId), prev.n_copies + add)
+    agg.update(next)
+    Iterator.single(DedupOut(key, next.keep_id, next.n_copies))
+  }
+}
+
+object StreamingDedup {
+
+  /** Maintain the exact-dedup table over a stream of (id, content) rows:
+    * per batch, emits each touched digest's current (keep_id, n_copies).
+    * Digests are sha2-256 of the content — the same digest as the batch
+    * `Dedup.exact`, so a drained single-batch table equals the batch
+    * result row-for-row.
+    *
+    * Shuffle shape: arrivals are pre-reduced per PARTITION to one
+    * (digest, min id, count) row before the stateful shuffle — the
+    * streaming analogue of the partial aggregation the batch groupBy
+    * gets from Catalyst — so the state exchange carries one delta per
+    * (task, distinct digest) instead of one row per document, and
+    * documents themselves never shuffle (only 64-hex-char digests + two
+    * longs). Task memory for the combine map is capped by
+    * [[MapSideCombine.DefaultCap]]; flush-duplicated digests recombine
+    * exactly because min and sum are associative+commutative.
+    */
+  def track(stream: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(sha2(col(contentCol).cast("string"), 256).as("digest"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .mapPartitions(rows => MapSideCombine.minCounts(rows)
+        .map { case (d, (m, n)) => DedupArrival(d, m, n) })
+      .groupByKey(_.digest)
+      .transformWithState(new DedupDigestProcessor,
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+}

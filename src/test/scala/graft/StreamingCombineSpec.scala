@@ -33,6 +33,24 @@ class StreamingCombineSpec extends AnyFunSuite {
     assert(MapSideCombine.counts(Iterator.empty[String]).isEmpty)
   }
 
+  test("minCounts: exact per-key min and count, preserved across cap flushes") {
+    val rng = new scala.util.Random(7)
+    // 10 keys, values shuffled so each key's min lands at a random position
+    val pairs = rng.shuffle(for { k <- 0 until 10; v <- 0 until 50 }
+      yield (s"k$k", (v * 37 + k).toLong))
+    val expectMin = pairs.groupBy(_._1).map { case (k, p) => k -> p.map(_._2).min }
+    val expectN = pairs.groupBy(_._1).map { case (k, p) => k -> p.size.toLong }
+    for (cap <- Seq(3, 100)) {
+      val out = MapSideCombine.minCounts(pairs.iterator, cap = cap).toSeq
+      val mins = out.groupBy(_._1).map { case (k, d) => k -> d.map(_._2._1).min }
+      val sums = out.groupBy(_._1).map { case (k, d) => k -> d.map(_._2._2).sum }
+      assert(mins == expectMin, s"cap=$cap mins diverged")
+      assert(sums == expectN, s"cap=$cap counts diverged")
+      if (cap == 3) assert(out.size > 10, "cap=3 over 10 keys must flush repeatedly")
+    }
+    assert(MapSideCombine.minCounts(Iterator.empty[(String, Long)]).isEmpty)
+  }
+
   test("counts: pull-based — does not consume past the cap before emitting") {
     // an infinite iterator must still produce deltas (the combine map
     // flushes at cap rather than draining the input first)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.{StateScope, StreamingDedup}
+
+/** Streaming exact-dedup monitor: the maintained (digest → keep_id,
+  * n_copies) table equals the batch `Dedup.exact` of everything seen
+  * REGARDLESS of batching and arrival order — min and sum are
+  * associative+commutative, the CMS-style linearity argument. Later
+  * batches emit only TOUCHED digests (per-batch work bounded by the
+  * batch, not the corpus).
+  */
+class StreamingDedupSpec extends SparkTestBase {
+
+  /** (id, text) rows with planted duplicate content across the id range. */
+  private def corpus(n: Int): Seq[(Long, String)] =
+    (1 to n).map(i => (i.toLong, s"doc content ${i % 7}"))
+
+  private def toDocs(mem: MemoryStream[(Long, String)]) =
+    mem.toDF().withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+
+  test("multi-batch adversarial-order drain equals the batch dedup table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      // descending ids across three slices: every batch sees ids out of
+      // order and each digest's true keeper (its min id) arrives LAST
+      val rows = corpus(60).sortBy(-_._1)
+      val Seq(s1, s2, s3) = rows.grouped(20).toSeq
+      val mem = MemoryStream[(Long, String)]
+      @volatile var view = Map.empty[String, (Long, Long)]
+      val q = StreamingDedup.track(toDocs(mem), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          // each batch re-emits only its TOUCHED digests — overlay them
+          bdf.collect().foreach(r =>
+            view += r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      try {
+        mem.addData(s1: _*); q.processAllAvailable()
+        mem.addData(s2: _*); q.processAllAvailable()
+        mem.addData(s3: _*); q.processAllAvailable()
+      } finally q.stop()
+      val batchDf = corpus(60).toDF("doc_id", "text")
+      val batch = batchDf
+        .groupBy(sha2(col("text"), 256).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(view == batch,
+        s"stream view diverged from batch dedup:\n  stream=$view\n  batch=$batch")
+      // and the (keep_id, n_copies) projection matches Dedup.exact's shape
+      val exact = Dedup.exact(batchDf, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(view.values.map(v => (v._1, v._2)).toSet == exact)
+    }
+  }
+
+  test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val mem = MemoryStream[(Long, String)]
+      @volatile var lastEmit = Seq.empty[(Long, Long)]
+      val q = StreamingDedup.track(toDocs(mem), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = bdf.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+          if (rows.nonEmpty) lastEmit = rows
+        }
+        .start()
+      try {
+        mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+        q.processAllAvailable()
+        assert(lastEmit.toSet == Set((1L, 2L), (2L, 1L)),
+          s"first batch: $lastEmit")
+        // a batch of pure duplicates of "alpha": only alpha's digest
+        // re-emits — keep_id stays 1, count grows by 2; beta untouched
+        mem.addData((10L, "alpha"), (11L, "alpha"))
+        q.processAllAvailable()
+        assert(lastEmit.toSet == Set((1L, 4L)), s"dup batch: $lastEmit")
+        // a smaller id arriving late takes over as beta's keeper
+        mem.addData((0L, "beta"))
+        q.processAllAvailable()
+        assert(lastEmit.toSet == Set((0L, 2L)), s"late-keeper batch: $lastEmit")
+      } finally q.stop()
+    }
+  }
+}
