@@ -59,6 +59,47 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sdedup-ckpt").toString
+      val mem = MemoryStream[(Long, String)]
+      // memory sink cannot resume from a checkpoint; collect emissions
+      // per batch via foreachBatch (batch ids continue across restarts)
+      val emitted = new scala.collection.concurrent.TrieMap[
+        (Long, String), (Long, Long)]()
+      def start() = StreamingDedup.track(toDocs(mem), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.collect().foreach(r =>
+            emitted((id, r.getString(0))) = (r.getLong(1), r.getLong(2)))
+        }
+        .start()
+      val q1 = start()
+      try {
+        mem.addData((5L, "x"), (9L, "x"), (3L, "y"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // second generation resumes from the RocksDB checkpoint: x's entry
+      // must CONTINUE from (keep 5, copies 2) — the late smaller id takes
+      // over as keeper and the count reaches 3, not restart at 1
+      val q2 = start()
+      try {
+        mem.addData((1L, "x"), (7L, "z"))
+        q2.processAllAvailable()
+        val lastBatch = emitted.keys.map(_._1).max
+        val last = emitted.collect {
+          case ((b, dig), v) if b == lastBatch => dig -> v
+        }
+        assert(last.values.toSet == Set((1L, 3L), (7L, 1L)),
+          s"state lost across restart: $last")
+      } finally q2.stop()
+    }
+  }
+
   test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
