@@ -768,6 +768,54 @@ object WarehouseQueries {
           .orderBy("keep_id")
       }),
 
+    // Streaming histogram-quantile monitor (the streaming twin of
+    // q_hist_quantile, on events): the equi-width bucket table as stream
+    // state — every value lands in its clamped integer bucket batch-side
+    // (the SAME arithmetic as HistQuantile.sketchBy) and each
+    // (event_type, bucket) cell's counter lives in RocksDB; histogram
+    // linearity (cellwise sum) makes the maintained table the batch
+    // sketch of everything seen at ANY batching/arrival order. The p50/
+    // p90/p99 estimates then run over the DRAINED sketch (groups x 64
+    // rows, never the corpus) — the continuously-current SLO readout.
+    // Single-batch assert keeps the memory sink to one emission
+    // generation; state is at most groups x buckets longs FOREVER.
+    Q("q_stream_quantile",
+      Some("""WITH v AS (SELECT event_type AS g,
+             |    CAST(floor(value * 100.0) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |s AS (SELECT g, (LEAST(12799, GREATEST(0, c)) * 64) // 12800 AS b,
+             |    count(*) AS cnt FROM v GROUP BY 1, 2),
+             |c2 AS (SELECT g, b, SUM(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY g) AS n FROM s),
+             |q AS (SELECT g, phi, MIN(b) AS qb FROM c2
+             |  CROSS JOIN (VALUES (500000), (900000), (990000)) p(phi)
+             |  WHERE cum * 1000000 >= n * phi GROUP BY g, phi)
+             |SELECT g AS event_type, CAST(phi AS BIGINT) AS phi_ppm,
+             |  CAST((qb + 1) * 200 AS BIGINT) AS est
+             |FROM q ORDER BY event_type, phi_ppm, est""".stripMargin),
+      (s, d) => {
+        val sink = "q_stream_quantile_sink"
+        graft.streaming.StateScope.withStateConf(s) {
+          val tracked = graft.streaming.StreamingHistQuantile.track(
+            graft.Tables.eventsStream(s, d), "event_type",
+            floor(col("value") * lit(100.0)).cast("long"),
+            lo = 0L, hi = 12800L, buckets = 64)
+          val q = tracked.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_quantile oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        }
+        graft.operators.HistQuantile.quantiles(
+            s.table(sink).withColumnRenamed("g", "event_type"),
+            Seq("event_type"), lo = 0L, hi = 12800L, buckets = 64,
+            phisPpm = Seq(500000L, 900000L, 990000L))
+          .orderBy("event_type", "phi_ppm", "est")
+      }),
+
     // Stream-stream interval join on the scoreboard (the attribution
     // shape: view -> click within 2h per user): TWO file-source streams
     // over the same events directory, watermarked on both sides so the
