@@ -46,4 +46,45 @@ class StreamingHistQuantileSpec extends SparkTestBase {
         s"stream sketch diverged from batch:\n  stream=$view\n  batch=$batch")
     }
   }
+
+  test("sketch state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-shq-ckpt").toString
+      val mem = MemoryStream[(String, Long)]
+      val emitted = new scala.collection.concurrent.TrieMap[
+        (Long, String, Long), Long]()
+      def start() = StreamingHistQuantile.track(
+          mem.toDF().withColumnRenamed("_1", "grp").withColumnRenamed("_2", "v"),
+          "grp", col("v"), lo = 0L, hi = 100L, buckets = 10)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.collect().foreach(r =>
+            emitted((id, r.getString(0), r.getLong(1))) = r.getLong(2))
+        }
+        .start()
+      val q1 = start()
+      try {
+        // bucket width 10: values 5, 7 → bucket 0; 15 → bucket 1
+        mem.addData(("g", 5L), ("g", 7L), ("g", 15L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // resume from the RocksDB checkpoint: bucket 0's count must
+      // CONTINUE from 2, not restart at zero
+      val q2 = start()
+      try {
+        mem.addData(("g", 3L), ("g", 42L))
+        q2.processAllAvailable()
+        val lastBatch = emitted.keys.map(_._1).max
+        val last = emitted.collect {
+          case ((b, g, bk), n) if b == lastBatch => (g, bk) -> n
+        }.toMap
+        assert(last == Map(("g", 0L) -> 3L, ("g", 4L) -> 1L),
+          s"state lost across restart: $last")
+      } finally q2.stop()
+    }
+  }
 }
