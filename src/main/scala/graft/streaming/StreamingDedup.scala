@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 case class DedupArrival(digest: String, min_id: Long, n: Long)
 case class DedupAgg(keep_id: Long, n_copies: Long)
 case class DedupOut(digest: String, keep_id: Long, n_copies: Long)
+case class DedupFirst(digest: String, keep_id: Long)
 
 /** Streaming exact-dedup monitor — the dedup TABLE maintained as stream
   * state: one (keep_id, n_copies) entry per distinct content digest,
@@ -58,6 +59,42 @@ class DedupDigestProcessor
   }
 }
 
+/** The DECISION form of the monitor: emits (digest, keep_id) only for
+  * digests seen for the FIRST time in this batch — the id to let
+  * through the ingest gate. Later arrivals of a seen digest emit
+  * nothing at all. Within a batch the min id wins (deterministic);
+  * ACROSS batches the first batch's winner keeps the slot even if a
+  * smaller id arrives later — the arrival-order contract of every
+  * one-pass incremental dedup, identical to the batch
+  * `Dedup.exactIncremental` anti-join against an already-ingested
+  * corpus.
+  */
+class DedupFirstSeenProcessor
+    extends StatefulProcessor[String, DedupArrival, DedupFirst] {
+
+  @transient private var agg: ValueState[DedupAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState("a",
+      Encoders.product[DedupAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DedupArrival],
+      timers: TimerValues): Iterator[DedupFirst] = {
+    var minId = Long.MaxValue
+    var add = 0L
+    rows.foreach { r =>
+      if (r.min_id < minId) minId = r.min_id
+      add += r.n
+    }
+    val first = !agg.exists()
+    val prev = if (first) DedupAgg(Long.MaxValue, 0L) else agg.get()
+    // keep_id is pinned at first sight — the ingest decision is final
+    val keeper = if (first) minId else prev.keep_id
+    agg.update(DedupAgg(keeper, prev.n_copies + add))
+    if (first) Iterator.single(DedupFirst(key, keeper)) else Iterator.empty
+  }
+}
+
 object StreamingDedup {
 
   /** Maintain the exact-dedup table over a stream of (id, content) rows:
@@ -79,15 +116,42 @@ object StreamingDedup {
   def track(stream: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    arrivals(stream, idCol, contentCol)
+      .groupByKey(_.digest)
+      .transformWithState(new DedupDigestProcessor,
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+
+  /** The ingest GATE: emits (digest, keep_id) only for first-seen
+    * digests — the ids to let through; duplicates of anything already
+    * seen emit nothing. Same shuffle shape as [[track]] (documents never
+    * move); join the emitted ids back to the batch's payloads inside
+    * `foreachBatch` to forward the surviving documents. Cross-batch
+    * winner pinning is arrival-order-dependent by construction — the
+    * `Dedup.exactIncremental` contract, spec-pinned.
+    */
+  def keepFirst(stream: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    arrivals(stream, idCol, contentCol)
+      .groupByKey(_.digest)
+      .transformWithState(new DedupFirstSeenProcessor,
+        TimeMode.None, OutputMode.Append)
+      .toDF()
+  }
+
+  /** Shared digest + per-partition (digest, min id, count) pre-reduction. */
+  private def arrivals(stream: DataFrame, idCol: String,
+      contentCol: String) = {
+    val spark = stream.sparkSession
+    import spark.implicits._
     stream
       .select(sha2(col(contentCol).cast("string"), 256).as("digest"),
         col(idCol).cast("long").as("id"))
       .as[(String, Long)]
       .mapPartitions(rows => MapSideCombine.minCounts(rows)
         .map { case (d, (m, n)) => DedupArrival(d, m, n) })
-      .groupByKey(_.digest)
-      .transformWithState(new DedupDigestProcessor,
-        TimeMode.None, OutputMode.Append)
-      .toDF()
   }
 }

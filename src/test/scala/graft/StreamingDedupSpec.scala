@@ -100,6 +100,47 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("keepFirst: the ingest gate passes exactly the incremental keep set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val mem = MemoryStream[(Long, String)]
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = graft.streaming.StreamingDedup.keepFirst(
+          toDocs(mem), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = bdf.collect().map(_.getLong(1)).toSet
+          perBatch.synchronized { perBatch += ids }
+          ()
+        }
+        .start()
+      try {
+        // batch 1: three contents; min id wins within the batch
+        mem.addData((9L, "x"), (5L, "x"), (3L, "y"), (4L, "z"))
+        q.processAllAvailable()
+        // batch 2: dup of x (even with a SMALLER id — the decision is
+        // final), dup of z, and one genuinely new content
+        mem.addData((1L, "x"), (8L, "z"), (7L, "w"))
+        q.processAllAvailable()
+        // batch 3: nothing new at all → zero emissions
+        mem.addData((20L, "x"), (21L, "y"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = perBatch.synchronized { perBatch.filter(_.nonEmpty).toSeq }
+      assert(got == Seq(Set(5L, 3L, 4L), Set(7L)),
+        s"gate decisions diverged: $got")
+      // batch 2's keep set equals the batch exactIncremental anti-join of
+      // the same slice against the already-ingested corpus
+      val incr = Dedup.exactIncremental(
+          Seq((1L, "x"), (8L, "z"), (7L, "w")).toDF("doc_id", "text"),
+          Seq((9L, "x"), (5L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text"),
+          "text", "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(incr == Set(7L))
+    }
+  }
+
   test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
