@@ -141,6 +141,43 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("chaos: first-attempt failures through the pre-combine stage leave the table exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val rows = corpus(40)
+      val mem = MemoryStream[(Long, String)]
+      @volatile var view = Map.empty[String, (Long, Long)]
+      // inject the failure UPSTREAM of track's mapPartitions pre-combine:
+      // the ops fuse into one stage, so the retry re-runs the combine —
+      // deltas must come only from the surviving attempt (no double
+      // count). SparkTestBase runs local[4,2] (task maxFailures 2).
+      val flakyDocs = toDocs(mem).as[(Long, String)].mapPartitions { it =>
+        if (org.apache.spark.TaskContext.get().attemptNumber() == 0)
+          throw new RuntimeException("injected first-attempt failure")
+        it
+      }.toDF("doc_id", "text")
+      val q = graft.streaming.StreamingDedup.track(flakyDocs, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          bdf.collect().foreach(r =>
+            view += r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val batch = rows.toDF("doc_id", "text")
+        .groupBy(sha2(col("text"), 256).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(view == batch,
+        s"retry corrupted the table:\n  stream=$view\n  batch=$batch")
+    }
+  }
+
   test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
