@@ -768,6 +768,55 @@ object WarehouseQueries {
           .orderBy("keep_id")
       }),
 
+    // The streaming INGEST PIPELINE composed end-to-end in one streaming
+    // Catalyst plan (the streaming twin of the flagship
+    // q_curation_pipeline's first two stages): per-row Gopher quality
+    // gates ride the micro-batch scan (pure expressions, the SAME ones
+    // as q_gopher_rules — no shuffle), survivors flow into the
+    // StreamingDedup.keepFirst ingest gate (digest-keyed RocksDB state),
+    // and the emitted keep_ids are exactly the documents a production
+    // ingest forwards downstream. Single-batch drain = the batch
+    // quality-filter + exact-dedup keeper set, so the oracle is plain
+    // SQL; across batches the gate's first-wins contract applies
+    // (StreamingDedupSpec).
+    Q("q_stream_curation",
+      Some("""WITH ok AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE len(string_split(text, ' ')) BETWEEN 50 AND 100000
+             |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |        / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             |        BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
+             |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             |        <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)
+             |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |        >= CAST(0.2 AS DOUBLE) * CAST(len(string_split(text, ' ')) AS DOUBLE))
+             |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+             |FROM ok GROUP BY sha256(text) ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        val sink = "q_stream_curation_sink"
+        graft.streaming.StateScope.withStateConf(s) {
+          val toksC = split(col("text"), " ")
+          val nW = size(toksC).cast("double")
+          val ok = graft.Tables.tableStream(s, d, "documents")
+            .filter(size(toksC).between(50, 100000)
+              && (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
+                .between(3.0, 10.0)
+              && (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+                <= lit(0.1) * length(col("text")).cast("double"))
+              && (size(array_distinct(toksC)).cast("double") >= lit(0.2) * nW))
+          val gate = graft.streaming.StreamingDedup.keepFirst(ok, "doc_id", "text")
+          val q = gate.writeStream.outputMode("append")
+            .format("memory").queryName(sink)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"q_stream_curation oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+        }
+        s.table(sink).select(col("keep_id")).orderBy("keep_id")
+      }),
+
     // Streaming histogram-quantile monitor (the streaming twin of
     // q_hist_quantile, on events): the equi-width bucket table as stream
     // state — every value lands in its clamped integer bucket batch-side
