@@ -132,8 +132,13 @@ object Bench {
     // is the calibration figure. Normalization rule in BASELINE.md
     // ("Streaming noise calibration").
     val streamCalib = Seq.fill(2)(graft.streaming.StreamingCalib.drainOnce(spark))
-    val lintErrors = lint.reports
-      .map(_.findings.count(_.severity == "error")).sum
+    // Drain the async ExecutionListenerBus before reading, then use the
+    // listener's MONOTONIC error counter — the report ring is a bounded
+    // dashboard view that benign info findings (every ORDER BY query
+    // emits GLOBAL_SORT) wrap long before the suite ends, and summing it
+    // would silently under-count evicted errors.
+    org.apache.spark.sql.graft.ListenerBusBridge.drain(spark)
+    val lintErrors = lint.errorCount
 
     def fmt(v: Double): String = "%.3f".format(v)
     // Keep the slowest entries; drop from the cheap end until it fits.

@@ -343,6 +343,43 @@ object TextAnalysis {
       regexp_replace(lower(graft.functions.unaccent(c)), "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** The four Gopher hard gates (Rae et al. 2021 §A1.1 heuristics) as
+    * named boolean Columns — word-count window, mean-word-length window,
+    * symbol-ratio cap, lexical-diversity floor — SHARED by the reporting
+    * query (q_gopher_rules selects all four) and the streaming curation
+    * gate (filters on [[gopherGate]], their conjunction), so the two
+    * surfaces cannot drift. Space-split tokens deliberately (the raw
+    * Gopher formulation), not the [[tokens]] regex tokenizer.
+    */
+  def gopherGates(text: Column): Seq[(String, Column)] = {
+    val toksC = split(text, " ")
+    val nW = size(toksC).cast("double")
+    Seq(
+      "wc_ok" -> size(toksC).between(50, 100000),
+      "mwl_ok" -> (length(regexp_replace(text, " ", "")).cast("double") / nW)
+        .between(3.0, 10.0),
+      "sym_ok" -> (length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double")
+        <= lit(0.1) * length(text).cast("double")),
+      "div_ok" -> (size(array_distinct(toksC)).cast("double") >= lit(0.2) * nW))
+  }
+
+  /** All four gates pass. */
+  def gopherGate(text: Column): Column =
+    gopherGates(text).map(_._2).reduce(_ && _)
+
+  /** The SAME four gates in DuckDB SQL (for oracles), name → clause. */
+  def gopherGateSql(textCol: String): Seq[(String, String)] = {
+    val toks = s"string_split($textCol, ' ')"
+    Seq(
+      "wc_ok" -> s"(len($toks) BETWEEN 50 AND 100000)",
+      "mwl_ok" -> (s"(CAST(length(replace($textCol, ' ', '')) AS DOUBLE) / CAST(len($toks) AS DOUBLE)" +
+        " BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE))"),
+      "sym_ok" -> (s"(CAST(length(regexp_replace($textCol, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)" +
+        s" <= CAST(0.1 AS DOUBLE) * CAST(length($textCol) AS DOUBLE))"),
+      "div_ok" -> (s"(CAST(len(list_distinct($toks)) AS DOUBLE)" +
+        s" >= CAST(0.2 AS DOUBLE) * CAST(len($toks) AS DOUBLE))"))
+  }
+
   /** Heuristic quality score in [0,1]: blends token-length plausibility,
     * alphabetic ratio, lexical diversity, and stopword presence — the
     * standard cheap pre-filter shape for web-scale corpora. Deterministic

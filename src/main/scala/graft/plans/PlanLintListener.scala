@@ -29,10 +29,25 @@ final class PlanLintListener extends QueryExecutionListener {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val buf = new java.util.concurrent.ConcurrentLinkedDeque[Report]()
+  private val errCount = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Newest-last reports (bounded at [[MaxReports]]). */
+  /** Newest-last reports (bounded at [[MaxReports]]) — a DASHBOARD view,
+    * not an accounting one: on a busy session benign info findings (a
+    * board of ORDER BY queries emits GLOBAL_SORT per action) evict older
+    * reports past the cap. Gates must read [[errorCount]] instead.
+    */
   def reports: Seq[Report] = buf.iterator.asScala.toSeq
-  def clear(): Unit = buf.clear()
+
+  /** Monotonic count of error-severity findings across ALL audited
+    * actions since registration (or [[clear]]) — never evicted, so it is
+    * the sound basis for a zero-scale-killers gate even when the report
+    * ring has wrapped. Readers should drain the async listener bus first
+    * (`ListenerBusBridge.drain`): callbacks arrive on the
+    * ExecutionListenerBus, not the action's thread.
+    */
+  def errorCount: Long = errCount.get()
+
+  def clear(): Unit = { buf.clear(); errCount.set(0L) }
 
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit = audit(funcName, qe)
@@ -43,6 +58,8 @@ final class PlanLintListener extends QueryExecutionListener {
     try {
       val findings = PlanLint.lintPlan(qe.executedPlan)
       if (findings.nonEmpty) {
+        val nErr = findings.count(_.severity == "error")
+        if (nErr > 0) errCount.addAndGet(nErr.toLong)
         buf.addLast(Report(action, findings))
         while (buf.size > MaxReports) buf.pollFirst()
         findings.foreach(f => log.warn(s"[graft-lint] $action: $f"))

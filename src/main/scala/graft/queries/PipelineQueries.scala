@@ -1312,32 +1312,24 @@ object PipelineQueries {
     // Gopher-style document quality rules (Rae et al. '21 §A1.1): per-doc
     // boolean gates on word count, mean word length, symbol ratio and
     // lexical diversity — integer/flag outputs, exactly reproducible.
-    Q("q_gopher_rules",
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             |  (len(string_split(text, ' ')) BETWEEN 50 AND 100000) AS wc_ok,
-             |  (CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
-             |     BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)) AS mwl_ok,
-             |  (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-             |     <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)) AS sym_ok,
-             |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |     >= CAST(0.2 AS DOUBLE) * CAST(len(string_split(text, ' ')) AS DOUBLE)) AS div_ok
-             |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => {
-        val toksC = split(col("text"), " ")
-        val nW = size(toksC).cast("double")
+    // Gate expressions shared with the streaming curation query
+    // (TextAnalysis.gopherGates / gopherGateSql) so the reporting and
+    // gating surfaces cannot drift.
+    Q("q_gopher_rules", {
+      val gates = TextAnalysis.gopherGateSql("text")
+        .map { case (name, clause) => s"$clause AS $name" }.mkString(",\n  ")
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              |  $gates
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) =>
         t(s, d, "documents")
-          .select(col("doc_id"),
-            size(toksC).cast("long").as("n_words"),
-            size(toksC).between(50, 100000).as("wc_ok"),
-            (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
-              .between(3.0, 10.0).as("mwl_ok"),
-            (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
-              <= lit(0.1) * length(col("text")).cast("double")).as("sym_ok"),
-            (size(array_distinct(toksC)).cast("double")
-              >= lit(0.2) * size(toksC).cast("double")).as("div_ok"))
-          .orderBy("doc_id")
-      }),
+          .select(col("doc_id") +:
+            size(split(col("text"), " ")).cast("long").as("n_words") +:
+            TextAnalysis.gopherGates(col("text"))
+              .map { case (name, c) => c.as(name) }: _*)
+          .orderBy("doc_id")),
 
     // Corpus-quantile quality filter: keep docs at/above the 25th-percentile
     // quality score. The threshold is ONE tree-aggregated scalar broadcast

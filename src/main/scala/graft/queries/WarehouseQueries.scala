@@ -503,20 +503,11 @@ object WarehouseQueries {
             .filter(col("n_prev") === 100 && abs(col("z")) > 3.0)
             .select(col("tie").as("event_id"), col("key").as("event_type"),
               floor(col("z") * lit(1000.0)).cast("long").as("z_milli"))
-          val q = alerts.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          // Oracle parity assumes the drain is ONE data micro-batch:
-          // RollingZProcessor orders rows (ts, tie) only WITHIN a batch, so
-          // a multi-batch drain (maxFilesPerTrigger set, files landing
-          // incrementally) would score in per-key arrival order instead of
-          // global (ts, tie) order and silently diverge from the oracle.
-          // Fail loudly here instead.
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_anomaly oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          // single-batch contract matters MOST here: RollingZProcessor
+          // orders rows (ts, tie) only WITHIN a batch, so a multi-batch
+          // drain would score in per-key arrival order and silently
+          // diverge from the oracle
+          graft.streaming.StateScope.drainSingleBatch(alerts, sink)
         }
         s.table(sink).orderBy("event_id", "event_type", "z_milli")
       }),
@@ -599,14 +590,7 @@ object WarehouseQueries {
         graft.streaming.StateScope.withStateConf(s) {
           val cands = graft.streaming.StreamingNearDedup.candidatePairs(
             graft.Tables.tableStream(s, d, "documents"), "doc_id", "text")
-          val q = cands.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_neardedup oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(cands, sink)
         }
         graft.streaming.StreamingNearDedup.verified(
             s.table(sink).dropDuplicates("new_id", "old_id"),
@@ -637,16 +621,7 @@ object WarehouseQueries {
           val tracked = graft.streaming.StreamingHeavyHitters.track(
             graft.Tables.eventsStream(s, d), "user_id", "event_type",
             m = 16, minGuaranteed = 20L)
-          val q = tracked.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          // One emission per key per batch: a multi-batch drain would
-          // append per-batch snapshots and double-count in the sink.
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_heavy oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(tracked, sink)
         }
         s.table(sink)
           .select(col("key").cast("long").as("user_id"),
@@ -675,16 +650,9 @@ object WarehouseQueries {
         graft.streaming.StateScope.withStateConf(s) {
           val toks = graft.Tables.tableStream(s, d, "documents")
             .select(explode(split(lower(col("text")), " ")).as("token"))
-          val q = graft.streaming.StreamingCms.track(toks, "token",
-              depth = 4, width = 256)
-            .writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_cms oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(
+            graft.streaming.StreamingCms.track(toks, "token",
+              depth = 4, width = 256), sink)
         }
         s.table(sink).orderBy("cms_row", "cms_bucket")
       }),
@@ -721,14 +689,7 @@ object WarehouseQueries {
             length(col("text")))
           val tracked = graft.streaming.StreamingSample.track(
             prioritized, "source", "doc_id", k = 8)
-          val q = tracked.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_sample oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(tracked, sink)
         }
         s.table(sink)
           .select(col("key").as("source"), col("id").as("doc_id"),
@@ -753,16 +714,10 @@ object WarehouseQueries {
       (s, d) => {
         val sink = "q_stream_dedup_sink"
         graft.streaming.StateScope.withStateConf(s) {
-          val tracked = graft.streaming.StreamingDedup.track(
-            graft.Tables.tableStream(s, d, "documents"), "doc_id", "text")
-          val q = tracked.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_dedup oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(
+            graft.streaming.StreamingDedup.track(
+              graft.Tables.tableStream(s, d, "documents"), "doc_id", "text"),
+            sink)
         }
         s.table(sink).select(col("keep_id"), col("n_copies"))
           .orderBy("keep_id")
@@ -779,40 +734,22 @@ object WarehouseQueries {
     // quality-filter + exact-dedup keeper set, so the oracle is plain
     // SQL; across batches the gate's first-wins contract applies
     // (StreamingDedupSpec).
-    Q("q_stream_curation",
-      Some("""WITH ok AS (
-             |  SELECT doc_id, text FROM documents
-             |  WHERE len(string_split(text, ' ')) BETWEEN 50 AND 100000
-             |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             |        / CAST(len(string_split(text, ' ')) AS DOUBLE)
-             |        BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)
-             |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-             |        <= CAST(0.1 AS DOUBLE) * CAST(length(text) AS DOUBLE)
-             |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |        >= CAST(0.2 AS DOUBLE) * CAST(len(string_split(text, ' ')) AS DOUBLE))
-             |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
-             |FROM ok GROUP BY sha256(text) ORDER BY keep_id""".stripMargin),
+    Q("q_stream_curation", {
+      val gate = graft.operators.TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH ok AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE $gate)
+              |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+              |FROM ok GROUP BY sha256(text) ORDER BY keep_id""".stripMargin)
+    },
       (s, d) => {
         val sink = "q_stream_curation_sink"
         graft.streaming.StateScope.withStateConf(s) {
-          val toksC = split(col("text"), " ")
-          val nW = size(toksC).cast("double")
           val ok = graft.Tables.tableStream(s, d, "documents")
-            .filter(size(toksC).between(50, 100000)
-              && (length(regexp_replace(col("text"), " ", "")).cast("double") / nW)
-                .between(3.0, 10.0)
-              && (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
-                <= lit(0.1) * length(col("text")).cast("double"))
-              && (size(array_distinct(toksC)).cast("double") >= lit(0.2) * nW))
-          val gate = graft.streaming.StreamingDedup.keepFirst(ok, "doc_id", "text")
-          val q = gate.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_curation oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+            .filter(graft.operators.TextAnalysis.gopherGate(col("text")))
+          graft.streaming.StateScope.drainSingleBatch(
+            graft.streaming.StreamingDedup.keepFirst(ok, "doc_id", "text"), sink)
         }
         s.table(sink).select(col("keep_id")).orderBy("keep_id")
       }),
@@ -849,14 +786,7 @@ object WarehouseQueries {
             graft.Tables.eventsStream(s, d), "event_type",
             floor(col("value") * lit(100.0)).cast("long"),
             lo = 0L, hi = 12800L, buckets = 64)
-          val q = tracked.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_quantile oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(tracked, sink)
         }
         graft.operators.HistQuantile.quantiles(
             s.table(sink).withColumnRenamed("g", "event_type"),
@@ -899,14 +829,7 @@ object WarehouseQueries {
           val joined = graft.streaming.StreamingSessions.intervalJoin(
             views, clicks, "user_id", "ts", "4 hours", "2 hours",
             carryLeft = Seq("event_id"), carryRight = Seq("event_id"))
-          val q = joined.writeStream.outputMode("append")
-            .format("memory").queryName(sink)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 1,
-            s"q_stream_join oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+          graft.streaming.StateScope.drainSingleBatch(joined, sink)
         }
         s.table(sink)
           .select(col("k").as("user_id"),

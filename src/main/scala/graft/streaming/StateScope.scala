@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
 
 /** Session-conf scope for the streaming scoreboard drains.
   *
@@ -31,6 +32,25 @@ object StateScope {
 
   /** Scoreboard drains' state-partition sizing (see class doc, point 2). */
   val StatePartitions = 8
+
+  /** The scoreboard drain harness every monitor query shares: drain `df`
+    * into a named memory sink with Trigger.AvailableNow and assert the
+    * drain was exactly ONE data micro-batch. Oracle parity depends on it
+    * two ways: monitors re-emit touched keys per batch (a multi-batch
+    * drain appends stale generations into the append-mode memory sink),
+    * and order-sensitive monitors (the anomaly scorer) order rows only
+    * WITHIN a batch. Fail loudly instead of silently diverging.
+    */
+  def drainSingleBatch(df: DataFrame, sinkName: String): Unit = {
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$sinkName oracle requires a single-batch drain; saw $dataBatches data micro-batches")
+  }
 
   def withStateConf[A](spark: SparkSession,
       statePartitions: Int = StatePartitions)(body: => A): A = {

@@ -31,6 +31,17 @@ object SortOrderBridge {
   }
 }
 
+/** Listener-bus drain: QueryExecutionListener callbacks are delivered on
+  * the ASYNC ExecutionListenerBus, so a reader summing audit results
+  * right after its last action can race the delivery and under-count.
+  * LiveListenerBus.waitUntilEmpty is private[spark]; exposed here for the
+  * bench's lint gate (same access-only pattern as the other bridges).
+  */
+object ListenerBusBridge {
+  def drain(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+}
+
 /** Same access story for constructing a DataFrame from a custom logical
   * plan node (Dataset.ofRows is private[sql] in Spark 4).
   */

@@ -114,6 +114,29 @@ class LintSpec extends SparkTestBase {
     } finally graft.plans.PlanLintListener.unwatch(spark, l)
   }
 
+  test("errorCount survives report-ring eviction (the gate reads the counter, not the ring)") {
+    import org.apache.spark.sql.expressions.Window
+    val l = graft.plans.PlanLint.watch(spark)
+    try {
+      // one error-severity plan...
+      Tables.t(spark, sf, "lineitem")
+        .withColumn("rn",
+          row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
+        .write.format("noop").mode("overwrite").save()
+      // ...then flood the ring past MaxReports with benign info findings
+      // (a global ORDER BY per action — the board's dominant shape)
+      (1 to graft.plans.PlanLintListener.MaxReports + 10).foreach { i =>
+        spark.range(0, 50).orderBy(col("id").desc)
+          .write.format("noop").mode("overwrite").save()
+      }
+      org.apache.spark.sql.graft.ListenerBusBridge.drain(spark)
+      assert(!l.reports.exists(_.findings.exists(_.severity == "error")),
+        "precondition: the error report should have been evicted by the flood")
+      assert(l.errorCount >= 1L,
+        "the monotonic counter must still carry the evicted error")
+    } finally graft.plans.PlanLintListener.unwatch(spark, l)
+  }
+
   // ---- exception-list hygiene -------------------------------------------
   // Every acknowledged name is a PAIR (name -> why the error is
   // acceptable), and the registration site is not hand-maintained: it is
