@@ -137,7 +137,11 @@ object Bench {
     // dashboard view that benign info findings (every ORDER BY query
     // emits GLOBAL_SORT) wrap long before the suite ends, and summing it
     // would silently under-count evicted errors.
-    org.apache.spark.sql.graft.ListenerBusBridge.drain(spark)
+    // The drain's bound (10 s inside Spark) can expire on a contended
+    // machine; a slightly-stale count is acceptable there — losing the
+    // artifact below to the throw is not (fail-after-print contract).
+    try org.apache.spark.sql.graft.ListenerBusBridge.drain(spark)
+    catch { case _: java.util.concurrent.TimeoutException => () }
     val lintErrors = lint.errorCount
 
     def fmt(v: Double): String = "%.3f".format(v)

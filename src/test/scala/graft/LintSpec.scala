@@ -99,14 +99,10 @@ class LintSpec extends SparkTestBase {
       li.withColumn("rn",
           row_number().over(Window.orderBy("l_orderkey", "l_linenumber")))
         .write.format("noop").mode("overwrite").save()
-      // listener events are posted asynchronously — poll up to 10 s
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var hits = Seq.empty[graft.plans.PlanLintListener.Report]
-      while (hits.isEmpty && System.nanoTime() < deadline) {
-        hits = l.reports.filter(
-          _.findings.exists(_.rule == "UNPARTITIONED_WINDOW"))
-        if (hits.isEmpty) Thread.sleep(100)
-      }
+      // listener events are posted asynchronously — drain the bus first
+      org.apache.spark.sql.graft.ListenerBusBridge.drain(spark)
+      val hits = l.reports.filter(
+        _.findings.exists(_.rule == "UNPARTITIONED_WINDOW"))
       assert(hits.nonEmpty,
         s"UNPARTITIONED_WINDOW never surfaced; got ${l.reports}")
       assert(!l.reports.exists(r => r.findings.isEmpty),
@@ -184,6 +180,7 @@ class LintSpec extends SparkTestBase {
     // streaming drains
     "q_stream_anomaly", "q_stream_session", "q_stream_neardedup",
     "q_stream_heavy", "q_stream_join", "q_stream_sample", "q_stream_cms",
+    "q_stream_dedup", "q_stream_quantile", "q_stream_curation",
     // driver-loop iterative builders (collect per round by contract)
     "q_coreset", "q_mmr_select", "q_embed_knn_ivf", "q_embed_knn_ivfpq",
     "q_embed_knn_pq", "q_pq_assign", "q_ivf_assign", "q_kmeans_step",
