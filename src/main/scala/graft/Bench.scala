@@ -168,8 +168,8 @@ object Bench {
     // Fail-after-print: the artifact above survives; a nonzero exit says
     // a scale-killer (error-severity lint rule) appeared in an EXECUTED
     // plan this round — details were logged at WARN with [graft-lint].
-    require(lintErrors == 0,
+    try require(lintErrors == 0,
       s"$lintErrors error-severity lint findings in executed plans")
-    spark.stop()
+    finally spark.stop()
   }
 }

@@ -43,7 +43,7 @@ object HistQuantile {
     (((vc - lit(lo)) * lit(buckets.toLong)) / lit(hi - lo)).cast("long")
   }
 
-  private def checkRange(lo: Long, hi: Long, buckets: Int): Unit = {
+  private[graft] def checkRange(lo: Long, hi: Long, buckets: Int): Unit = {
     require(buckets >= 2 && buckets <= (1 << 16), s"buckets in [2,65536]: $buckets")
     require(hi > lo, s"hi must exceed lo: [$lo, $hi)")
     require((hi - lo) % buckets == 0,

@@ -67,6 +67,10 @@ object StreamingHistQuantile {
     */
   def track(stream: DataFrame, groupCol: String, value: Column,
       lo: Long, hi: Long, buckets: Int): DataFrame = {
+    // Same up-front contract as the batch sketchBy: an invalid range must
+    // fail HERE, not after it has been frozen into checkpointed state and
+    // the reader's own checkRange rejects the sketch it can no longer fix.
+    HistQuantile.checkRange(lo, hi, buckets)
     val spark = stream.sparkSession
     import spark.implicits._
     stream

@@ -12,6 +12,21 @@ import graft.streaming.{StateScope, StreamingHistQuantile}
   */
 class StreamingHistQuantileSpec extends SparkTestBase {
 
+  test("track rejects an invalid range up front, before any state exists") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val df = mem.toDF().withColumnRenamed("_1", "grp").withColumnRenamed("_2", "v")
+    // (hi - lo) not divisible by buckets: the same contract the batch
+    // sketchBy enforces — frozen into a checkpoint it would be unfixable
+    val boom = intercept[IllegalArgumentException] {
+      StreamingHistQuantile.track(df, "grp", col("v"),
+        lo = 0L, hi = 1000L, buckets = 7)
+    }
+    assert(boom.getMessage.contains("divide evenly"),
+      s"unexpected failure: ${boom.getMessage}")
+  }
+
   test("multi-batch drain equals the batch sketch, nulls dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -12,18 +12,12 @@ import graft.streaming.{StreamingSample, WsItem}
   */
 class StreamingSampleSpec extends SparkTestBase {
 
-  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
-
-  private def withRocksDb[A](body: => A): A = {
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
-    }
-  }
+  /** The production drain conf (RocksDB provider + pinned state
+    * partitions), restored on exit — restart tests must run the same
+    * conf shape as the scoreboard drains, and in ONE place.
+    */
+  private def withRocksDb[A](body: => A): A =
+    graft.streaming.StateScope.withStateConf(spark)(body)
 
   test("multi-batch drain ends at exactly the batch sampler's draw") {
     import spark.implicits._
