@@ -126,6 +126,35 @@ object Mixture {
     conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
     lit(m))
 
+  /** Seeded deterministic global shuffle + exact-size shard cut — the
+    * "shuffle the corpus, then slice it into equal training shards" step
+    * a large-scale run performs before packing. The permutation key is
+    * md5(seed ":" id), a pure function of (seed, id): any engine, any
+    * partitioning, any rerun reproduces the SAME order, and a new seed
+    * is a fresh independent shuffle — the property an RNG-seeded
+    * `orderBy(rand(seed))` loses the moment the engine's RNG changes.
+    * `pos` (1-based permutation position) comes from the two-phase
+    * [[GlobalRank]] rank — range-chunked local row_number + broadcast
+    * chunk offsets, never a single-task global window — and `shard` is
+    * exact NTILE(shards): every shard within one row of n/shards,
+    * unlike hash-bucket sharding whose sizes fluctuate binomially.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, seed: Long, shards: Int,
+      chunks: Int = 64): DataFrame = {
+    require(shards > 0, s"shard count must be positive: $shards")
+    // the digest's first 60 bits as a long: numeric so GlobalRank can
+    // range-chunk it (percentile cutpoints need a number, not hex text),
+    // and exactly re-derivable in any engine from the same md5
+    val key = conv(substring(
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    GlobalRank.withNtile(df.withColumn("__sk", key),
+        col("__sk"), Seq(col("__sk"), col(idCol)),
+        k = shards, bucketCol = "shard", chunks = chunks)
+      .withColumnRenamed("rn", "pos")
+      .drop("__sk", "n_total")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,

@@ -2342,6 +2342,26 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
           .orderBy("split")),
 
+    // Seeded deterministic corpus shuffle + exact-size shard cut
+    // (Mixture.shuffleShard): pos = global rank under md5(seed:id) via
+    // the two-phase GlobalRank (no single-task window), shard = exact
+    // NTILE — reproducible on any engine, so the oracle checks the FULL
+    // permutation, not just shard sizes.
+    Q("q_shuffle_shard",
+      Some("""SELECT doc_id,
+             |  CAST(ntile(16) OVER w AS BIGINT) AS shard,
+             |  CAST(row_number() OVER w AS BIGINT) AS pos
+             |FROM documents
+             |WINDOW w AS (ORDER BY
+             |  CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |  doc_id)
+             |ORDER BY pos""".stripMargin),
+      (s, d) =>
+        Mixture.shuffleShard(t(s, d, "documents").select("doc_id"),
+            "doc_id", seed = 42L, shards = 16, chunks = 32)
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("pos")),
+
     // Deterministic k-fold assignment (Mixture.kfold): fold = md5-bucket
     // mod k — hashSplit's cross-validation counterpart, reproducible in
     // any engine so no example migrates between train and held-out

@@ -84,6 +84,44 @@ class MixtureSpec extends SparkTestBase {
       Mixture.hashSplit(docs, "doc_id", Seq("a" -> 0.5)))
   }
 
+  test("shuffleShard: exact permutation + exact shard sizes, repartition-stable, seed-sensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    val n = docs.count()
+    val k = 7
+    val out = Mixture.shuffleShard(docs, "doc_id", seed = 42L, shards = k,
+      chunks = 8)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // pos is the exact 1..n permutation of the md5(seed:id) order
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    val expectOrder = rows.map(_._1).sortBy(id =>
+      (java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"42:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16), id))
+    assert(rows.sortBy(_._3).map(_._1).toSeq == expectOrder.toSeq,
+      "permutation diverged from the md5 reference order")
+    // shard sizes are exact NTILE: every shard within one row of n/k,
+    // big shards first
+    val sizes = rows.groupBy(_._2).map { case (s2, rs) => s2 -> rs.size.toLong }
+    assert(sizes.keySet == (1L to k).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes.toSeq.sortBy(_._1).map(_._2).sorted.reverse ==
+      sizes.toSeq.sortBy(_._1).map(_._2), "bigger shards must come first")
+    // pure function of (seed, id): repartitioning changes nothing
+    val b = Mixture.shuffleShard(docs.repartition(13), "doc_id", 42L, k,
+        chunks = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(rows.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val c = Mixture.shuffleShard(docs, "doc_id", 43L, k, chunks = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    assert(c.toMap != rows.map(r => r._1 -> r._3).toMap)
+    intercept[IllegalArgumentException](
+      Mixture.shuffleShard(docs, "doc_id", 42L, shards = 0))
+  }
+
   test("ppsSample: strides sum to k, heavy rows absorb several, repartition-stable") {
     import spark.implicits._
     // one row carries half the total weight -> it must absorb ~k/2 strides
