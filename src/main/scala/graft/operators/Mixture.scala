@@ -142,12 +142,23 @@ object Mixture {
   def shuffleShard(df: DataFrame, idCol: String, seed: Long, shards: Int,
       chunks: Int = 64): DataFrame = {
     require(shards > 0, s"shard count must be positive: $shards")
+    val clash = df.columns.toSet
+      .intersect(Set("pos", "shard", "rn", "n_total", "__sk"))
+    require(clash.isEmpty,
+      s"shuffleShard writes pos/shard (via rn/n_total/__sk); input already has: $clash")
     // the digest's first 60 bits as a long: numeric so GlobalRank can
     // range-chunk it (percentile cutpoints need a number, not hex text),
-    // and exactly re-derivable in any engine from the same md5
-    val key = conv(substring(
-        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+    // and exactly re-derivable in any engine from the same md5. concat
+    // (not concat_ws) so a NULL id propagates to a NULL key instead of
+    // silently hashing as md5(seed) — and a NULL key fails loudly below:
+    // the id is the permutation's tie-break, so a deterministic shuffle
+    // of NULL-id rows is ill-defined by construction.
+    val key0 = conv(substring(
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))),
         1, 15), 16, 10).cast("long")
+    val key = coalesce(key0, assert_true(key0.isNotNull,
+      lit(s"shuffleShard: NULL $idCol — the deterministic permutation " +
+        "requires non-null ids (they are its tie-break)")).cast("long"))
     GlobalRank.withNtile(df.withColumn("__sk", key),
         col("__sk"), Seq(col("__sk"), col(idCol)),
         k = shards, bucketCol = "shard", chunks = chunks)

@@ -122,6 +122,26 @@ class MixtureSpec extends SparkTestBase {
       Mixture.shuffleShard(docs, "doc_id", 42L, shards = 0))
   }
 
+  test("shuffleShard: NULL ids and reserved-name clashes fail loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // NULL id: the permutation's tie-break is gone — must raise, not
+    // silently hash all NULL rows onto md5(seed) in arbitrary order
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val boom = intercept[Exception] {
+      Mixture.shuffleShard(withNull, "doc_id", 42L, 2, chunks = 2).collect()
+    }
+    assert(boom.getMessage.contains("non-null ids")
+        || Option(boom.getCause).exists(_.getMessage.contains("non-null ids")),
+      s"unexpected failure: $boom")
+    // an input already carrying an output/internal column name must be
+    // rejected up front (withColumnRenamed would DUPLICATE a pos column)
+    val clash = Seq((1L, 9L)).toDF("doc_id", "pos")
+    val boom2 = intercept[IllegalArgumentException](
+      Mixture.shuffleShard(clash, "doc_id", 42L, 2))
+    assert(boom2.getMessage.contains("already has"))
+  }
+
   test("ppsSample: strides sum to k, heavy rows absorb several, repartition-stable") {
     import spark.implicits._
     // one row carries half the total weight -> it must absorb ~k/2 strides
