@@ -265,6 +265,36 @@ class DataFuzzSpec extends SparkTestBase {
     assert(global.count() == 6)
   }
 
+  test("shuffleShard: empty corpus, single row, and shards > n all well-defined") {
+    import spark.implicits._
+    // empty corpus: the percentile cutpoints aggregate sees zero rows —
+    // must yield an empty result with the contract columns, not a throw
+    val empty = Mixture.shuffleShard(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", 7L, 4,
+      chunks = 4)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("doc_id", "text", "pos", "shard"))
+    // single row: position 1, shard 1, regardless of shard count
+    val one = Mixture.shuffleShard(Seq((42L, "x")).toDF("doc_id", "text"),
+      "doc_id", 7L, 4, chunks = 4).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("pos") == 1L
+      && one(0).getAs[Long]("shard") == 1L)
+    // shards > n: NTILE's closed form degrades to shard i = row i — every
+    // shard at most one row, positions still the full permutation
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cut = Mixture.shuffleShard(tiny, "doc_id", 7L, shards = 5, chunks = 2)
+      .collect()
+    assert(cut.map(_.getAs[Long]("pos")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(cut.map(_.getAs[Long]("shard")).sorted.toSeq == Seq(1L, 2L, 3L),
+      "shards beyond n must stay empty, occupied shards one row each")
+    // and the permutation is partition-stable
+    val a = Mixture.shuffleShard(tiny.repartition(3), "doc_id", 7L, 5,
+      chunks = 2)
+    assert(collectSorted(a) == collectSorted(
+      Mixture.shuffleShard(tiny.coalesce(1), "doc_id", 7L, 5, chunks = 2)),
+      "shuffleShard not partition-stable")
+  }
+
   test("GlobalRank.withRowNumber: a permutation of 1..n even with heavy ties") {
     import spark.implicits._
     // all-ties rank key; order columns make the total order unique
