@@ -130,8 +130,17 @@ object Bench {
     // now. Run twice post-suite (streaming classes already warmed by the
     // q_stream_* queries, matching their steady state); min of the two
     // is the calibration figure. Normalization rule in BASELINE.md
-    // ("Streaming noise calibration").
-    val streamCalib = Seq.fill(2)(graft.streaming.StreamingCalib.drainOnce(spark))
+    // ("Streaming noise calibration"). A probe failure (e.g. a RocksDB
+    // init hiccup) must not abort the run and lose the artifact —
+    // fail-after-print applies here too, so failures read as the -1.0
+    // sentinel, matching the per-query failure convention above.
+    val streamCalib = Seq.fill(2)(
+      try graft.streaming.StreamingCalib.drainOnce(spark)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming calib failed: ${e.getMessage}")
+          -1.0
+      })
     // Drain the async ExecutionListenerBus before reading, then use the
     // listener's MONOTONIC error counter — the report ring is a bounded
     // dashboard view that benign info findings (every ORDER BY query
@@ -164,12 +173,29 @@ object Bench {
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)
       drop += 1
-    println(line(asc.drop(drop), asc.take(drop)))
-    // Fail-after-print: the artifact above survives; a nonzero exit says
-    // a scale-killer (error-severity lint rule) appeared in an EXECUTED
-    // plan this round — details were logged at WARN with [graft-lint].
-    try require(lintErrors == 0,
-      s"$lintErrors error-severity lint findings in executed plans")
-    finally spark.stop()
+    val artifact = line(asc.drop(drop), asc.take(drop))
+    // Eviction-proofing (round-13 postmortem: BENCH_r13.json was
+    // parsed:null because async RocksDB/Netty teardown logs landed AFTER
+    // the artifact println and scrolled it out of the driver's ~2000-char
+    // output tail). The artifact must be the LAST thing this process can
+    // emit, so all teardown happens first:
+    //   1. quiesce streaming state stores (unload RocksDB providers, join
+    //      the maintenance thread) — kills the late MANIFEST-verification
+    //      ERROR spew at its source instead of racing it;
+    //   2. stop the session (Netty/RPC teardown logs land here, before
+    //      the artifact);
+    //   3. print the artifact;
+    //   4. fail-after-print: exit 1 on error-severity lint findings in
+    //      executed plans (details were logged at WARN with [graft-lint]
+    //      before the artifact). sys.exit, not an exception — a throw
+    //      here would stack-trace AFTER the artifact and re-create the
+    //      eviction this block exists to prevent.
+    if (lintErrors != 0)
+      System.err.println(
+        s"[bench] $lintErrors error-severity lint findings in executed plans")
+    org.apache.spark.sql.graft.StateStoreBridge.stopAll()
+    spark.stop()
+    println(artifact)
+    if (lintErrors != 0) sys.exit(1)
   }
 }

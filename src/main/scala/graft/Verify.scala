@@ -48,6 +48,11 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Quiesce streaming state stores before stopping: the q_stream_*
+    // dumps leave RocksDB providers loaded, and their background
+    // maintenance otherwise races session teardown (late ERROR spew
+    // against already-deleted checkpoint dirs — see StateStoreBridge).
+    org.apache.spark.sql.graft.StateStoreBridge.stopAll()
     spark.stop()
   }
 }

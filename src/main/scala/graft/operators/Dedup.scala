@@ -106,10 +106,26 @@ object Dedup {
     * re-running full-corpus dedup per ingest would be the scale mistake.
     */
   def exactIncremental(newDf: DataFrame, corpus: DataFrame,
-      contentCol: String, idCol: String): DataFrame = {
+      contentCol: String, idCol: String): DataFrame =
+    exactIncrementalDigests(newDf,
+      corpus.select(sha2(col(contentCol), 256).as("content_hash")),
+      "content_hash", contentCol, idCol)
+
+  /** [[exactIncremental]] against an already-DIGESTED corpus — the
+    * compaction handoff from the streaming dedup monitor
+    * ([[graft.streaming.StreamingDedup]]): its drained state table holds
+    * sha2-256 digests, never document content, and those digests ARE the
+    * seen-corpus here. The keep decisions continue bit-for-bit (same
+    * digest arithmetic, same anti-join, same within-batch min-id tie
+    * break), so "run the monitor, periodically compact its state to a
+    * static digest table, dedup further ingests in batch" is one
+    * contract end-to-end — spec-pinned in StreamingDedupSpec.
+    */
+  def exactIncrementalDigests(newDf: DataFrame, corpusDigests: DataFrame,
+      digestCol: String, contentCol: String, idCol: String): DataFrame = {
     val newDig = newDf.select(col(idCol).as("new_id"),
       sha2(col(contentCol), 256).as("content_hash"))
-    val seen = corpus.select(sha2(col(contentCol), 256).as("content_hash")).distinct()
+    val seen = corpusDigests.select(col(digestCol).as("content_hash")).distinct()
     newDig.join(seen, Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col("new_id")).as("keep_id"), count(lit(1)).as("n_copies"))

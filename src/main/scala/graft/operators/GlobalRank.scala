@@ -32,6 +32,24 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object GlobalRank {
 
+  /** Internal temp columns the rank builders add to (and drop from) the
+    * INPUT frame. `withColumn` silently REPLACES an existing column, so an
+    * input already carrying one of these names would be overwritten and
+    * then dropped from the output instead of failing loudly — every public
+    * entry point here rejects such inputs, and wrappers embedding
+    * GlobalRank behind their own reserved-name check (e.g.
+    * `Mixture.shuffleShard`) fold this set into theirs.
+    */
+  val ReservedInternalColumns: Set[String] =
+    Set("__cuts", "__chunk", "__lrn", "__lcum", "__c2", "__off",
+      "__base", "__rem", "__big", "__cutoff")
+
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(ReservedInternalColumns)
+    require(clash.isEmpty, "GlobalRank reserves internal column names; " +
+      s"input already has: ${clash.toSeq.sorted.mkString(", ")}")
+  }
+
   /** Adds `__chunk`, a monotone range-bucket of `rangeCol`: rows in chunk
     * i sort entirely before chunk i+1, and equal values share a chunk.
     * Cutpoints are approximate quantiles — accuracy is a load-balance
@@ -39,6 +57,7 @@ object GlobalRank {
     */
   private def chunkByRange(df: DataFrame, rangeCol: Column,
       chunks: Int): DataFrame = {
+    requireNoReserved(df) // single choke point: all three builders chunk first
     require(chunks > 1, s"need at least 2 chunks, got $chunks")
     val probs = array((1 until chunks).map(i => lit(i.toDouble / chunks)): _*)
     val cuts = df.agg(

@@ -142,10 +142,15 @@ object Mixture {
   def shuffleShard(df: DataFrame, idCol: String, seed: Long, shards: Int,
       chunks: Int = 64): DataFrame = {
     require(shards > 0, s"shard count must be positive: $shards")
-    val clash = df.columns.toSet
-      .intersect(Set("pos", "shard", "rn", "n_total", "__sk"))
-    require(clash.isEmpty,
-      s"shuffleShard writes pos/shard (via rn/n_total/__sk); input already has: $clash")
+    // reserved names: our outputs/temps plus GlobalRank's internals — an
+    // input carrying any of them would be silently overwritten-then-
+    // dropped rather than failing loudly (ADVICE r13).
+    val clash = df.columns.toSet.intersect(
+      Set("pos", "shard", "rn", "n_total", "__sk") ++
+        GlobalRank.ReservedInternalColumns)
+    require(clash.isEmpty, "shuffleShard writes pos/shard (via " +
+      s"rn/n_total/__sk and GlobalRank internals); input already has: " +
+      clash.toSeq.sorted.mkString(", "))
     // the digest's first 60 bits as a long: numeric so GlobalRank can
     // range-chunk it (percentile cutpoints need a number, not hex text),
     // and exactly re-derivable in any engine from the same md5. concat

@@ -47,6 +47,14 @@ final class PlanLintListener extends QueryExecutionListener {
     */
   def errorCount: Long = errCount.get()
 
+  /** Reset the report ring and the error counter. NOT atomic with respect
+    * to in-flight audits: a callback landing between the two steps leaves
+    * a report whose errors the counter missed (or vice versa). Callers
+    * must quiesce first — no actions in flight and the async listener bus
+    * drained (`ListenerBusBridge.drain`) — exactly the discipline
+    * [[errorCount]] documents for reads. Gates that cannot quiesce should
+    * snapshot a baseline `errorCount` and diff instead of clearing.
+    */
   def clear(): Unit = { buf.clear(); errCount.set(0L) }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

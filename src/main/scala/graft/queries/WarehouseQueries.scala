@@ -723,6 +723,58 @@ object WarehouseQueries {
           .orderBy("keep_id")
       }),
 
+    // The CROSS-BATCH arrival-order contract of the streaming ingest
+    // gate, made DuckDB-verifiable (every other scoreboard drain asserts
+    // single-batch; the multi-batch semantics were pinned only in unit
+    // specs before this): two deterministic landing slices — even doc_ids
+    // land first, odd doc_ids arrive as a second file picked up by a
+    // checkpoint-resumed generation — flow through StreamingDedup's
+    // first-wins keepFirst gate. The keeper for a digest is therefore
+    // min(even ids) when the content appeared in slice 1, else
+    // min(odd ids): a closed-form oracle over arrival order itself.
+    // State (RocksDB, 8 partitions) persists across the two generations
+    // via the checkpoint; the memory sink can't resume one, so emissions
+    // collect through foreachBatch (driver-bounded: one row per distinct
+    // digest, the same bound as the memory-sink drains).
+    Q("q_stream_dedup_2b",
+      Some("""WITH d AS (SELECT doc_id, sha256(text) AS digest,
+             |    doc_id % 2 AS par FROM documents),
+             |k AS (SELECT digest,
+             |    min(CASE WHEN par = 0 THEN doc_id END) AS k0,
+             |    min(CASE WHEN par = 1 THEN doc_id END) AS k1
+             |  FROM d GROUP BY digest)
+             |SELECT digest, CAST(coalesce(k0, k1) AS BIGINT) AS keep_id
+             |FROM k ORDER BY keep_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val land = java.nio.file.Files
+          .createTempDirectory("q2b-landing").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q2b-ckpt").toString
+        // slice 1 lands before the stream starts
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(land)
+        val schema = s.read.parquet(land).schema
+        val acc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+        def drainGeneration(): Unit =
+          graft.streaming.StateScope.withStateConf(s) {
+            val stream = s.readStream.schema(schema).parquet(land)
+            graft.streaming.StateScope.drainSingleBatchInto(
+              graft.streaming.StreamingDedup.keepFirst(
+                stream, "doc_id", "text"), ckpt) { b =>
+              b.collect().foreach(r => acc.put(r.getString(0), r.getLong(1)))
+            }
+          }
+        drainGeneration() // generation 1: the even-id slice
+        // slice 2 lands; the resumed generation sees ONLY the new file
+        docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(land)
+        drainGeneration() // generation 2: first-wins vs checkpointed state
+        import scala.jdk.CollectionConverters._
+        acc.asScala.toSeq.toDF("digest", "keep_id").orderBy("keep_id")
+      }),
+
     // The streaming INGEST PIPELINE composed end-to-end in one streaming
     // Catalyst plan (the streaming twin of the flagship
     // q_curation_pipeline's first two stages): per-row Gopher quality

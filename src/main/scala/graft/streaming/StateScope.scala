@@ -52,8 +52,51 @@ object StateScope {
       s"$sinkName oracle requires a single-batch drain; saw $dataBatches data micro-batches")
   }
 
+  /** Checkpointed single-batch drain into a caller-owned collector — the
+    * multi-generation form of [[drainSingleBatch]]: the memory sink
+    * cannot resume a checkpoint, so cross-restart scoreboard queries
+    * (e.g. q_stream_dedup_2b's two landing slices) drain through
+    * foreachBatch instead and RESUME state from `checkpoint` on the next
+    * call. Each generation must still be exactly one DATA micro-batch
+    * (same oracle-parity rationale as [[drainSingleBatch]]: one emission
+    * generation per drain, within-batch ordering only).
+    */
+  def drainSingleBatchInto(df: DataFrame, checkpoint: String)(
+      collect: DataFrame => Unit): Unit = {
+    val q = df.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) => collect(b) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"checkpointed drain requires a single data micro-batch per generation; saw $dataBatches")
+  }
+
+  /** Serializes [[withStateConf]] bodies: two overlapping drains would
+    * otherwise restore each other's stale conf values on exit.
+    */
+  private val confLock = new Object
+
+  /** Pin the drain conf (RocksDB provider + state partitions) for the
+    * duration of `body`, restoring the session values after.
+    *
+    * CONCURRENCY CONTRACT: the conf mutation is session-GLOBAL. Drains
+    * against the SAME session serialize on an internal lock (overlapping
+    * scopes would restore each other's stale values), but the lock cannot
+    * protect unrelated work: a BATCH query planned on this session while
+    * a drain holds the scope silently plans with `statePartitions`
+    * shuffle partitions and the RocksDB provider conf. Callers that mix
+    * concurrent batch and streaming work must give the drain its own
+    * session (`spark.newSession()` — build the stream AND read its
+    * memory sink from that session) or accept the pinned conf. The
+    * scoreboard harness (Bench/Verify) runs queries sequentially, so the
+    * single-drain, no-concurrent-batch precondition holds there by
+    * construction; ConcurrencySpec pins the batch-vs-batch case only.
+    */
   def withStateConf[A](spark: SparkSession,
-      statePartitions: Int = StatePartitions)(body: => A): A = {
+      statePartitions: Int = StatePartitions)(body: => A): A = confLock.synchronized {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevProvider = spark.conf.getOption(providerKey)

@@ -31,18 +31,20 @@ case class DedupFirst(digest: String, keep_id: Long)
   * digest — linear in distinct corpus content, the honest floor for
   * exact dedup (any exact scheme must remember every distinct content
   * seen). At production lifetimes, bound the window with a TTL on the
-  * state (dedup-within-horizon) or periodically compact the state into a
-  * static corpus-digest table consumed by the batch
-  * `Dedup.exactIncremental` anti-join.
+  * state (dedup-within-horizon — pass a real [[TTLConfig]]; an expired
+  * digest reads as never-seen, so its next arrival restarts the entry)
+  * or periodically compact the state into a static corpus-digest table
+  * consumed by the batch `Dedup.exactIncrementalDigests` anti-join.
+  * Both horizon controls are spec-exercised (StreamingDedupSpec).
   */
-class DedupDigestProcessor
+class DedupDigestProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, DedupArrival, DedupOut] {
 
   @transient private var agg: ValueState[DedupAgg] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     agg = getHandle.getValueState("a",
-      Encoders.product[DedupAgg], TTLConfig.NONE)
+      Encoders.product[DedupAgg], ttl)
 
   override def handleInputRows(key: String, rows: Iterator[DedupArrival],
       timers: TimerValues): Iterator[DedupOut] = {
@@ -69,14 +71,14 @@ class DedupDigestProcessor
   * `Dedup.exactIncremental` anti-join against an already-ingested
   * corpus.
   */
-class DedupFirstSeenProcessor
+class DedupFirstSeenProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, DedupArrival, DedupFirst] {
 
   @transient private var agg: ValueState[DedupAgg] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     agg = getHandle.getValueState("a",
-      Encoders.product[DedupAgg], TTLConfig.NONE)
+      Encoders.product[DedupAgg], ttl)
 
   override def handleInputRows(key: String, rows: Iterator[DedupArrival],
       timers: TimerValues): Iterator[DedupFirst] = {
@@ -112,15 +114,32 @@ object StreamingDedup {
     * longs). Task memory for the combine map is capped by
     * [[MapSideCombine.DefaultCap]]; flush-duplicated digests recombine
     * exactly because min and sum are associative+commutative.
+    *
+    * `ttl` bounds the horizon at production lifetimes: each digest's
+    * entry expires `ttl` after its LAST update, so the table answers
+    * "duplicate within the horizon" with state linear in the horizon's
+    * distinct content, not the corpus lifetime's. TTL requires
+    * processing-time semantics (the TimeMode switches accordingly), so
+    * a TTL'd monitor is no longer batch-replayable bit-for-bit — use
+    * the default (no TTL) + periodic compaction
+    * ([[graft.operators.Dedup.exactIncrementalDigests]]) when exact
+    * whole-history dedup is the contract. Run a TTL'd monitor with an
+    * interval `Trigger.ProcessingTime` or `Trigger.AvailableNow`
+    * generations: in processing-time mode the DEFAULT trigger
+    * self-triggers empty micro-batches back-to-back (the engine keeps
+    * cycling so TTL/timers can fire), which both burns the cluster and
+    * makes `processAllAvailable` never settle (spec-pinned).
     */
-  def track(stream: DataFrame, idCol: String, contentCol: String): DataFrame = {
+  def track(stream: DataFrame, idCol: String, contentCol: String,
+      ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     arrivals(stream, idCol, contentCol)
       .groupByKey(_.digest)
-      .transformWithState(new DedupDigestProcessor,
-        TimeMode.None, OutputMode.Append)
+      .transformWithState(new DedupDigestProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append)
       .toDF()
+      .transform(restoreNullDigest)
   }
 
   /** The ingest GATE: emits (digest, keep_id) only for first-seen
@@ -131,16 +150,39 @@ object StreamingDedup {
     * winner pinning is arrival-order-dependent by construction — the
     * `Dedup.exactIncremental` contract, spec-pinned.
     */
-  def keepFirst(stream: DataFrame, idCol: String,
-      contentCol: String): DataFrame = {
+  def keepFirst(stream: DataFrame, idCol: String, contentCol: String,
+      ttl: TTLConfig = TTLConfig.NONE): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     arrivals(stream, idCol, contentCol)
       .groupByKey(_.digest)
-      .transformWithState(new DedupFirstSeenProcessor,
-        TimeMode.None, OutputMode.Append)
+      .transformWithState(new DedupFirstSeenProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append)
       .toDF()
+      .transform(restoreNullDigest)
   }
+
+  /** TTL'd value state requires processing-time mode; without a TTL the
+    * monitors stay in TimeMode.None (pure data-driven, batch-replayable).
+    */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None else TimeMode.ProcessingTime
+
+  /** NULL-content sentinel. Batch `Dedup.exact` groups NULL-content rows
+    * under the NULL sha2 digest (SQL GROUP BY null semantics), but
+    * transformWithState REJECTS a null grouping key outright
+    * (INTERNAL_ERROR_TWS "Implicit key not found in state store" — found
+    * by StreamingFuzzSpec's NULL-content sweep, r14). So null digests
+    * ride the empty string through the stateful shuffle — impossible as
+    * a real digest (sha2 always emits 64 hex chars) — and emissions
+    * translate it back to NULL, preserving batch parity bit-for-bit.
+    */
+  private val NullDigestSentinel = ""
+
+  private def restoreNullDigest(df: DataFrame): DataFrame =
+    df.withColumn("digest",
+      when(col("digest") === NullDigestSentinel, lit(null: String))
+        .otherwise(col("digest")))
 
   /** Shared digest + per-partition (digest, min id, count) pre-reduction. */
   private def arrivals(stream: DataFrame, idCol: String,
@@ -148,7 +190,8 @@ object StreamingDedup {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
-      .select(sha2(col(contentCol).cast("string"), 256).as("digest"),
+      .select(coalesce(sha2(col(contentCol).cast("string"), 256),
+          lit(NullDigestSentinel)).as("digest"),
         col(idCol).cast("long").as("id"))
       .as[(String, Long)]
       .mapPartitions(rows => MapSideCombine.minCounts(rows)

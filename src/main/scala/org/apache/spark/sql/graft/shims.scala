@@ -42,6 +42,23 @@ object ListenerBusBridge {
     spark.sparkContext.listenerBus.waitUntilEmpty()
 }
 
+/** State-store quiesce: after a streaming query stops, its RocksDB
+  * providers stay registered in StateStore's loadedProviders map and the
+  * background maintenance thread keeps running snapshot/cleanup cycles
+  * against checkpoint dirs the stopped query has already deleted — async
+  * ERROR spew (RocksDB MANIFEST verification failures) that can land
+  * arbitrarily late, even after a process's final output line.
+  * StateStore.stop() unloads every provider and stops the maintenance
+  * task synchronously; mains that print a machine-parsed artifact call
+  * this BEFORE printing so nothing streaming-related can log after it.
+  * Access-only shim (the StateStore object is sql-internal), same
+  * pattern as the other bridges here.
+  */
+object StateStoreBridge {
+  def stopAll(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+}
+
 /** Same access story for constructing a DataFrame from a custom logical
   * plan node (Dataset.ofRows is private[sql] in Spark 4).
   */

@@ -178,6 +178,118 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("TTL horizon: an expired digest reads as never-seen; a live one still dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(8))
+      // TTL forces TimeMode.ProcessingTime, where the engine keeps
+      // cycling micro-batches so TTL/timers can fire — neither
+      // processAllAvailable nor Trigger.AvailableNow ever settles
+      // (measured: ~800 self-triggered batches on a 1-row stream before
+      // this test was restructured). So: ONE long-lived query on an
+      // interval ProcessingTime trigger (the production shape for a
+      // TTL'd monitor), observations by POLLING the collected emissions.
+      // TTL expiry is evaluated against each batch's processing
+      // timestamp; the wall-clock sleep is what expires the entry.
+      val mem = MemoryStream[(Long, String)]
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = StreamingDedup.track(toDocs(mem), "doc_id", "text", ttl)
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds"))
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          bdf.collect().foreach(r => emitted.add((r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      def awaitEmit(want: (Long, Long)): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!emitted.contains(want)) {
+          if (System.nanoTime() > deadline)
+            fail(s"timed out waiting for emission $want; saw: " +
+              s"${emitted.toArray.toSeq}")
+          Thread.sleep(100)
+        }
+      }
+      try {
+        // first sight: the table starts the entry at (keeper 5, 1 copy)
+        mem.addData((5L, "x")); awaitEmit((5L, 1L))
+        // inside the TTL: a live duplicate — same keeper, count grows
+        // (and the update RESETS the entry's TTL clock). The TTL must
+        // comfortably exceed per-batch latency (~1-2 s of RocksDB commit
+        // on a loaded box) or this arrival lands after expiry — the
+        // first cut used 1.5 s and flaked exactly that way.
+        mem.addData((6L, "x")); awaitEmit((5L, 2L))
+        // past the horizon: the entry expired, so the next arrival reads
+        // as never-seen and RESTARTS the entry — dedup-within-horizon,
+        // exactly the production control StreamingDedup's doc promises.
+        // (Without TTL this would emit (5, 3).) Generous sleep vs the
+        // 8 s TTL keeps the wall-clock dependence deterministic.
+        Thread.sleep(20000)
+        mem.addData((7L, "x")); awaitEmit((7L, 1L))
+        assert(!emitted.contains((5L, 3L)),
+          "expired entry continued instead of restarting")
+      } finally q.stop()
+    }
+  }
+
+  test("compaction handoff: drained state → static digest table → batch exactIncremental, bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      // ---- phase 1: the monitor ingests slice 1 and we COMPACT its
+      // state — the drained (digest → keeper) table is all the monitor
+      // remembers, and all the handoff needs (no document content).
+      val slice1 = Seq((9L, "x"), (5L, "x"), (3L, "y"), (4L, "z"))
+      val slice2 = Seq((1L, "x"), (8L, "z"), (7L, "w"), (11L, "w"), (12L, "y"))
+      val mem1 = MemoryStream[(Long, String)]
+      @volatile var state = Map.empty[String, Long] // digest → keep_id
+      val q1 = StreamingDedup.keepFirst(toDocs(mem1), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          bdf.collect().foreach(r => state += r.getString(0) -> r.getLong(1))
+        }
+        .start()
+      try { mem1.addData(slice1: _*); q1.processAllAvailable() }
+      finally q1.stop()
+      val compacted = state.keys.toSeq.toDF("digest")
+
+      // ---- phase 2a: the STREAM continues over slice 2 (same monitor,
+      // fresh state seeded implicitly by... nothing: a second monitor
+      // generation would normally resume the checkpoint. Here the point
+      // is the BATCH path, so the reference behavior is the live stream
+      // from phase 1 continuing:
+      val mem2 = MemoryStream[(Long, String)]
+      val streamed = scala.collection.mutable.Set.empty[Long]
+      val q2 = StreamingDedup.keepFirst(toDocs(mem2), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = bdf.collect().map(_.getLong(1))
+          streamed.synchronized { streamed ++= ids }
+          ()
+        }
+        .start()
+      try {
+        mem2.addData(slice1: _*); q2.processAllAvailable()
+        mem2.addData(slice2: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val streamKeeps = streamed.synchronized {
+        streamed.toSet -- Set(5L, 3L, 4L) } // slice-2 decisions only
+
+      // ---- phase 2b: the batch anti-join against the COMPACTED digests
+      // must reproduce those decisions bit-for-bit: x/y/z are in the
+      // table (suppressed), w is new (min id within the batch wins).
+      val batchKeeps = Dedup.exactIncrementalDigests(
+          slice2.toDF("doc_id", "text"), compacted, "digest", "text", "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchKeeps == streamKeeps,
+        s"handoff diverged: batch=$batchKeeps stream=$streamKeeps")
+      assert(batchKeeps == Set(7L), s"keep set wrong: $batchKeeps")
+    }
+  }
+
   test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
