@@ -95,7 +95,11 @@ object Dedup {
     * digests + ids only — at 100 TB the documents themselves never move.
     */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
-    df.groupBy(sha2(col(contentCol), 256).as("content_hash"))
+    // cast-to-string first: one digest arithmetic across the whole dedup
+    // family (exact / incremental / the streaming monitor's arrivals),
+    // so non-string content hashes identically everywhere. No-op for
+    // string columns.
+    df.groupBy(sha2(col(contentCol).cast("string"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
@@ -108,7 +112,8 @@ object Dedup {
   def exactIncremental(newDf: DataFrame, corpus: DataFrame,
       contentCol: String, idCol: String): DataFrame =
     exactIncrementalDigests(newDf,
-      corpus.select(sha2(col(contentCol), 256).as("content_hash")),
+      corpus.select(
+        sha2(col(contentCol).cast("string"), 256).as("content_hash")),
       "content_hash", contentCol, idCol)
 
   /** [[exactIncremental]] against an already-DIGESTED corpus — the
@@ -123,10 +128,18 @@ object Dedup {
     */
   def exactIncrementalDigests(newDf: DataFrame, corpusDigests: DataFrame,
       digestCol: String, contentCol: String, idCol: String): DataFrame = {
+    // Digest arithmetic must be bit-identical to the monitor's
+    // (StreamingDedup.arrivals digests sha2(cast(content AS string))):
+    // the cast makes non-string content hash the same on both sides, and
+    // the NULL-SAFE anti-join condition makes a NULL digest (NULL
+    // content, one group under SQL GROUP BY semantics, emitted as NULL
+    // by the monitor's sentinel restore) actually MATCH a NULL corpus
+    // row — plain equality would never match NULL and re-admit a
+    // NULL-content doc the corpus already recorded.
     val newDig = newDf.select(col(idCol).as("new_id"),
-      sha2(col(contentCol), 256).as("content_hash"))
-    val seen = corpusDigests.select(col(digestCol).as("content_hash")).distinct()
-    newDig.join(seen, Seq("content_hash"), "left_anti")
+      sha2(col(contentCol).cast("string"), 256).as("content_hash"))
+    val seen = corpusDigests.select(col(digestCol).as("seen_hash")).distinct()
+    newDig.join(seen, newDig("content_hash") <=> seen("seen_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col("new_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")

@@ -50,6 +50,20 @@ object GlobalRank {
       s"input already has: ${clash.toSeq.sorted.mkString(", ")}")
   }
 
+  /** The same silent-overwrite hazard applies to the OUTPUT columns each
+    * public entry point adds (`rn`/`n_total`, the caller's bucket/cum
+    * name): `withColumn` would replace an existing column of that name
+    * and the caller's data would vanish without an error. Every public
+    * entry point rejects such inputs up front (r14 advice — the
+    * __-prefixed guard alone left this half of the failure mode open).
+    */
+  private def requireNoOutputClash(df: DataFrame, out: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(out.toSet)
+    require(clash.isEmpty, "GlobalRank would silently overwrite existing " +
+      s"column(s): ${clash.toSeq.sorted.mkString(", ")} — rename them or " +
+      "pick a different output column name")
+  }
+
   /** Adds `__chunk`, a monotone range-bucket of `rangeCol`: rows in chunk
     * i sort entirely before chunk i+1, and equal values share a chunk.
     * Cutpoints are approximate quantiles — accuracy is a load-balance
@@ -119,6 +133,7 @@ object GlobalRank {
     */
   def withRowNumber(df: DataFrame, rangeCol: Column, order: Seq[Column],
       chunks: Int = 64): DataFrame = {
+    requireNoOutputClash(df, Seq("rn", "n_total"))
     val chunked = chunkByRange(df, rangeCol, chunks)
     val counts = chunked.groupBy(col("__chunk").as("__c"))
       .agg(count(lit(1)).as("__cnt"))
@@ -144,6 +159,10 @@ object GlobalRank {
   def withNtile(df: DataFrame, rangeCol: Column, order: Seq[Column], k: Int,
       bucketCol: String = "bucket", chunks: Int = 64): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
+    require(!Set("rn", "n_total").contains(bucketCol) &&
+      !ReservedInternalColumns.contains(bucketCol),
+      s"bucket column name '$bucketCol' collides with a GlobalRank output/internal column")
+    requireNoOutputClash(df, Seq(bucketCol)) // rn/n_total checked below
     withRowNumber(df, rangeCol, order, chunks)
       .withColumn("__base", expr(s"n_total div $k"))
       .withColumn("__rem", col("n_total") % k)
@@ -164,6 +183,7 @@ object GlobalRank {
     */
   def withRunningSum(df: DataFrame, rangeCol: Column, order: Seq[Column],
       size: Column, cumCol: String = "cum", chunks: Int = 64): DataFrame = {
+    requireNoOutputClash(df, Seq(cumCol))
     val chunked = chunkByRange(df, rangeCol, chunks)
     val sums = chunked.groupBy(col("__chunk").as("__c"))
       .agg(sum(size).cast("long").as("__cnt"))

@@ -756,14 +756,22 @@ object WarehouseQueries {
         docs.filter(col("doc_id") % 2 === 0).coalesce(1)
           .write.mode("overwrite").parquet(land)
         val schema = s.read.parquet(land).schema
-        val acc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+        // Null-tolerant accumulator: a NULL-text document's digest is
+        // restored to NULL on emission (StreamingDedup's sentinel), and
+        // ConcurrentHashMap forbids null keys — so a plain HashMap with
+        // explicit synchronization (foreachBatch runs on the stream's
+        // microbatch thread, not this one).
+        val acc = scala.collection.mutable.HashMap[String, Long]()
         def drainGeneration(): Unit =
           graft.streaming.StateScope.withStateConf(s) {
             val stream = s.readStream.schema(schema).parquet(land)
             graft.streaming.StateScope.drainSingleBatchInto(
               graft.streaming.StreamingDedup.keepFirst(
                 stream, "doc_id", "text"), ckpt) { b =>
-              b.collect().foreach(r => acc.put(r.getString(0), r.getLong(1)))
+              val emitted = b.collect()
+              acc.synchronized {
+                emitted.foreach(r => acc.put(r.getString(0), r.getLong(1)))
+              }
             }
           }
         drainGeneration() // generation 1: the even-id slice
@@ -771,8 +779,8 @@ object WarehouseQueries {
         docs.filter(col("doc_id") % 2 === 1).coalesce(1)
           .write.mode("append").parquet(land)
         drainGeneration() // generation 2: first-wins vs checkpointed state
-        import scala.jdk.CollectionConverters._
-        acc.asScala.toSeq.toDF("digest", "keep_id").orderBy("keep_id")
+        acc.synchronized(acc.toSeq)
+          .toDF("digest", "keep_id").orderBy("keep_id")
       }),
 
     // The streaming INGEST PIPELINE composed end-to-end in one streaming

@@ -15,11 +15,12 @@ import scala.concurrent.duration._
   * its sequential run, plus the fixed-temp-view query raced against
   * ITSELF (createOrReplaceTempView on the same name from four threads).
   *
-  * Deliberately out of scope: the streaming scoreboard drains — their
-  * memory-sink queryNames are per-query constants, so two concurrent
-  * drains of the SAME monitor collide by design (the drain harness is a
-  * bench/oracle rig, not a server surface); and `StateScope.withStateConf`
-  * documents its conf scope as per-drain, same-value across drains.
+  * Streaming drains: two concurrent drains of the SAME scoreboard query
+  * collide by design (per-query-constant memory-sink names — the drain
+  * harness is a bench/oracle rig, not a server surface), but drains with
+  * their OWN checkpoints and foreachBatch sinks are safe: `StateScope
+  * .withStateConf` serializes the conf scope on an internal lock, so a
+  * 2-way race degrades to turn-taking — pinned below.
   */
 class ConcurrencySpec extends SparkTestBase {
 
@@ -62,5 +63,46 @@ class ConcurrencySpec extends SparkTestBase {
         assert(got == expected, s"self-raced run $i diverged")
       }
     } finally pool.shutdown()
+  }
+
+  test("2-way streaming-drain race: isolated checkpoints/sinks, conf scope restored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    def drain(tag: String, rows: Seq[(Long, String)]): Set[(String, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(String, Long)]
+      graft.streaming.StateScope.withStateConf(spark) {
+        val mem = MemoryStream[(Long, String)]
+        mem.addData(rows: _*)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-race-$tag").toString
+        val docs = mem.toDF()
+          .withColumnRenamed("_1", "doc_id").withColumnRenamed("_2", "text")
+        graft.streaming.StateScope.drainSingleBatchInto(
+          graft.streaming.StreamingDedup.keepFirst(docs, "doc_id", "text"),
+          ckpt) { b =>
+          val got = b.collect().map(r => (r.getString(0), r.getLong(1)))
+          out.synchronized { out ++= got }
+        }
+      }
+      out.toSet
+    }
+    val rowsA = (1 to 30).map(i => (i.toLong, s"A ${i % 5}"))
+    val rowsB = (1 to 40).map(i => (100L + i, s"B ${i % 7}"))
+    val seqA = drain("a0", rowsA)
+    val seqB = drain("b0", rowsB)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val (gotA, gotB) = Await.result(
+        Future(drain("a1", rowsA)).zip(Future(drain("b1", rowsB))), 10.minutes)
+      assert(gotA == seqA, s"drain A diverged under the race: $gotA vs $seqA")
+      assert(gotB == seqB, s"drain B diverged under the race: $gotB vs $seqB")
+    } finally pool.shutdown()
+    // the serialized scopes must leave the session conf exactly restored
+    assert(spark.conf.get(shuffleKey) == prevShuffle,
+      "withStateConf scopes restored a stale shuffle-partitions value")
   }
 }

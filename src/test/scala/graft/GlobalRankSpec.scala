@@ -27,6 +27,42 @@ class GlobalRankSpec extends SparkTestBase {
     assert(got.map(_.getLong(1)).sorted.toSeq == (1L to n).toSeq)
   }
 
+  test("inputs already carrying an output or internal column name are rejected loudly") {
+    import spark.implicits._
+    val G = graft.operators.GlobalRank
+    // internal temp name (pre-existing guard)
+    val reserved = Seq((1L, 2L)).toDF("__chunk", "v")
+    intercept[IllegalArgumentException] {
+      G.withRowNumber(reserved, col("v"), Seq(col("v")))
+    }
+    // output names: withColumn would silently REPLACE these (r14 advice)
+    val hasRn = Seq((1L, 2L)).toDF("rn", "v")
+    intercept[IllegalArgumentException] {
+      G.withRowNumber(hasRn, col("v"), Seq(col("v")))
+    }
+    val hasTotal = Seq((1L, 2L)).toDF("n_total", "v")
+    intercept[IllegalArgumentException] {
+      G.withNtile(hasTotal, col("v"), Seq(col("v")), 2)
+    }
+    val hasBucket = Seq((1L, 2L)).toDF("bucket", "v")
+    intercept[IllegalArgumentException] {
+      G.withNtile(hasBucket, col("v"), Seq(col("v")), 2)
+    }
+    val hasCum = Seq((1L, 2L)).toDF("cum", "v")
+    intercept[IllegalArgumentException] {
+      G.withRunningSum(hasCum, col("v"), Seq(col("v")), lit(1))
+    }
+    // a bucket name that collides with another output is itself rejected
+    intercept[IllegalArgumentException] {
+      G.withNtile(Seq((1L, 2L)).toDF("a", "v"), col("v"), Seq(col("v")), 2,
+        bucketCol = "rn")
+    }
+    // and a non-clashing custom name still works
+    val ok = G.withRunningSum(Seq((1L, 2L)).toDF("a", "v"), col("v"),
+      Seq(col("v")), lit(1), cumCol = "running")
+    assert(ok.columns.contains("running"))
+  }
+
   test("skewed key distributions still rank correctly (ties share a chunk)") {
     import spark.implicits._
     // 200 rows, 90% identical range-key value: every tie lands in one

@@ -47,7 +47,10 @@ class InternalApiCanarySpec extends SparkTestBase {
     // (private[spark]). The bench's lint gate reads counters after it.
     val l = graft.plans.PlanLintListener.watch(spark)
     try {
-      spark.range(10).orderBy(col("id")).collect() // emits a GLOBAL_SORT info finding
+      // NOT orderBy(id): Range already declares that ordering and
+      // EliminateSorts removes the sort — no finding, nothing delivered.
+      // id % 7 survives optimization and plans a real global SortExec.
+      spark.range(100).orderBy(col("id") % 7).collect() // GLOBAL_SORT info
       ListenerBusBridge.drain(spark)
       assert(l.reports.nonEmpty,
         "listener callback not delivered after drain — did " +

@@ -290,6 +290,39 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("compaction handoff: a NULL-content doc in compacted state suppresses later NULL docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateScope.withStateConf(spark) {
+      // The monitor records NULL content under a NULL digest (sentinel
+      // restored on emission); the batch continuation must treat that
+      // row as SEEN — plain equality in the anti-join would never match
+      // NULL and re-admit every later NULL-content doc (r14 advice).
+      val mem = MemoryStream[(Long, String)]
+      @volatile var state = Map.empty[Option[String], Long]
+      val q = StreamingDedup.keepFirst(toDocs(mem), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          bdf.collect().foreach(r =>
+            state += Option(r.getString(0)) -> r.getLong(1))
+        }
+        .start()
+      try { mem.addData((5L, null), (9L, "x")); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.get(None).contains(5L),
+        s"monitor must record the NULL-content group under a NULL digest: $state")
+      val compacted = state.keys.map(_.orNull).toSeq.toDF("digest")
+      // another NULL doc and another "x" are duplicates of compacted
+      // state; only the genuinely new content passes the gate
+      val keeps = Dedup.exactIncrementalDigests(
+          Seq((2L, null: String), (3L, "x"), (4L, "y")).toDF("doc_id", "text"),
+          compacted, "digest", "text", "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keeps == Set(4L),
+        s"NULL digest not suppressed by the null-safe anti-join: $keeps")
+    }
+  }
+
   test("later batches touch only their digests; duplicates grow n_copies with stable keep_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

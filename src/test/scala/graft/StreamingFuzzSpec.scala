@@ -95,9 +95,10 @@ class StreamingFuzzSpec extends SparkTestBase {
         mem.addData(Seq.fill(500)("hot"): _*)
       }
       // one hot key touches exactly `depth` cells, each carrying the
-      // full count (CMS rows are independent hash rows)
+      // full count (CMS rows are independent hash rows). Output shape is
+      // CmsCellOut(cms_row, cms_bucket, cnt) — the count is field 2.
       assert(got.size == 4, s"hot key must touch depth=4 cells: ${got.size}")
-      assert(got.forall(_.getLong(1) == 500L), s"cell counts wrong: $got")
+      assert(got.forall(_.getLong(2) == 500L), s"cell counts wrong: $got")
     }
   }
 
@@ -182,7 +183,7 @@ class StreamingFuzzSpec extends SparkTestBase {
     }
   }
 
-  test("anomaly: one hot key with constant values — z stays 0, n_prev ramps to the ring size") {
+  test("anomaly: one hot key with constant values — unscored (NULL z), n_prev ramps to the ring size") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     StateScope.withStateConf(spark) {
@@ -201,11 +202,13 @@ class StreamingFuzzSpec extends SparkTestBase {
       // n_prev ramps 0,1,2,3 then saturates at the ring size k=4
       assert(byTie.map(_.getAs[Number]("n_prev").longValue()).toSeq ==
         Seq(0L, 1L, 2L, 3L, 4L, 4L, 4L, 4L, 4L, 4L), s"ring ramp wrong: $byTie")
-      // constant series: every z with history is exactly 0
-      byTie.drop(1).foreach { r =>
-        val z = r.getAs[Number]("z").doubleValue()
-        assert(z == 0.0, s"constant series must z-score 0: $r")
-      }
+      // a CONSTANT series never scores: std = 0 makes z undefined, and
+      // the scorer emits NULL rather than 0/0 garbage (same contract as
+      // the batch twin's rollingZScore — std > 0 guards the division).
+      // The degenerate case must neither crash nor fabricate a score.
+      byTie.foreach(r =>
+        assert(r.isNullAt(r.fieldIndex("z")),
+          s"zero-std history must leave the point unscored (NULL z): $r"))
     }
   }
 
