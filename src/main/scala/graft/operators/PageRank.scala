@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Join-based PageRank power iteration (Page, Brin, Motwani, Winograd,
   * Stanford tech report 1999) — the canonical iterative-fixpoint shape on
@@ -47,9 +48,22 @@ object PageRank {
     * Dangling vertices (no out-edges) simply leak their mass — the
     * classic simplification; callers who need mass conservation add a
     * sink vertex. Returns (vertex, rank_micros).
+    *
+    * `checkpointLevel` is the storage level of the lineage-truncation
+    * checkpoints (the loop-invariant graph tables + every 4th rank
+    * generation). Default DISK_ONLY: the checkpoints are barriers, not
+    * caches — memory-resident blocks sit in PROTECTED storage memory
+    * (`spark.memory.storageFraction`) and at tight heaps squeeze the
+    * per-round hash aggregate below its first page grant (the round-13
+    * 512 MB probe's only OOM, AGGREGATE_OUT_OF_MEMORY, was exactly
+    * this). On local disk the blocks cost zero execution memory and the
+    * OS page cache serves the per-iteration re-reads; callers with
+    * memory headroom who want the last few percent can pass
+    * MEMORY_AND_DISK.
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int,
+      checkpointLevel: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // The edge list, vertex set, and out-degrees are loop-invariant:
     // localCheckpoint them ONCE so each iteration joins materialized
@@ -68,12 +82,12 @@ object PageRank {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, checkpointLevel)
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, checkpointLevel)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src").localCheckpoint()
+    val withDeg = e.join(outdeg, "src").localCheckpoint(true, checkpointLevel)
 
     var r = vertices.withColumn("rank", lit(Scale))
     for (i <- 1 to iterations) {
@@ -91,7 +105,8 @@ object PageRank {
       // is a full materialization — per-round checkpointing DOMINATED
       // the 3-iteration query's cost. Unbounded iteration counts still
       // get periodic lineage truncation.
-      if (i % 4 == 0 && i < iterations) r = r.localCheckpoint()
+      if (i % 4 == 0 && i < iterations)
+        r = r.localCheckpoint(true, checkpointLevel)
     }
     r.select(col("vertex"), col("rank").as("rank_micros"))
   }
