@@ -50,13 +50,30 @@ object PipelineQueries {
     """' ' || trim(regexp_replace(regexp_replace(regexp_replace(lower(text), """ +
       """'[^a-z0-9]+', ' | ', 'g'), '([a-z0-9])', '\1 ', 'g'), ' +', ' ', 'g')) || ' '"""
 
-  /** The full merge chain as nested DuckDB `replace` calls — same
-    * leftmost-non-overlapping semantics as Spark's `replace`.
+  /** The first `n` merges as nested DuckDB `replace` calls — same
+    * leftmost-non-overlapping semantics as Spark's `replace`. The
+    * training oracle (q_bpe_train) needs each ROUND's prefix chain;
+    * everything else uses the full chain below.
     */
-  private val bpeAppliedSql =
-    BpeMerges.foldLeft(bpeBaseSql) { case (acc, (x, y)) =>
+  private def bpeAppliedSqlPrefix(n: Int): String =
+    BpeMerges.take(n).foldLeft(bpeBaseSql) { case (acc, (x, y)) =>
       s"replace($acc, ' $x $y ', ' $x$y ')"
     }
+
+  /** The full merge chain. */
+  private val bpeAppliedSql = bpeAppliedSqlPrefix(BpeMerges.size)
+
+  /** DuckDB pair-count-top-16 for one training round, over the working
+    * form with the first `nApplied` merges applied — the SQL twin of
+    * `Bpe.pairCounts(..., BpeMerges.take(nApplied)).limit(16)`.
+    */
+  private def bpeRoundSql(round: Int, nApplied: Int): String =
+    s"""(SELECT $round AS round, pr[1] AS x, pr[2] AS y, count(*) AS c
+       |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+       |        FROM (SELECT string_split(trim(${bpeAppliedSqlPrefix(nApplied)}), ' ') AS l
+       |              FROM documents))
+       |  WHERE pr[1] <> '|' AND pr[2] <> '|' AND pr[1] <> '' AND pr[2] <> ''
+       |  GROUP BY 2, 3 ORDER BY c DESC, x, y LIMIT 16)""".stripMargin
 
   /** DuckDB BM25 oracle CTE (k1=1.2, b=0.75, scores in integer micros),
     * mirroring Bm25.scoreMicros literal-for-literal — same association
@@ -1492,6 +1509,34 @@ object PipelineQueries {
           .select(col("x"), col("y"), col("c").cast("long").as("c"))
           .orderBy(col("c").desc, col("x").asc, col("y").asc)
           .limit(32)),
+
+    // The multi-round BPE TRAINING LOOP itself, oracled end-to-end: round
+    // r counts adjacent pairs with the first 16·(r−1) learned merges
+    // APPLIED (the evolving working form is what makes multi-char tokens
+    // emerge) and takes the top 16 by (count desc, pair asc) — exactly
+    // Bpe.trainMerges' trajectory, so the output's (x, y) sequence IS the
+    // inlined BpeMerges table with its training-time counts attached
+    // (pinned by BpeSpec). The DuckDB oracle unrolls the same three
+    // rounds over the same prefix replace chains — tokenizer induction
+    // as a first-class, cross-engine-verified pipeline op. Scale shape
+    // per round: one corpus scan, one partial-aggregable groupBy, a
+    // 16-row TakeOrdered — never a self-join, merge table stays KBs.
+    Q("q_bpe_train",
+      Some(s"""SELECT CAST(round AS BIGINT) AS round, x, y, CAST(c AS BIGINT) AS c
+              |FROM (${bpeRoundSql(1, 0)} UNION ALL ${bpeRoundSql(2, 16)}
+              |      UNION ALL ${bpeRoundSql(3, 32)})
+              |ORDER BY round, c DESC, x, y""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        (1 to 3).map { r =>
+          Bpe.pairCounts(docs, col("text"), BpeMerges.take(16 * (r - 1)))
+            .orderBy(col("c").desc, col("x").asc, col("y").asc)
+            .limit(16)
+            .select(lit(r.toLong).as("round"), col("x"), col("y"),
+              col("c").cast("long").as("c"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("round"), col("c").desc, col("x"), col("y"))
+      }),
 
     // BPE encode under the learned merge table (inlined literal — trained
     // once at sf0.01 by Bpe.trainMerges(docs, text, 16, 3), reproducible

@@ -28,6 +28,24 @@ class BpeSpec extends SparkTestBase {
     assert(m1.distinct.size == m1.size)
   }
 
+  test("q_bpe_train replays the exact trainMerges trajectory at the training sf") {
+    // q_bpe_train measures each round's top-16 under the STATIC literal's
+    // prefix chains (so Spark and DuckDB stay in lockstep at any sf); at
+    // the sf the table was TRAINED on (sf0.01), those measurements are
+    // the training trajectory itself — this pins the inlined BpeMerges
+    // literal to what the data actually produces, which q_bpe_encode's
+    // oracle alone never checks (both engines just apply the same chain).
+    val sf001 = "/root/testdata/sf0.01"
+    val docs001 = Tables.t(spark, sf001, "documents")
+    val want = Bpe.trainMerges(docs001, col("text"), 16, 3)
+    val got = SparkEntry.queries("q_bpe_train")(spark, sf001)
+      .collect() // already ordered (round, c desc, x, y) = append order
+      .map(r => (r.getString(r.fieldIndex("x")), r.getString(r.fieldIndex("y"))))
+      .toSeq
+    assert(got == want,
+      s"q_bpe_train diverged from trainMerges:\n  got=$got\n  want=$want")
+  }
+
   test("multi-round merges compose into multi-char tokens and compress") {
     val merges = Bpe.trainMerges(docs, col("text"), 16, 3)
     // later rounds must build on earlier merges: some merged symbol is
