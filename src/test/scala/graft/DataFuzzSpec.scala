@@ -98,6 +98,36 @@ class DataFuzzSpec extends SparkTestBase {
       "knBigramNll paths diverged on degenerate corpus")
   }
 
+  test("Bpe: NULL / empty / all-punct docs contribute nothing and never crash") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "!!! ???"),
+      (4L, "ab ab")).toDF("doc_id", "text")
+    // only doc 4 has in-word adjacency; degenerate docs add zero pairs
+    val pairs = graft.operators.Bpe.pairCounts(docs, col("text")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pairs == Map(("a", "b") -> 2L), s"degenerate docs leaked pairs: $pairs")
+    // training over the degenerate corpus converges to the one real merge
+    // (round 2 finds nothing new) — no throw, no empty-corpus crash
+    val merges = graft.operators.Bpe.trainMerges(docs, col("text"), 4, 2)
+    assert(merges == Seq(("a", "b")), s"unexpected merges: $merges")
+    // encode: empty/punct docs yield EMPTY token arrays; NULL propagates
+    // as NULL (SQL null-in null-out), pinned so Pack callers know to
+    // filter or coalesce
+    val enc = docs
+      .select(col("doc_id"),
+        graft.operators.Bpe.encode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(enc(1L).isEmpty, "NULL text must encode to NULL")
+    assert(enc(2L).contains(Nil) && enc(3L).contains(Nil),
+      s"empty/punct docs must encode to [] not crash: $enc")
+    assert(enc(4L).contains(List("ab", "ab")))
+    // and the whole-corpus trainer survives an EMPTY corpus (zero merges)
+    val none = graft.operators.Bpe.trainMerges(
+      docs.filter(col("doc_id") < 0), col("text"), 4, 2)
+    assert(none.isEmpty)
+  }
+
   test("exact dedup: idempotent, keeps minima, empty corpus fine") {
     import spark.implicits._
     // force heavy duplication: texts drawn from 4 shapes over 30 rows
