@@ -2196,6 +2196,47 @@ object PipelineQueries {
           .toDF()
           .orderBy("doc_id")),
 
+    // The RESIZE stage of the multimodal pipeline (resizeStub: every
+    // 4th payload byte — the deterministic stand-in for an image-resize/
+    // audio-resample kernel), composed with the stub decode so the whole
+    // pack → resize → decode chain is oracled: DuckDB masks the byte
+    // list to positions ≡ 1 (mod 4) and re-derives FNV-1a-64 / mean /
+    // segments over the RESIZED bytes. Partition-preserving map both
+    // stages — a 100 TB media table never shuffles through this chain.
+    Q("q_resize",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, octet_length(encode(text))),
+             |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS INT)) AS all_bytes
+             |  FROM documents),
+             |z AS (
+             |  SELECT doc_id,
+             |    list_where(all_bytes,
+             |      list_transform(generate_series(1, len(all_bytes)),
+             |        i -> (i - 1) % 4 = 0)) AS bytes
+             |  FROM b),
+             |r AS (
+             |  SELECT doc_id, len(bytes) AS n, bytes,
+             |    list_reduce(
+             |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+             |        list_transform(bytes, x -> CAST(x AS HUGEINT))),
+             |      (acc, x) -> (xor(acc, x) * 1099511628211)
+             |        % CAST(18446744073709551616 AS HUGEINT)) AS h
+             |  FROM z)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS checksum,
+             |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS mean_byte,
+             |  CAST(1 + len(list_filter(bytes, x -> x = 32)) AS INT) AS n_segments
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        Multimodal.decodeFeatures(
+            Multimodal.resizeStub(
+              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
+              factor = 4))
+          .toDF()
+          .orderBy("doc_id")),
+
     // Perceptual-hash near-dup over the multimodal payloads: aHash64
     // (64-block mean-threshold fingerprint, exact integer cross-multiply)
     // + 16x4-bit banded Hamming join — pigeonhole-EXACT recall at
