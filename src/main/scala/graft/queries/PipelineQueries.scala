@@ -292,6 +292,72 @@ object PipelineQueries {
           .orderBy("cluster_rep", "canonical_id", "quality")
       }),
 
+    // The APPLY end of near-dedup — the deduplicated CORPUS itself:
+    // every doc whose cluster representative is a different doc is
+    // dropped by an id-only anti-join (documents never move); non-paired
+    // docs pass through untouched. Pairs → clusters → apply is the full
+    // near-dedup lifecycle on the scoreboard.
+    Q("q_dedup_apply",
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r))
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT v FROM losers)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+        Dedup.dropNearDuplicates(
+            docs.select(col("doc_id"), col("source")), pairs, "doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // Same apply step, but each cluster keeps its BEST copy (highest
+    // n_chars, ties to smallest id) — what a curation run actually wants:
+    // the near-dup group usually holds one clean original and N degraded
+    // copies, and min-id deletion would keep an arbitrary one.
+    Q("q_dedup_apply_best",
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |cl AS (SELECT v, min(r) AS rep FROM reach GROUP BY v),
+              |best AS (SELECT v FROM (
+              |  SELECT cl.v, row_number() OVER (PARTITION BY cl.rep
+              |    ORDER BY d.n_chars DESC, cl.v) AS rn
+              |  FROM cl JOIN documents d ON d.doc_id = cl.v) WHERE rn = 1),
+              |losers AS (SELECT v FROM cl WHERE v NOT IN (SELECT v FROM best))
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT v FROM losers)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
+          Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+        Dedup.dropNearDuplicatesKeepBest(
+            docs.select(col("doc_id"), col("source"), col("n_chars")),
+            pairs, "doc_id", col("n_chars"))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      }),
+
     // Cross-document duplicated-token spans (ExactSubstr shape, Lee et
     // al. ACL '22): tokens covered by a word-13-gram occurring in >= 2
     // distinct docs, merged into maximal spans. Spark joins on 8-byte
