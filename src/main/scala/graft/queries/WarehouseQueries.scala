@@ -118,6 +118,30 @@ object WarehouseQueries {
           .orderBy("source")
       }),
 
+    // CLUSTERED compaction (Compact.rewriteSorted): same listing-sized
+    // rewrite, but range-partitioned + sorted by doc_id so each output
+    // file covers a tight disjoint id range — min/max row-group pruning
+    // on the sort key for free (per-file disjointness spec-asserted in
+    // WarehouseOpsSpec; the oracle sees the original table: clustering
+    // must be lossless).
+    Q("q_compact_sorted",
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(doc_id) AS BIGINT) AS min_id,
+             |  CAST(max(doc_id) AS BIGINT) AS max_id,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val base = ScratchDirs.forRun(s, "compact_sorted")
+        t(s, d, "documents").write.mode("overwrite")
+          .option("maxRecordsPerFile", 50).parquet(base + "/frag")
+        Compact.rewriteSorted(s, base + "/frag", base + "/sorted",
+            targetFileBytes = 8L * 1024 * 1024, sortCols = Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      }),
+
     // Dynamic partition pruning: orders written partitionBy(priority),
     // joined to a filtered priority dimension — Spark prunes the
     // partition DIRECTORIES at runtime from the broadcast join's build

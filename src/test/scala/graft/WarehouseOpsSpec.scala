@@ -143,6 +143,37 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sorted compaction produces disjoint per-file sort-key ranges") {
+    import graft.operators.Compact
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val base = sys.props("java.io.tmpdir") + s"/graft_compact_sorted_${System.nanoTime()}"
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      docs.write.mode("overwrite").option("maxRecordsPerFile", 25)
+        .parquet(base + "/frag")
+      // size the target at ~1/4 of the input so the rewrite yields
+      // SEVERAL files — disjointness over one file proves nothing
+      val total = Compact.parquetFiles(spark, base + "/frag").map(_.getLen).sum
+      val out = Compact.rewriteSorted(spark, base + "/frag", base + "/out",
+        targetFileBytes = math.max(total / 4, 1L), sortCols = Seq("doc_id"))
+      assert(out.count() == docs.count(), "clustered rewrite must be lossless")
+      val ranges = spark.read.parquet(base + "/out")
+        .groupBy(input_file_name().as("f"))
+        .agg(fmin("doc_id").as("lo"), fmax("doc_id").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.length > 1,
+        s"expected several output files for the range-disjointness check: ${ranges.length}")
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2, s"file id-ranges overlap: $ranges")
+        case _ => ()
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
   test("partitioned compaction splits a skewed partition into multiple target-size files") {
     import graft.operators.Compact
     import spark.implicits._
