@@ -183,6 +183,10 @@ object GlobalRank {
     */
   def withRunningSum(df: DataFrame, rangeCol: Column, order: Seq[Column],
       size: Column, cumCol: String = "cum", chunks: Int = 64): DataFrame = {
+    // mirror withNtile's bucketCol guard: a cumCol named like an internal
+    // temp would be written and then silently dropped by the trailing drop
+    require(!ReservedInternalColumns.contains(cumCol),
+      s"cum column name '$cumCol' collides with a GlobalRank internal column")
     requireNoOutputClash(df, Seq(cumCol))
     val chunked = chunkByRange(df, rangeCol, chunks)
     val sums = chunked.groupBy(col("__chunk").as("__c"))

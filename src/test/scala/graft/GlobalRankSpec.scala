@@ -57,6 +57,12 @@ class GlobalRankSpec extends SparkTestBase {
       G.withNtile(Seq((1L, 2L)).toDF("a", "v"), col("v"), Seq(col("v")), 2,
         bucketCol = "rn")
     }
+    // a cumCol named like an internal temp would be written then silently
+    // dropped by the trailing drop — rejected up front (r15 advice)
+    intercept[IllegalArgumentException] {
+      G.withRunningSum(Seq((1L, 2L)).toDF("a", "v"), col("v"),
+        Seq(col("v")), lit(1), cumCol = "__lcum")
+    }
     // and a non-clashing custom name still works
     val ok = G.withRunningSum(Seq((1L, 2L)).toDF("a", "v"), col("v"),
       Seq(col("v")), lit(1), cumCol = "running")
