@@ -176,15 +176,38 @@ object Bench {
       val fl =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      // A SPARK_GRAFT_BENCH_ONLY-filtered run must be self-describing: a
+      // stale env var in an official round would otherwise emit a partial
+      // board distinguishable from a full one only by n_queries (r15
+      // advice). The filter list rides in the artifact itself.
+      val onlyField =
+        if (only.isEmpty) ""
+        else only.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
       val rt = runTotals.map(fmt).mkString("[", ",", "]")
       val cal = s"""[${fmt(calibPre)},${fmt(calibPost)}]"""
       val sCal = streamCalib.map(fmt).mkString("[", ",", "]")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"streaming_calib_sec":$sCal,"lint_errors":$lintErrors,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"streaming_calib_sec":$sCal,"lint_errors":$lintErrors,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$onlyField$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)
       drop += 1
     val artifact = line(asc.drop(drop), asc.take(drop))
+    // Complete on-disk record (r15 verdict task 3): the stdout artifact's
+    // char budget forces the cheap tail out of its per-query map (~179 of
+    // 243 queries, ~half the batch seconds, invisible to cross-round
+    // per-query comparison). The FULL minima map — every query, no
+    // truncation — goes to a file the round commits (BENCHFULL_r{N}.json);
+    // the stdout line stays as-is for the driver. Comparison rule lives in
+    // BASELINE.md ("Full per-query record"). Never allowed to suppress the
+    // stdout artifact: failures log and the print proceeds.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCHFULL_PATH", "BENCHFULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (line(asc, Nil) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] full record write failed: ${e.getMessage}")
+    }
     // Eviction-proofing (round-13 postmortem: BENCH_r13.json was
     // parsed:null because async RocksDB/Netty teardown logs landed AFTER
     // the artifact println and scrolled it out of the driver's ~2000-char
