@@ -85,6 +85,11 @@ object Bpe {
   /** Learn a merge table: `rounds` scans, `perRound` merges appended per
     * scan by (count desc, x asc, y asc). Deterministic at any
     * partitioning (the tie-break is a total order on exact counts).
+    *
+    * Cost shape: one CORPUS scan per round, replace chains growing with
+    * cumulative merges — fine for few rounds / train-on-sample; the
+    * scale-path trainer is [[trainMergesHist]], which removes the corpus
+    * from the merge loop entirely.
     */
   def trainMerges(corpus: DataFrame, text: Column, perRound: Int,
       rounds: Int): Seq[(String, String)] = {
@@ -100,5 +105,74 @@ object Bpe {
       r += 1
     }
     merges
+  }
+
+  // ---- histogram-based training (the 100 TB shape) ----------------------
+  //
+  // Standard BPE training (Sennrich '16's own implementation, and
+  // SentencePiece / HF tokenizers) never rescans the corpus per merge: ONE
+  // scan builds the word-frequency histogram, and every merge round runs
+  // over the histogram alone. Pair counts over words weighted by word
+  // frequency equal pair counts over the corpus exactly, because merges
+  // and pairs never cross the ` | ` word boundary (the search string
+  // `" x y "` cannot contain `|`, and pairs straddling a boundary are
+  // excluded on both paths) — so the learned trajectory is IDENTICAL to
+  // [[trainMerges]] (pinned by BpeSpec), at merges x O(distinct words)
+  // instead of merges x O(corpus).
+
+  /** One-scan word histogram of the corpus: the `|`-separated words of
+    * the spaced form, each stored guard-spaced (`" a b "`, match-safe for
+    * the same `" x y "` replaces) with its corpus frequency.
+    * Columns: (word, cnt).
+    */
+  def wordHistogram(corpus: DataFrame, text: Column): DataFrame =
+    corpus.select(explode(split(spacedRepr(text), "\\|")).as("w"))
+      .select(trim(col("w")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(concat(lit(" "), col("w"), lit(" ")).as("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Adjacent-pair counts derived from the word histogram under `merges`
+    * — the frequency-weighted twin of [[pairCounts]] (bit-equal counts:
+    * sum(cnt) over words == count(*) over the corpus, no `|` tokens to
+    * exclude). Returns (x, y, c).
+    */
+  def pairCountsHist(hist: DataFrame,
+      merges: Seq[(String, String)] = Nil): DataFrame = {
+    val ap = merges.foldLeft(col("word")) { case (acc, (x, y)) =>
+      replaceLit(acc, s" $x $y ", s" $x$y ")
+    }
+    val toks = split(trim(ap), " ")
+    hist.select(col("cnt"), explode(zip_with(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+      .filter(col("p.y").isNotNull &&
+        col("p.x") =!= "" && col("p.y") =!= "")
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Learn the same merge table as [[trainMerges]] from the histogram:
+    * one corpus scan total (the persisted histogram), then every round is
+    * a vocab-bounded groupBy + perRound-row TakeOrdered. Corpus-scan
+    * count is independent of `rounds`.
+    */
+  def trainMergesHist(corpus: DataFrame, text: Column, perRound: Int,
+      rounds: Int): Seq[(String, String)] = {
+    val hist = wordHistogram(corpus, text).persist()
+    try {
+      var merges = Vector.empty[(String, String)]
+      var r = 0
+      while (r < rounds) {
+        val top = pairCountsHist(hist, merges)
+          .orderBy(col("c").desc, col("x").asc, col("y").asc)
+          .limit(perRound)
+          .collect() // perRound rows — bounded merge-table contract
+          .map(row => (row.getString(0), row.getString(1)))
+        merges ++= top
+        r += 1
+      }
+      merges
+    } finally hist.unpersist()
   }
 }

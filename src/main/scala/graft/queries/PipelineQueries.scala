@@ -75,6 +75,31 @@ object PipelineQueries {
        |  WHERE pr[1] <> '|' AND pr[2] <> '|' AND pr[1] <> '' AND pr[2] <> ''
        |  GROUP BY 2, 3 ORDER BY c DESC, x, y LIMIT 16)""".stripMargin
 
+  /** DuckDB word-frequency histogram of the spaced form — the oracle twin
+    * of `Bpe.wordHistogram` (words = `|`-separated segments, guard-spaced,
+    * weighted by corpus frequency). Used as a CTE by q_bpe_train_hist.
+    */
+  private val bpeHistSql =
+    s"""hist AS (
+       |  SELECT ' ' || trim(w0) || ' ' AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split($bpeBaseSql, '|')) AS w0 FROM documents)
+       |  WHERE trim(w0) <> '' GROUP BY 1)""".stripMargin
+
+  /** DuckDB pair-count-top-16 for one training round derived from the
+    * HISTOGRAM (frequency-weighted, no corpus rescan) — the SQL twin of
+    * `Bpe.pairCountsHist(hist, BpeMerges.take(nApplied)).limit(16)`.
+    */
+  private def bpeHistRoundSql(round: Int, nApplied: Int): String = {
+    val ap = BpeMerges.take(nApplied).foldLeft("word") { case (acc, (x, y)) =>
+      s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+    s"""(SELECT $round AS round, pr[1] AS x, pr[2] AS y, sum(cnt) AS c
+       |  FROM (SELECT cnt, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+       |        FROM (SELECT cnt, string_split(trim($ap), ' ') AS l FROM hist))
+       |  WHERE pr[1] <> '' AND pr[2] <> ''
+       |  GROUP BY 2, 3 ORDER BY c DESC, x, y LIMIT 16)""".stripMargin
+  }
+
   /** DuckDB BM25 oracle CTE (k1=1.2, b=0.75, scores in integer micros),
     * mirroring Bm25.scoreMicros literal-for-literal — same association
     * order, CASTs on every decimal literal (DuckDB decimals would
@@ -1596,6 +1621,32 @@ object PipelineQueries {
         val docs = t(s, d, "documents")
         (1 to 3).map { r =>
           Bpe.pairCounts(docs, col("text"), BpeMerges.take(16 * (r - 1)))
+            .orderBy(col("c").desc, col("x").asc, col("y").asc)
+            .limit(16)
+            .select(lit(r.toLong).as("round"), col("x"), col("y"),
+              col("c").cast("long").as("c"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("round"), col("c").desc, col("x"), col("y"))
+      }),
+
+    // The same three training rounds derived from the ONE-SCAN word
+    // histogram (Bpe.trainMergesHist's shape — Sennrich '16's standard
+    // formulation: merges x O(vocab), corpus-scan count independent of
+    // merge count). Pair counts weighted by word frequency equal corpus
+    // pair counts exactly (merges/pairs never cross the ` | ` boundary),
+    // so this emits BYTE-IDENTICAL rows to q_bpe_train via a different
+    // compute path; the oracle re-derives the trajectory from the same
+    // histogram in SQL. BpeSpec pins trainMergesHist == trainMerges.
+    Q("q_bpe_train_hist",
+      Some(s"""WITH $bpeHistSql
+              |SELECT CAST(round AS BIGINT) AS round, x, y, CAST(c AS BIGINT) AS c
+              |FROM (${bpeHistRoundSql(1, 0)} UNION ALL ${bpeHistRoundSql(2, 16)}
+              |      UNION ALL ${bpeHistRoundSql(3, 32)})
+              |ORDER BY round, c DESC, x, y""".stripMargin),
+      (s, d) => {
+        val hist = Bpe.wordHistogram(t(s, d, "documents"), col("text"))
+        (1 to 3).map { r =>
+          Bpe.pairCountsHist(hist, BpeMerges.take(16 * (r - 1)))
             .orderBy(col("c").desc, col("x").asc, col("y").asc)
             .limit(16)
             .select(lit(r.toLong).as("round"), col("x"), col("y"),

@@ -46,6 +46,26 @@ class BpeSpec extends SparkTestBase {
       s"q_bpe_train diverged from trainMerges:\n  got=$got\n  want=$want")
   }
 
+  test("histogram trainer learns the IDENTICAL trajectory to trainMerges") {
+    // the scale-path trainer (one corpus scan -> word histogram, merge
+    // rounds over the histogram alone) must be a pure cost optimization:
+    // same merges, same order, at any partitioning
+    val corpus = Bpe.trainMerges(docs, col("text"), 16, 3)
+    val hist = Bpe.trainMergesHist(docs, col("text"), 16, 3)
+    assert(hist == corpus,
+      s"trainMergesHist diverged from trainMerges:\n  hist=$hist\n  corpus=$corpus")
+    val histRep = Bpe.trainMergesHist(docs.repartition(7), col("text"), 16, 3)
+    assert(histRep == corpus)
+  }
+
+  test("q_bpe_train_hist replays the same trajectory as q_bpe_train") {
+    val sf001 = "/root/testdata/sf0.01"
+    val a = SparkEntry.queries("q_bpe_train")(spark, sf001).collect()
+    val b = SparkEntry.queries("q_bpe_train_hist")(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq,
+      "histogram-derived training rounds diverged from corpus-scan rounds")
+  }
+
   test("multi-round merges compose into multi-char tokens and compress") {
     val merges = Bpe.trainMerges(docs, col("text"), 16, 3)
     // later rounds must build on earlier merges: some merged symbol is
