@@ -489,6 +489,87 @@ object TextAnalysis {
     * weights via a 256-entry broadcast map or a `CASE` expression — same
     * plan either way.
     */
+  /** One logistic-regression gradient step over the hashed bag-of-words
+    * features of [[hashedLinearScore]] — the TRAINING side of the
+    * CCNet/fastText quality gate, distributed the way 100 TB needs:
+    *
+    *  - per-document margin `w . x` is an INTEGER fold over the token
+    *    array (weights in integer micros, counts integral), so it rides
+    *    the scan with no IEEE order sensitivity at all;
+    *  - the only floating step is one `sigmoid(margin)` per document from
+    *    an exact integer input, micro-quantized into the residual BEFORE
+    *    any cross-row sum (the q_kmeans_step pattern) — the gradient
+    *    aggregate is an exact integer sum, bit-equal at any parallelism;
+    *  - the shuffle carries (bucket, residual_micro) partial sums only:
+    *    `buckets` keys with map-side combine, never the documents.
+    *
+    * Gradient of the logistic loss: grad_j = sum_i (sigmoid(w.x_i) - y_i)
+    * * x_ij, emitted as integer micros per feature bucket. Returns
+    * (bucket, grad_micro, n_terms) for every bucket with support.
+    */
+  def logisticGradStep(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+    require(weightsMicro.size == buckets,
+      s"need $buckets weights, got ${weightsMicro.size}")
+    val wArr = typedLit(weightsMicro)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
+      .withColumn("__m", aggregate(
+        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__r", round(
+        (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
+          - label.cast("double")) * lit(1e6), 0).cast("long"))
+      .select(explode(col("__t")).as("__tok"), col("__r"))
+      .groupBy(bucketOf(col("__tok")).as("bucket"))
+      .agg(sum(col("__r")).as("grad_micro"),
+        count(lit(1)).cast("long").as("n_terms"))
+  }
+
+  /** `steps` full-batch gradient-descent steps of [[logisticGradStep]].
+    * Each step's driver round-trip is the `buckets`-row gradient table
+    * (bounded merge-table contract); the update is integer arithmetic
+    * (w_j -= lrMicro * grad_j / (1e6 * n)), deterministic at any
+    * partitioning. Returns the final weight table in micros.
+    */
+  def logisticTrainN(df: DataFrame, textCol: String, label: Column,
+      init: Seq[Long], steps: Int, lrMicro: Long, n: Long,
+      buckets: Int = 256): Seq[Long] = {
+    var w = init.toVector
+    var s = 0
+    while (s < steps) {
+      val grads = logisticGradStep(df, textCol, label, w, buckets)
+        .collect() // buckets rows — bounded
+        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
+      }
+      s += 1
+    }
+    w
+  }
+
+  /** Mean logistic loss of `weightsMicro` on the labeled frame — the
+    * training-progress metric for specs/monitoring (double-valued; not an
+    * oracle surface).
+    */
+  def logisticLoss(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], buckets: Int = 256): Double = {
+    val wArr = typedLit(weightsMicro)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val m = aggregate(
+      transform(filter(tokens(col(textCol)), t => t =!= ""),
+        t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(1e6)
+    val y = label.cast("double")
+    // -[y ln p + (1-y) ln(1-p)] in the stable log1p(exp(..)) form
+    df.select(avg(
+        when(y === 1.0, log1p(exp(-m))).otherwise(log1p(exp(m)))).as("l"))
+      .collect()(0).getDouble(0)
+  }
+
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 256): DataFrame = {
     val weightOf: Column => Column = b =>

@@ -75,6 +75,14 @@ object PipelineQueries {
        |  WHERE pr[1] <> '|' AND pr[2] <> '|' AND pr[1] <> '' AND pr[2] <> ''
        |  GROUP BY 2, 3 ORDER BY c DESC, x, y LIMIT 16)""".stripMargin
 
+  /** Starting weight table for the logistic-regression training step —
+    * hashedLinearScore's pure bucket function in integer micros, inlined
+    * on both engines (a real deployment starts from zeros or a warm
+    * checkpoint; any 256-long table trains the same way).
+    */
+  private val LrInitWeights: Seq[Long] =
+    (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
+
   /** DuckDB word-frequency histogram of the spaced form — the oracle twin
     * of `Bpe.wordHistogram` (words = `|`-separated segments, guard-spaced,
     * weighted by corpus frequency). Used as a CTE by q_bpe_train_hist.
@@ -1490,6 +1498,40 @@ object PipelineQueries {
         TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
             buckets = 256)
           .orderBy("doc_id")),
+
+    // The TRAINING side of the quality gate: one full-batch logistic-
+    // regression gradient step over the same hashed bag-of-words features
+    // (label = doc comes from src0). Integer-micro margins ride the scan;
+    // the one sigmoid per doc is micro-quantized into the residual BEFORE
+    // the cross-row sum (q_kmeans_step pattern), so the gradient is an
+    // exact integer aggregate — bit-equal at any parallelism, and the
+    // shuffle carries 256 bucket keys, never the documents. The oracle
+    // re-derives the identical step from the same inlined weight table.
+    // TextAnalysisSpec shows N such steps reduce loss on a planted-
+    // separable fixture.
+    Q("q_linear_train_step", {
+      val w = LrInitWeights.mkString("[", ", ", "]")
+      Some(s"""WITH w AS (SELECT $w AS wt),
+              |toks AS (SELECT doc_id,
+              |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |m AS (SELECT doc_id, y, t, CAST(coalesce(list_sum(
+              |    [wt[CAST(('0x' || substr(md5(x), 1, 8))::BIGINT % 256 AS INT) + 1]
+              |     FOR x IN t]), 0) AS BIGINT) AS margin FROM toks, w),
+              |r AS (SELECT t, CAST(round((1.0/(1.0 + exp(-CAST(margin AS DOUBLE)/1e6))
+              |    - CAST(y AS DOUBLE)) * 1e6, 0) AS BIGINT) AS rm FROM m),
+              |e AS (SELECT rm, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+              |  FROM (SELECT rm, unnest(t) AS tok FROM r))
+              |SELECT bucket, CAST(sum(rm) AS BIGINT) AS grad_micro,
+              |  CAST(count(*) AS BIGINT) AS n_terms
+              |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin)
+    },
+      (s, d) =>
+        TextAnalysis.logisticGradStep(t(s, d, "documents"), "text",
+            when(col("source") === "src0", 1L).otherwise(0L),
+            LrInitWeights, buckets = 256)
+          .orderBy("bucket")),
 
     // Benchmark decontamination: drop corpus docs sharing any word 13-gram
     // with the benchmark set (src0 stands in for an eval suite) — the

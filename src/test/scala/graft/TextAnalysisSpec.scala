@@ -450,4 +450,70 @@ class TextAnalysisSpec extends SparkTestBase {
       maxBroadcastVocab = 0L).orderBy("doc_id").collect().toSeq
     assert(viaMap == viaJoin)
   }
+
+  test("logistic training: N gradient steps reduce loss on a planted-separable fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    // planted separability: positive docs speak one vocabulary, negative
+    // docs another (disjoint token sets -> a linear separator exists)
+    val pos = (1 to 60).map(i => (s"alpha beta gamma delta epsilon tok$i", 1L))
+    val neg = (1 to 60).map(i => (s"omega sigma lambda kappa theta neg$i", 0L))
+    val df = (pos ++ neg).toDF("text", "y").cache()
+    val y = col("y")
+    val zeros = Seq.fill(256)(0L)
+    val l0 = TextAnalysis.logisticLoss(df, "text", y, zeros)
+    assert(math.abs(l0 - math.log(2.0)) < 1e-9) // zero weights = ln 2 exactly
+    val w5 = TextAnalysis.logisticTrainN(df, "text", y, zeros,
+      steps = 5, lrMicro = 2000000L, n = 120L)
+    val l5 = TextAnalysis.logisticLoss(df, "text", y, w5)
+    val w10 = TextAnalysis.logisticTrainN(df, "text", y, w5,
+      steps = 5, lrMicro = 2000000L, n = 120L)
+    val l10 = TextAnalysis.logisticLoss(df, "text", y, w10)
+    assert(l5 < l0 * 0.8, s"5 steps did not train: $l0 -> $l5")
+    assert(l10 < l5, s"further steps did not train: $l5 -> $l10")
+    // the gradient step itself is partitioning-invariant (exact integer
+    // aggregate over micro-quantized residuals)
+    val g1 = TextAnalysis.logisticGradStep(df, "text", y, w5)
+      .orderBy("bucket").collect().toSeq
+    val g2 = TextAnalysis.logisticGradStep(df.repartition(7), "text", y, w5)
+      .orderBy("bucket").collect().toSeq
+    assert(g1 == g2)
+    df.unpersist()
+  }
+
+  test("q_linear_train_step gradient matches a driver-side recomputation") {
+    // independent re-derivation of the registered query's step on a tiny
+    // slice: margins, sigmoid residual quantization, bucket sums
+    val docs = Tables.t(spark, sf, "documents").limit(50).cache()
+    val w = (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
+    import org.apache.spark.sql.functions.{col, when}
+    val got = TextAnalysis.logisticGradStep(docs, "text",
+        when(col("source") === "src0", 1L).otherwise(0L), w)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = docs.select("text", "source").collect()
+    def bucketOf(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+    rows.foreach { r =>
+      val toks = r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val yv = if (r.getString(1) == "src0") 1.0 else 0.0
+      val margin = toks.map(t => w(bucketOf(t))).sum
+      // Spark round = BigDecimal HALF_UP (away from zero on .5), which
+      // Java Math.round does NOT match for negative halves
+      val rm = BigDecimal((1.0 / (1.0 + math.exp(-margin / 1e6)) - yv) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      toks.foreach { t =>
+        val b = bucketOf(t).toLong
+        val (g, n) = acc.getOrElse(b, (0L, 0L))
+        acc(b) = (g + rm, n + 1)
+      }
+    }
+    val want = acc.toSeq.map { case (b, (g, n)) => (b, g, n) }.sortBy(_._1)
+    assert(got == want)
+    docs.unpersist()
+  }
 }
