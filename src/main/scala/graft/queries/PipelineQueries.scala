@@ -25,7 +25,63 @@ object PipelineQueries {
   private val duckShingles =
     "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))])"
 
+  /** Exact near-dup pair CTE chain for the DuckDB oracles — INVERTED-INDEX
+    * form: per-pair intersection sizes come from one token self-join
+    * counted per (id_a, id_b) — Σ df(g)² join rows — instead of the
+    * all-pairs `list_intersect` scan (n² pairs × |s|-element lists). The
+    * pair set and the DOUBLE jaccard are EXACTLY the all-pairs values
+    * (`len(list_intersect(a.s, b.s))` equals the join's per-pair count;
+    * both divisions are the same BIGINT operands cast to DOUBLE) —
+    * verified pair-for-pair against the all-pairs form at sf0.01. This is
+    * what makes the oracle side feasible at sf0.1 (~3 min vs >45 min per
+    * query), closing the 10× sweep's standing all-pairs exclusion list.
+    * Exposes `p` = (id_a, id_b, jac) with id_a < id_b, jac >= `thr`;
+    * `docWhere` (e.g. " WHERE doc_id < 1000") restricts the corpus.
+    */
+  private[queries] def duckPairCtes(thr: String, docWhere: String = ""): String =
+    s"""sh AS (SELECT doc_id, $duckShingles AS s FROM documents$docWhere),
+       |shn AS (SELECT doc_id, len(s) AS n FROM sh),
+       |tokx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM tokx a JOIN tokx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
+       |  FROM co JOIN shn na ON na.doc_id = id_a
+       |          JOIN shn nb ON nb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= $thr)""".stripMargin
+
   private val bm25Terms = Seq("dup", "vector", "scan")
+
+  /** Materialize the documents near-dup cluster table
+    * (MinHash-LSH pairs → [[Dedup.resolveClusters]]) to parquet ONCE per
+    * corpus version, and return the table's path. The cache key is the
+    * corpus FILE's identity (qualified path + length + mtime), so a
+    * regenerated testdata dir recomputes; a `_SUCCESS` marker gates
+    * reuse (Spark writes it last, so a crashed write recomputes).
+    * Queries that APPLY dedup read this table instead of re-running the
+    * chain inline — the production shape: at 100 TB the cluster table is
+    * a tiny id-pair table computed by one nightly job and anti-joined by
+    * every downstream consumer.
+    */
+  private def materializedClusterDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = sys.props("java.io.tmpdir") + s"/graft_cluster_cache_$hash"
+    val marker = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
+        Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+      Dedup.resolveClusters(pairs, "id_a", "id_b")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
 
   /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
     * text, perRound = 16, rounds = 3)`, inlined as a literal so the
@@ -170,16 +226,20 @@ object PipelineQueries {
     // pairs: the final verify is exact Jaccard >= 0.9, and at j >= 0.9
     // with r=6/b=21 a true pair escapes every band w.p. (1-0.9^6)^21 ~
     // 1.2e-7 — the same completeness argument that keeps q_dedup_minhash
-    // hash-green. Oracle cost is O(new x corpus) in DuckDB; candidate
-    // cost in Spark stays band-bucketed.
+    // hash-green. Oracle cost is inverted-index Σ df² (see duckPairCtes —
+    // feasible at sf0.1); candidate cost in Spark stays band-bucketed.
     Q("q_dedup_incr_near",
-      Some(s"""WITH sh AS (SELECT doc_id, source, $duckShingles AS s FROM documents)
-              |SELECT new_id, old_id, jac FROM (
-              |  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-              |    CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
-              |      (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s))) AS jac
-              |  FROM sh n JOIN sh o ON n.source <> 'src0' AND o.source = 'src0')
-              |WHERE jac >= 0.9 ORDER BY new_id, old_id""".stripMargin),
+      Some(s"""WITH sh AS (SELECT doc_id, source, $duckShingles AS s FROM documents),
+              |shn AS (SELECT doc_id, len(s) AS n FROM sh),
+              |tokn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+              |toko AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source = 'src0'),
+              |co AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS c
+              |  FROM tokn n JOIN toko o ON n.g = o.g GROUP BY 1, 2)
+              |SELECT new_id, old_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jac
+              |FROM co JOIN shn na ON na.doc_id = new_id
+              |        JOIN shn nb ON nb.doc_id = old_id
+              |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.9
+              |ORDER BY new_id, old_id""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents")
         Dedup.minHashIncrementalHashed(
@@ -194,13 +254,8 @@ object PipelineQueries {
     // output equals the exact all-pairs oracle; background pairs (j~0.2)
     // become candidates at ~1.3e-3, keeping verification near-linear.
     Q("q_dedup_minhash",
-      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents)
-              |SELECT id_a, id_b, jac FROM (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-              |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      Some(s"""WITH ${duckPairCtes("0.7")}
+              |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
         Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
             Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
@@ -224,11 +279,7 @@ object PipelineQueries {
     // The DuckDB oracle runs the true UNION fixpoint over the exact
     // all-pairs graph; hash-equality IS the convergence check.
     Q("q_recursive_cte",
-      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
               |e AS (SELECT id_a AS a, id_b AS b FROM p
               |      UNION SELECT id_b, id_a FROM p),
               |reach AS (
@@ -265,11 +316,7 @@ object PipelineQueries {
       }),
 
     Q("q_dedup_clusters",
-      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
               |e AS (SELECT id_a AS a, id_b AS b FROM p
               |      UNION SELECT id_b, id_a FROM p),
               |reach AS (
@@ -293,11 +340,7 @@ object PipelineQueries {
     // the clusters with the recursive closure and arg-maxes with a window
     // rank.
     Q("q_dedup_canonical",
-      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
               |e AS (SELECT id_a AS a, id_b AS b FROM p
               |      UNION SELECT id_b, id_a FROM p),
               |reach AS (
@@ -331,11 +374,7 @@ object PipelineQueries {
     // docs pass through untouched. Pairs → clusters → apply is the full
     // near-dedup lifecycle on the scoreboard.
     Q("q_dedup_apply",
-      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
               |e AS (SELECT id_a AS a, id_b AS b FROM p
               |      UNION SELECT id_b, id_a FROM p),
               |reach AS (
@@ -360,11 +399,7 @@ object PipelineQueries {
     // the near-dup group usually holds one clean original and N degraded
     // copies, and min-id deletion would keep an arbitrary one.
     Q("q_dedup_apply_best",
-      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS s FROM documents),
-              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
               |e AS (SELECT id_a AS a, id_b AS b FROM p
               |      UNION SELECT id_b, id_a FROM p),
               |reach AS (
@@ -388,6 +423,36 @@ object PipelineQueries {
             docs.select(col("doc_id"), col("source"), col("n_chars")),
             pairs, "doc_id", col("n_chars"))
           .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      }),
+
+    // The apply step as a production pipeline actually runs it: the
+    // cluster table is computed ONCE and materialized to parquet (keyed
+    // by the corpus file's identity, reused across invocations), and the
+    // query itself is ONLY the id anti-join against the stored table —
+    // vs q_dedup_apply, which re-runs the whole MinHash→LSH→clusters
+    // chain inline every time (its bench line double-counts the chain).
+    // Result is identical, so the oracle is the same recursive-closure
+    // SQL; the bench minimum prices the apply alone.
+    Q("q_dedup_apply_from_table",
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r))
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT v FROM losers)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = s.read.parquet(materializedClusterDir(s, d))
+        docs.select(col("doc_id"), col("source"))
+          .join(clusters.filter(col("v") =!= col("cluster_rep"))
+              .select(col("v").as("doc_id")),
+            Seq("doc_id"), "left_anti")
           .orderBy("doc_id")
       }),
 
@@ -523,13 +588,8 @@ object PipelineQueries {
     // the O(n^2) form is the verification baseline, not the scale path —
     // at sf>=0.1 the corpus outgrows it by design (use q_dedup_minhash).
     Q("q_dedup_jaccard",
-      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS s FROM documents WHERE doc_id < 1000)
-              |SELECT id_a, id_b, jac FROM (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-              |WHERE jac >= 0.3 ORDER BY id_a, id_b""".stripMargin),
+      Some(s"""WITH ${duckPairCtes("0.3", " WHERE doc_id < 1000")}
+              |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
         Dedup.exactJaccardPairsHashed(t(s, d, "documents").filter(col("doc_id") < 1000),
             "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)

@@ -600,15 +600,8 @@ object WarehouseQueries {
     // SQL as q_dedup_minhash. Single-batch drain asserted: per-bucket
     // doc_id ordering (hence new>old orientation) holds within a batch.
     Q("q_stream_neardedup",
-      Some(s"""WITH sh AS (SELECT doc_id,
-              |    list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-3, 1))]) AS s
-              |  FROM documents)
-              |SELECT id_a, id_b, jac FROM (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-              |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin),
+      Some(s"""WITH ${PipelineQueries.duckPairCtes("0.7")}
+              |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) => {
         val sink = "q_stream_neardedup_sink"
         graft.streaming.StateScope.withStateConf(s) {
@@ -805,6 +798,65 @@ object WarehouseQueries {
         drainGeneration() // generation 2: first-wins vs checkpointed state
         acc.synchronized(acc.toSeq)
           .toDF("digest", "keep_id").orderBy("keep_id")
+      }),
+
+    // The CROSS-BATCH linearity contract of the streaming CMS, made
+    // DuckDB-verifiable (q_stream_cms asserts a single batch; the
+    // multi-generation accumulation was pinned only in unit specs): even
+    // doc_ids land first, odd doc_ids arrive as a second file picked up
+    // by a checkpoint-resumed generation. CMS linearity means a cell's
+    // LAST emission carries the count of everything seen across both
+    // generations — cells touched only by the even slice keep their
+    // gen-1 emission (the odd slice adds nothing to them), cells touched
+    // in gen 2 emit even+odd totals from the resumed RocksDB state — so
+    // last-write-wins over the two drains equals the whole-corpus batch
+    // sketch, cell for cell. A state store that failed to persist or
+    // accumulate across the resume would leave doubly-touched cells at
+    // their odd-slice-only counts and break the hash.
+    Q("q_stream_cms_2b",
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |rows_ AS (SELECT unnest(range(4)) AS j),
+             |cells AS (SELECT j,
+             |    CAST('0x' || substr(md5(j || '|' || token), 1, 8) AS BIGINT) % 256 AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks CROSS JOIN rows_ GROUP BY j, b)
+             |SELECT CAST(j AS INT) AS cms_row, b AS cms_bucket, cnt
+             |FROM cells ORDER BY cms_row, cms_bucket""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val land = java.nio.file.Files
+          .createTempDirectory("qcms2b-landing").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("qcms2b-ckpt").toString
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(land)
+        val schema = s.read.parquet(land).schema
+        // (row, bucket) -> latest emitted count; foreachBatch runs on the
+        // stream's microbatch thread, so guard the map explicitly.
+        val acc = scala.collection.mutable.HashMap[(Int, Long), Long]()
+        def drainGeneration(): Unit =
+          graft.streaming.StateScope.withStateConf(s) {
+            val toks = s.readStream.schema(schema).parquet(land)
+              .select(explode(split(lower(col("text")), " ")).as("token"))
+            graft.streaming.StateScope.drainSingleBatchInto(
+              graft.streaming.StreamingCms.track(toks, "token",
+                depth = 4, width = 256), ckpt) { b =>
+              val emitted = b.collect()
+              acc.synchronized {
+                emitted.foreach(r =>
+                  acc.put((r.getInt(0), r.getLong(1)), r.getLong(2)))
+              }
+            }
+          }
+        drainGeneration() // generation 1: the even-id slice
+        docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(land)
+        drainGeneration() // generation 2: accumulation vs resumed state
+        acc.synchronized(acc.toSeq)
+          .map { case ((r, bkt), n) => (r, bkt, n) }
+          .toDF("cms_row", "cms_bucket", "cnt")
+          .orderBy("cms_row", "cms_bucket")
       }),
 
     // The streaming INGEST PIPELINE composed end-to-end in one streaming

@@ -338,6 +338,31 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 5L), s"kept $kept")
   }
 
+  test("materialized-cluster apply == inline-chain apply, and the table is reused") {
+    // Same result both ways (the from-table query must not drift from the
+    // self-contained chain), and the second invocation reads the cached
+    // cluster table instead of rewriting it.
+    val inline = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val fromTable = SparkEntry.queries("q_dedup_apply_from_table")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromTable == inline, "from-table apply drifted from the inline chain")
+    // locate the cache dir the first run produced and pin its marker mtime
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_cluster_cache_"))
+    assert(caches.nonEmpty, "no materialized cluster table found")
+    val markers = caches.map(c => new java.io.File(c, "_SUCCESS")).filter(_.exists())
+    assert(markers.nonEmpty, "materialized cluster table has no _SUCCESS marker")
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_dedup_apply_from_table")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == inline)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"cluster table ${m.getParent} was rewritten on a cache hit")
+    }
+  }
+
   test("cluster resolution of an empty pair set is empty (no duplicates found)") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
