@@ -157,4 +157,14 @@ class StreamingHardeningSpec extends SparkTestBase {
       }
     }
   }
+
+  test("two-generation CMS drain equals the single-drain sketch (linearity across a checkpoint resume)") {
+    // q_stream_cms_2b splits the corpus into two checkpoint-resumed
+    // generations; CMS linearity + persisted state means last-write-wins
+    // over the two drains must equal one drain of everything.
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    assert(rows("q_stream_cms_2b") == rows("q_stream_cms"),
+      "cross-generation CMS accumulation drifted from the single-drain sketch")
+  }
 }
