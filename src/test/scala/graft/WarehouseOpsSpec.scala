@@ -174,6 +174,74 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sorted compaction writes tight, disjoint row-group min/max footer statistics") {
+    // The pruning claim of rewriteSorted rests on what a scan PLANNER
+    // reads: the parquet footers' row-group statistics, not the data.
+    // Read them directly (ParquetFileReader) and assert every row group
+    // carries doc_id min/max, the per-file stat ranges are disjoint
+    // across files, and the stats are TIGHT (equal to the actual per-file
+    // min/max of the data) — a writer that wrote files clustered but
+    // stats-less or padded would pass the read-back test yet prune
+    // nothing.
+    import graft.operators.Compact
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val base = sys.props("java.io.tmpdir") + s"/graft_compact_footer_${System.nanoTime()}"
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      docs.write.mode("overwrite").option("maxRecordsPerFile", 25)
+        .parquet(base + "/frag")
+      val total = Compact.parquetFiles(spark, base + "/frag").map(_.getLen).sum
+      Compact.rewriteSorted(spark, base + "/frag", base + "/out",
+        targetFileBytes = math.max(total / 4, 1L), sortCols = Seq("doc_id"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val footerRanges = Compact.parquetFiles(spark, base + "/out").map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val groups = reader.getFooter.getBlocks
+          assert(!groups.isEmpty, s"${f.getPath}: no row groups")
+          val stats = (0 until groups.size()).map { i =>
+            val cols = groups.get(i).getColumns
+            val idCol = (0 until cols.size())
+              .map(cols.get)
+              .find(_.getPath.toDotString == "doc_id")
+              .getOrElse(fail(s"${f.getPath}: row group $i has no doc_id chunk"))
+            val st = idCol.getStatistics
+            assert(st != null && st.hasNonNullValue,
+              s"${f.getPath}: row group $i carries no doc_id min/max statistics")
+            (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+          }
+          (f.getPath.toString, stats.map(_._1).min, stats.map(_._2).max)
+        } finally reader.close()
+      }
+      assert(footerRanges.length > 1,
+        s"need several files for the disjointness check: ${footerRanges.length}")
+      // disjoint across files, by the FOOTER ranges alone
+      val sorted = footerRanges.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((fa, _, hi1), (fb, lo2, _)) =>
+          assert(hi1 < lo2, s"footer stat ranges overlap: $fa [..$hi1] vs $fb [$lo2..]")
+        case _ => ()
+      }
+      // tight: footer min/max == actual data min/max per file
+      val actual = spark.read.parquet(base + "/out")
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .agg(fmin("doc_id").as("lo"), fmax("doc_id").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      footerRanges.foreach { case (f, lo, hi) =>
+        val (alo, ahi) = actual.getOrElse(f,
+          actual.find(_._1.endsWith(f.split('/').last)).map(_._2)
+            .getOrElse(fail(s"no data read back for $f")))
+        assert(lo == alo && hi == ahi,
+          s"$f: footer stats [$lo,$hi] not tight vs data [$alo,$ahi]")
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
   test("partitioned compaction splits a skewed partition into multiple target-size files") {
     import graft.operators.Compact
     import spark.implicits._
