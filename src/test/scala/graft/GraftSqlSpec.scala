@@ -117,4 +117,41 @@ class GraftSqlSpec extends SparkTestBase {
     assert(top.length == 3)
     assert(top.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
   }
+
+  test("script splitter: semicolons in literals and -- comments survive correctly") {
+    val script =
+      """-- a leading comment; with a semicolon
+        |CREATE EXTERNAL TABLE t1 (a INT) STORED AS PARQUET LOCATION '/x/y.parquet';
+        |SELECT 'a;b' AS s, -- trailing comment; also with one
+        |  1 AS n;
+        |
+        |SELECT 2""".stripMargin
+    val stmts = Repl.splitStatements(script)
+    assert(stmts.length == 3, s"got $stmts")
+    assert(stmts(0).startsWith("CREATE EXTERNAL TABLE t1"))
+    assert(stmts(1).contains("'a;b'"), s"literal semicolon lost: ${stmts(1)}")
+    assert(!stmts(1).contains("trailing comment"))
+    assert(stmts(2) == "SELECT 2")
+  }
+
+  test(":load runs a multi-statement script: DDL persists, errors report and continue") {
+    val f = java.io.File.createTempFile("graft_repl_script", ".sql")
+    try {
+      val w = new java.io.PrintWriter(f)
+      w.println("-- demo script: mura-form DDL + queries in one file")
+      w.println(s"CREATE EXTERNAL TABLE repl_docs (doc_id BIGINT NOT NULL, source VARCHAR) STORED AS PARQUET LOCATION '$sf/documents.parquet';")
+      w.println("SELECT source, count(*) AS n FROM repl_docs GROUP BY source ORDER BY source;")
+      w.println("SELECT boom FROM no_such_table;")
+      w.println("SELECT count(*) AS after_error FROM repl_docs")
+      w.close()
+      val statuses = Repl.runScript(spark, f.getAbsolutePath)
+      assert(statuses.length == 4, s"got $statuses")
+      assert(statuses(0) == "registered (2 columns)", statuses(0))
+      assert(statuses(1).startsWith("ok"), statuses(1))
+      assert(statuses(2).startsWith("error:"), "the bad statement must report, not throw")
+      assert(statuses(3).startsWith("ok"), "the script must continue past an error")
+      // the DDL registered a REAL catalog entry that outlives the script
+      assert(spark.sql("SELECT count(*) FROM repl_docs").head().getLong(0) > 0)
+    } finally { f.delete(); spark.catalog.dropTempView("repl_docs"): Unit }
+  }
 }
