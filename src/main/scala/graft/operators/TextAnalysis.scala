@@ -489,6 +489,28 @@ object TextAnalysis {
     * weights via a 256-entry broadcast map or a `CASE` expression — same
     * plan either way.
     */
+  /** [[hashedLinearScore]]'s scoring pass under an EXPLICIT weight table —
+    * the APPLY side of a trained model (e.g. [[logisticTrainN]]'s output):
+    * per-document integer-micro margin `w . x` as the same no-shuffle HOF
+    * fold, weights shipped as a 256-entry array literal (KBs broadcast
+    * with the plan). Returns (idCol, score_micro, n_toks), the
+    * hashedLinearScore contract.
+    */
+  def linearMargins(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+    require(weightsMicro.size == buckets,
+      s"need $buckets weights, got ${weightsMicro.size}")
+    val wArr = typedLit(weightsMicro)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
+      .select(col(idCol),
+        aggregate(transform(col("__t"),
+            t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("score_micro"),
+        size(col("__t")).cast("long").as("n_toks"))
+  }
+
   /** One logistic-regression gradient step over the hashed bag-of-words
     * features of [[hashedLinearScore]] — the TRAINING side of the
     * CCNet/fastText quality gate, distributed the way 100 TB needs:

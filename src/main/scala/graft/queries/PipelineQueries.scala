@@ -1593,6 +1593,66 @@ object PipelineQueries {
             LrInitWeights, buckets = 256)
           .orderBy("bucket")),
 
+    // The classifier LIFECYCLE composed end-to-end, the q_dedup_apply
+    // pattern for the quality gate: TRAIN two full-batch GD steps
+    // (logisticTrainN — each step one corpus scan + a 256-key integer
+    // gradient aggregate + a bounded 256-row driver round-trip), then
+    // APPLY the trained weights to every document (linearMargins — the
+    // same no-shuffle HOF-fold scoring pass as q_linear_score, weights
+    // now a trained table instead of the pure bucket function). The
+    // oracle unrolls both steps weight-TABLE-style — margins, micro
+    // residuals, bucket grads, and the exact truncating-division Long
+    // update per step — then scores under the step-2 weights; doc count
+    // n is derived in-query on both engines, so one SQL text holds at
+    // every sf.
+    Q("q_linear_train_apply", {
+      // one unrolled GD step: w{i-1} -> w{i}, mirroring logisticTrainN's
+      // Long arithmetic (truncation toward zero, hence the sign CASE —
+      // DuckDB's // floors)
+      def step(i: Int): String = {
+        val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
+        s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+           |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum($wp.w) AS mm
+           |    FROM occ JOIN $wp ON $wp.b = occ.b GROUP BY occ.doc_id) s
+           |  ON s.doc_id = tk.doc_id),
+           |$r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
+           |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM $m),
+           |$g AS (SELECT occ.b, CAST(sum($r.rm) AS BIGINT) AS gg
+           |  FROM occ JOIN $r ON $r.doc_id = occ.doc_id GROUP BY occ.b),
+           |$w AS (SELECT $wp.b, $wp.w - (CASE WHEN coalesce($g.gg, 0) >= 0
+           |    THEN (1000000 * coalesce($g.gg, 0)) // (1000000 * cnt.n)
+           |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
+           |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
+      }
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+              |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+              |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
+              |  FROM (SELECT unnest(range(256)) AS b)),
+              |${step(1)},
+              |${step(2)}
+              |SELECT tk.doc_id,
+              |  CAST(coalesce(s.mm, 0) AS BIGINT) AS score_micro,
+              |  CAST(len(tk.t) AS BIGINT) AS n_toks
+              |FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
+              |    FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
+              |  ON s.doc_id = tk.doc_id
+              |ORDER BY tk.doc_id""".stripMargin)
+    },
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val y = when(col("source") === "src0", 1L).otherwise(0L)
+        val trained = TextAnalysis.logisticTrainN(docs, "text", y,
+          LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
+        TextAnalysis.linearMargins(docs, "doc_id", "text", trained)
+          .orderBy("doc_id")
+      }),
+
     // Benchmark decontamination: drop corpus docs sharing any word 13-gram
     // with the benchmark set (src0 stands in for an eval suite) — the
     // GPT-3/PaLM decontamination rule. Spark joins on xxhash64(gram)

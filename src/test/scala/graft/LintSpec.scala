@@ -190,6 +190,7 @@ class LintSpec extends SparkTestBase {
     "q_mix_temperature", "q_sample_pps", "q_curriculum", "q_freq_items",
     "q_heavy_hitters", "q_dedup_semantic", "q_decontaminate_semantic",
     "q_recursive_cte", "q_hll_merge", "q_embed_standardize",
+    "q_linear_train_apply",
     // write-path round-trips (produce files on build)
     "q_write_partitioned", "q_write_bucketed", "q_write_zordered",
     "q_multiformat", "q_schema_evolution", "q_compact", "q_dpp",

@@ -516,4 +516,56 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == want)
     docs.unpersist()
   }
+
+  test("linearMargins under the pure bucket weights == hashedLinearScore") {
+    import spark.implicits._
+    val df = Seq((1L, "Alpha beta gamma"), (2L, "beta beta"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val pure = (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
+    val a = TextAnalysis.linearMargins(df, "doc_id", "text", pure)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = TextAnalysis.hashedLinearScore(df, "doc_id", "text", buckets = 256)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "explicit-weights scorer drifted from the baked scorer")
+  }
+
+  test("q_linear_train_apply == a full driver-side train-then-score recomputation") {
+    // independent end-to-end re-derivation: two hand-computed GD steps
+    // (margins, HALF_UP micro residuals, bucket grads, truncating Long
+    // update), then hand scoring under the step-2 weights.
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    val n = rows.length.toLong
+    def bucketOf(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    def toks(s: Option[String]): Array[String] =
+      s.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).getOrElse(Array.empty)
+    def stepOnce(w: Vector[Long]): Vector[Long] = {
+      val grads = scala.collection.mutable.Map[Int, Long]()
+      rows.foreach { case (_, text, src) =>
+        val ts = toks(text)
+        val yv = if (src == "src0") 1.0 else 0.0
+        val margin = ts.map(t => w(bucketOf(t))).sum
+        val rm = BigDecimal((1.0 / (1.0 + math.exp(-margin / 1e6)) - yv) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        ts.foreach(t => grads(bucketOf(t)) = grads.getOrElse(bucketOf(t), 0L) + rm)
+      }
+      w.zipWithIndex.map { case (wj, j) =>
+        wj - 1000000L * grads.getOrElse(j, 0L) / (1000000L * n)
+      }
+    }
+    val w0 = (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L).toVector
+    val w2 = stepOnce(stepOnce(w0))
+    val want = rows.map { case (id, text, _) =>
+      val ts = toks(text)
+      (id, ts.map(t => w2(bucketOf(t))).sum, ts.length.toLong)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_linear_train_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "train->apply query drifted from the hand recomputation")
+  }
 }
