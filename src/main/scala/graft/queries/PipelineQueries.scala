@@ -1806,7 +1806,12 @@ object PipelineQueries {
               |      UNION ALL ${bpeHistRoundSql(3, 32)})
               |ORDER BY round, c DESC, x, y""".stripMargin),
       (s, d) => {
+        // persist the histogram like Bpe.trainMergesHist does — the three
+        // round branches below must read the ONE-scan table, not re-derive
+        // it from the corpus (the whole point of the histogram trainer);
+        // vocab-bounded, spills to disk past memory
         val hist = Bpe.wordHistogram(t(s, d, "documents"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (1 to 3).map { r =>
           Bpe.pairCountsHist(hist, BpeMerges.take(16 * (r - 1)))
             .orderBy(col("c").desc, col("x").asc, col("y").asc)
