@@ -160,22 +160,37 @@ object Similarity {
     ivfKnnCore(corpus, queries, idCol, vecCol, k,
       centroidRows(corpus.filter(col(idCol) < nCentroids), idCol, vecCol), nProbe)
 
-  private def ivfKnnCore(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, cents: Array[(Int, Seq[Float])], nProbe: Int): DataFrame = {
-    require(cents.nonEmpty, "no centroid rows")
-    def cellScores(vec: Column): Column = array(cents.map { case (cid, cv) =>
+  private def cellScores(cents: Array[(Int, Seq[Float])])(vec: Column): Column =
+    array(cents.map { case (cid, cv) =>
       struct(cosine_sim(vec, typedLit(cv)).as("sim"), lit(cid).as("cell"))
     }: _*)
-    // corpus side: argmax cell (array_max on (sim, cell) structs)
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      array_max(cellScores(col(vecCol))).getField("cell").as("cell"))
-    // query side: top-nProbe cells, exploded
+
+  /** Coarse-cell assignment of a corpus under a centroid table: (c_id,
+    * c_vec, cell) with cell = argmax cosine (ties -> larger cell id, the
+    * array_max struct ordering). This IS the inverted-file build pass —
+    * write its output partitioned by cell and you have an IVF-Flat index.
+    */
+  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Seq[Float])]): DataFrame = {
+    require(cents.nonEmpty, "no centroid rows")
+    corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      array_max(cellScores(cents)(col(vecCol))).getField("cell").as("cell"))
+  }
+
+  /** The probe half of IVF: route each query to its top-nProbe cells,
+    * scan ONLY those cells' posting lists, exact-rescore, rank top-k.
+    * `postings` = (c_id, c_vec, cell) — either [[ivfAssignCells]]' output
+    * computed in-query, or a stored index read back from parquet.
+    */
+  private def ivfProbe(postings: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "no centroid rows")
     val qq = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        cellScores(col(vecCol)).as("cells"))
+        cellScores(cents)(col(vecCol)).as("cells"))
       .select(col("q_id"), col("q_vec"),
         explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cell)")).as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
-    c.join(qq, "cell")
+    postings.join(qq, "cell")
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         cosine_sim(col("q_vec"), col("c_vec")).as("sim"))
@@ -183,6 +198,28 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("q_id", "c_id", "rn", "sim")
   }
+
+  /** Query a MATERIALIZED IVF-Flat index — the production split: the
+    * index (trained centroid table + per-cell posting lists carrying the
+    * vectors) is built ONCE offline; query time pays only centroid
+    * routing (a tiny collect of the centroid table) plus a scan of the
+    * probed cells' postings. With the postings parquet PARTITIONED BY
+    * cell, the probe join's cell predicate prunes unprobed partitions at
+    * the file listing — at 100 TB the query reads nProbe/nCells of the
+    * index, never the corpus.
+    */
+  def ivfKnnFromIndex(postings: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: DataFrame, cellCol: String,
+      centVecCol: String, nProbe: Int = 4): DataFrame =
+    ivfProbe(
+      postings.select(col("c_id"), col("c_vec"), col("cell")),
+      queries, idCol, vecCol, k,
+      centroidRows(centroids, cellCol, centVecCol), nProbe)
+
+  private def ivfKnnCore(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[(Int, Seq[Float])], nProbe: Int): DataFrame =
+    ivfProbe(ivfAssignCells(corpus, idCol, vecCol, cents),
+      queries, idCol, vecCol, k, cents, nProbe)
 
   /** One Lloyd (k-means) iteration over an embedding column: assign every
     * vector to its max-cosine centroid (ties -> larger cell id, matching

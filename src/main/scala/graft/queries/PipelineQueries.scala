@@ -83,6 +83,78 @@ object PipelineQueries {
     dir
   }
 
+  /** The full-chain IVF oracle (16-vector seed → exact-micro Lloyd step →
+    * float-cast centroids → argmax cell assignment → top-4 probe → cosine
+    * ranks), bit-mirrored in DuckDB via OracleVec. Shared by
+    * q_embed_knn_ivf (chain in-query) and q_ann_from_index (stored-index
+    * query) — identical ranks by construction.
+    */
+  private val IvfOracleSql: Option[String] = Some {
+    def cos(a: String, b: String) = OracleVec.cosSql(a, b)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seed AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT e.vec_id, e.v, seed.cell, ${cos("e.v", "seed.sv")} AS sim FROM e, seed),
+       |a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell DESC) AS rn FROM asg),
+       |av AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+       |mo AS (SELECT cell, r.range AS i,
+       |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM av, range(64) r GROUP BY cell, r.range),
+       |cent AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
+       |  FROM mo GROUP BY cell),
+       |casg AS (SELECT e.vec_id AS c_id, e.v AS cvv, cent.cell, ${cos("e.v", "cent.cv")} AS sim FROM e, cent),
+       |c1 AS (SELECT c_id, cvv, cell, row_number() OVER (PARTITION BY c_id
+       |    ORDER BY sim DESC, cell DESC) AS rn FROM casg),
+       |corp AS (SELECT c_id, cvv, cell FROM c1 WHERE rn = 1),
+       |qasg AS (SELECT e.vec_id AS q_id, e.v AS qv, cent.cell, ${cos("e.v", "cent.cv")} AS sim
+       |  FROM e, cent WHERE e.vec_id < 5),
+       |q1 AS (SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cell DESC) AS rn FROM qasg),
+       |probe AS (SELECT q_id, qv, cell FROM q1 WHERE rn <= 4),
+       |cand AS (SELECT probe.q_id, probe.qv, corp.c_id, corp.cvv
+       |  FROM probe JOIN corp USING (cell) WHERE corp.c_id <> probe.q_id),
+       |r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ${cos("qv", "cvv")} DESC, c_id) AS BIGINT) AS rn FROM cand)
+       |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** Materialize the trained IVF-Flat index over `embeddings` ONCE per
+    * corpus version (same cache-key discipline as
+    * [[materializedClusterDir]]): `centroids/` = the 16-seed +
+    * one-Lloyd-step trained quantizer (the q_embed_knn_ivf training),
+    * `postings/` = the corpus assigned to cells, PARTITIONED BY cell so
+    * a query's probe set prunes unread partitions at the listing. Guard
+    * is BOTH subdirs' `_SUCCESS` markers — a crash between the two
+    * writes rebuilds both.
+    */
+  private def materializedIvfIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = sys.props("java.io.tmpdir") + s"/graft_ivf_cache_$hash"
+    def marked(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub/_SUCCESS"))
+    if (!(marked("centroids") && marked("postings"))) {
+      val emb = t(s, d, "embeddings")
+      val seed = Similarity.centroidRows(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding")
+      val trained = Similarity.kmeansStep(emb, "vec_id", "embedding", seed)
+        .select(col("cell"),
+          expr("transform(centroid, x -> cast(x as float))").as("centroid"))
+      trained.write.mode("overwrite").parquet(dir + "/centroids")
+      val cents = Similarity.centroidRows(
+        s.read.parquet(dir + "/centroids"), "cell", "centroid")
+      Similarity.ivfAssignCells(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+    }
+    dir
+  }
+
   /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
     * text, perRound = 16, rounds = 3)`, inlined as a literal so the
     * DuckDB oracle applies the IDENTICAL chain (training itself is
@@ -942,36 +1014,7 @@ object PipelineQueries {
     // probes, and the final cosine ranks — is re-derived in DuckDB with
     // the bit-mirrored cosine (OracleVec). Recall < 1 vs q_embed_knn; the
     // approximate result is deterministic.
-    Q("q_embed_knn_ivf",
-      Some {
-        def cos(a: String, b: String) = OracleVec.cosSql(a, b)
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |seed AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
-           |asg AS (SELECT e.vec_id, e.v, seed.cell, ${cos("e.v", "seed.sv")} AS sim FROM e, seed),
-           |a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY sim DESC, cell DESC) AS rn FROM asg),
-           |av AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
-           |mo AS (SELECT cell, r.range AS i,
-           |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
-           |    count(*) AS n
-           |  FROM av, range(64) r GROUP BY cell, r.range),
-           |cent AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
-           |  FROM mo GROUP BY cell),
-           |casg AS (SELECT e.vec_id AS c_id, e.v AS cvv, cent.cell, ${cos("e.v", "cent.cv")} AS sim FROM e, cent),
-           |c1 AS (SELECT c_id, cvv, cell, row_number() OVER (PARTITION BY c_id
-           |    ORDER BY sim DESC, cell DESC) AS rn FROM casg),
-           |corp AS (SELECT c_id, cvv, cell FROM c1 WHERE rn = 1),
-           |qasg AS (SELECT e.vec_id AS q_id, e.v AS qv, cent.cell, ${cos("e.v", "cent.cv")} AS sim
-           |  FROM e, cent WHERE e.vec_id < 5),
-           |q1 AS (SELECT q_id, qv, cell, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY sim DESC, cell DESC) AS rn FROM qasg),
-           |probe AS (SELECT q_id, qv, cell FROM q1 WHERE rn <= 4),
-           |cand AS (SELECT probe.q_id, probe.qv, corp.c_id, corp.cvv
-           |  FROM probe JOIN corp USING (cell) WHERE corp.c_id <> probe.q_id),
-           |r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY ${cos("qv", "cvv")} DESC, c_id) AS BIGINT) AS rn FROM cand)
-           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
-      },
+    Q("q_embed_knn_ivf", IvfOracleSql,
       (s, d) => {
         val emb = t(s, d, "embeddings")
         // full IVF path: seed the quantizer with the first 16 vectors,
@@ -988,6 +1031,30 @@ object PipelineQueries {
           .select("q_id", "c_id", "rn")
           .orderBy("q_id", "rn")
       }),
+
+    // The IVF index MATERIALIZED, query priced alone — the production
+    // split every vector store runs (build offline, serve online), and
+    // the ANN twin of q_dedup_apply_from_table: the trained centroid
+    // table and the per-cell posting lists (vectors included, IVF-Flat)
+    // are parquet'd once per corpus version — postings PARTITIONED BY
+    // cell, so the probe join prunes unread cells at the file listing —
+    // and the query pays only centroid routing + the probed lists' scan
+    // + exact rescoring. Same trained quantizer, same assignment, same
+    // ranks as q_embed_knn_ivf, so the oracle text is shared.
+    Q("q_ann_from_index", IvfOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfIndexDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
 
     // The ORACLED core of the IVF path: coarse-cell ASSIGNMENT (the
     // routing step every inverted-file query and every Lloyd iteration

@@ -202,4 +202,33 @@ class SimilaritySpec extends SparkTestBase {
       assert(got.filter(_._1 == qid).toSet == expect, s"query $qid diverges")
     }
   }
+
+  test("stored-index ANN query == the in-query IVF chain, and the index is reused") {
+    // the materialized-index split must return the inline chain's ranks
+    // exactly (same trained quantizer, same assignment), and a second
+    // invocation must read the cached index instead of rebuilding it
+    val inline = SparkEntry.queries("q_embed_knn_ivf")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromIdx = SparkEntry.queries("q_ann_from_index")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIdx == inline, "stored-index query drifted from the inline IVF chain")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_ivf_cache_"))
+    assert(caches.nonEmpty, "no materialized IVF index found")
+    val markers = caches.flatMap(c => Seq("centroids", "postings").map(s =>
+      new java.io.File(c, s + "/_SUCCESS"))).filter(_.exists())
+    assert(markers.nonEmpty, "materialized IVF index has no _SUCCESS markers")
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_ann_from_index")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == inline)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"IVF index ${m.getParent} was rewritten on a cache hit")
+    }
+    // the postings layout carries the pruning contract: hive cell=N dirs
+    val parts = caches.flatMap(c => Option(new java.io.File(c, "postings").listFiles()).toSeq.flatten)
+      .filter(_.getName.startsWith("cell="))
+    assert(parts.nonEmpty, "postings are not partitioned by cell")
+  }
 }
