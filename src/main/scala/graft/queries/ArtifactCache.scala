@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Compute-once materialization of DERIVED artifacts (the near-dup
+  * cluster table, the IVF index) to parquet, keyed by the source corpus
+  * FILE's identity (qualified path + length + mtime) — a regenerated
+  * testdata dir recomputes, `_SUCCESS` markers gate reuse (Spark writes
+  * them last, so a crashed build rebuilds). This is the production
+  * split: the artifact is computed by one nightly job and read by every
+  * downstream consumer, so the consuming query's cost never re-pays the
+  * build chain.
+  *
+  * In-JVM builds are serialized per cache dir: two queries racing the
+  * same cold cache would otherwise interleave `mode("overwrite")` writes
+  * into one path (ConcurrencySpec pins the 2-way cold race). Cross-JVM
+  * races are out of scope, like the bench rig's same-query drains
+  * (SCALE.md's documented-contract list).
+  */
+private[queries] object ArtifactCache {
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cache dir for the artifact `tag` derived from `table` at `sfDir`;
+    * `build(dir)` runs (under the dir's lock) iff any of `markers`
+    * (dir-relative, e.g. "_SUCCESS" or "postings/_SUCCESS") is missing.
+    */
+  def dir(s: SparkSession, sfDir: String, table: String, tag: String,
+      markers: Seq[String])(build: String => Unit): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = sys.props("java.io.tmpdir") + s"/graft_${tag}_cache_$hash"
+    val lock = locks.computeIfAbsent(d, _ => new Object)
+    lock.synchronized {
+      if (!markers.forall(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$d/$m")))) build(d)
+    }
+    d
+  }
+}

@@ -52,36 +52,21 @@ object PipelineQueries {
 
   private val bm25Terms = Seq("dup", "vector", "scan")
 
-  /** Materialize the documents near-dup cluster table
-    * (MinHash-LSH pairs → [[Dedup.resolveClusters]]) to parquet ONCE per
-    * corpus version, and return the table's path. The cache key is the
-    * corpus FILE's identity (qualified path + length + mtime), so a
-    * regenerated testdata dir recomputes; a `_SUCCESS` marker gates
-    * reuse (Spark writes it last, so a crashed write recomputes).
-    * Queries that APPLY dedup read this table instead of re-running the
-    * chain inline — the production shape: at 100 TB the cluster table is
-    * a tiny id-pair table computed by one nightly job and anti-joined by
-    * every downstream consumer.
+  /** Materialize the documents near-dup cluster table (MinHash-LSH
+    * pairs → [[Dedup.resolveClusters]]) once per corpus version via
+    * [[ArtifactCache]] — at 100 TB the cluster table is a tiny id-pair
+    * table computed by one nightly job and anti-joined by every
+    * downstream consumer.
     */
   private def materializedClusterDir(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = sys.props("java.io.tmpdir") + s"/graft_cluster_cache_$hash"
-    val marker = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "cluster", Seq("_SUCCESS")) { dir =>
       val docs = t(s, d, "documents")
       val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
         Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
       Dedup.resolveClusters(pairs, "id_a", "id_b")
         .write.mode("overwrite").parquet(dir)
     }
-    dir
-  }
 
   /** The full-chain IVF oracle (16-vector seed → exact-micro Lloyd step →
     * float-cast centroids → argmax cell assignment → top-4 probe → cosine
@@ -119,9 +104,8 @@ object PipelineQueries {
        |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
 
-  /** Materialize the trained IVF-Flat index over `embeddings` ONCE per
-    * corpus version (same cache-key discipline as
-    * [[materializedClusterDir]]): `centroids/` = the 16-seed +
+  /** Materialize the trained IVF-Flat index over `embeddings` once per
+    * corpus version via [[ArtifactCache]]: `centroids/` = the 16-seed +
     * one-Lloyd-step trained quantizer (the q_embed_knn_ivf training),
     * `postings/` = the corpus assigned to cells, PARTITIONED BY cell so
     * a query's probe set prunes unread partitions at the listing. Guard
@@ -129,17 +113,9 @@ object PipelineQueries {
     * writes rebuilds both.
     */
   private def materializedIvfIndexDir(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = sys.props("java.io.tmpdir") + s"/graft_ivf_cache_$hash"
-    def marked(sub: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub/_SUCCESS"))
-    if (!(marked("centroids") && marked("postings"))) {
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "embeddings", "ivf",
+        Seq("centroids/_SUCCESS", "postings/_SUCCESS")) { dir =>
       val emb = t(s, d, "embeddings")
       val seed = Similarity.centroidRows(
         emb.filter(col("vec_id") < 16), "vec_id", "embedding")
@@ -152,8 +128,6 @@ object PipelineQueries {
       Similarity.ivfAssignCells(emb, "vec_id", "embedding", cents)
         .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
     }
-    dir
-  }
 
   /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
     * text, perRound = 16, rounds = 3)`, inlined as a literal so the

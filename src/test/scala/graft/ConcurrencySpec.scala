@@ -105,4 +105,27 @@ class ConcurrencySpec extends SparkTestBase {
     assert(spark.conf.get(shuffleKey) == prevShuffle,
       "withStateConf scopes restored a stale shuffle-partitions value")
   }
+
+  test("cold-cache race: two from-table apply queries build the artifact once, both correct") {
+    // Delete the materialized cluster cache, then race two invocations:
+    // ArtifactCache serializes the build per dir, so neither sees a torn
+    // mode(overwrite) write and both return the inline chain's answer.
+    val inline = run("q_dedup_apply")
+    new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_cluster_cache_"))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val both = Await.result(
+        Future.sequence(Seq.fill(2)(Future(run("q_dedup_apply_from_table")))),
+        10.minutes)
+      both.zipWithIndex.foreach { case (got, i) =>
+        assert(got == inline, s"cold-cache raced run $i diverged from the inline chain")
+      }
+    } finally pool.shutdown()
+  }
 }
