@@ -11,6 +11,36 @@ class PropertySpec extends SparkTestBase {
 
   private lazy val li = Tables.t(spark, sf, "lineitem").cache()
 
+  test("script splitter round-trip: seeded random scripts reassemble to their statements") {
+    // statements drawn with hostile content — semicolons and '--' inside
+    // single-quoted literals, '' escapes, multi-line strings — joined
+    // with ';' and random comments; the splitter must return exactly the
+    // original statement list (modulo trim).
+    val atoms = Seq(
+      "SELECT 1",
+      "SELECT 'a;b' AS s",
+      "SELECT ';' AS semi, 2 AS n",
+      "SELECT 'it''s; fine' AS esc",
+      "SELECT 'line1\nline2;still' AS ml",
+      "SELECT '-- not a comment;' AS c",
+      "CREATE EXTERNAL TABLE t (a INT) STORED AS PARQUET LOCATION '/x;y.parquet'",
+      "SELECT 1 -- inline comment with ; semicolon\n + 2 AS n")
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val stmts = Seq.fill(1 + rnd.nextInt(5))(atoms(rnd.nextInt(atoms.length)))
+      val glue = () => if (rnd.nextBoolean()) ";\n-- comment; with semicolon\n" else ";"
+      val script = stmts.map(s => if (rnd.nextBoolean()) s + "\n" else s)
+        .mkString(glue())
+      val got = Repl.splitStatements(script)
+      // expected: each statement with its comments stripped the same way
+      val want = stmts.map(s => Repl.splitStatements(s) match {
+        case Seq(one) => one
+        case other    => fail(s"atom split into $other")
+      })
+      assert(got == want, s"script $script split to $got, wanted $want")
+    }
+  }
+
   private def forAllSeeds[A](cases: Seq[A])(body: A => Unit): Unit =
     cases.foreach(body)
 
