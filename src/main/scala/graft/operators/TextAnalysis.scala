@@ -558,6 +558,10 @@ object TextAnalysis {
   def logisticTrainN(df: DataFrame, textCol: String, label: Column,
       init: Seq[Long], steps: Int, lrMicro: Long, n: Long,
       buckets: Int = 256): Seq[Long] = {
+    // n divides the update — an empty corpus would otherwise surface as a
+    // bare ArithmeticException from Long division deep in the loop
+    require(n > 0, s"logisticTrainN needs a non-empty corpus (n=$n); " +
+      "pass n = df.count() and train only when data exists")
     var w = init.toVector
     var s = 0
     while (s < steps) {

@@ -372,4 +372,28 @@ class DataFuzzSpec extends SparkTestBase {
     // "" splits to [""], one window — degenerate but defined
     assert(out.count(_._1 == 2L) == 1)
   }
+
+  test("logistic trainer: degenerate docs train without throwing; empty corpus refused loudly") {
+    import spark.implicits._
+    val w0 = Seq.fill(256)(0L)
+    // degenerate corpus: null, empty, whitespace-only, one real doc per class
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], 1L), (2L, "", 0L), (3L, "   \t  ", 1L),
+      (4L, "good clean text here", 1L), (5L, "spam spam spam", 0L))
+      .toDF("id", "text", "y")
+    val trained = TextAnalysis.logisticTrainN(docs, "text", col("y"),
+      w0, steps = 2, lrMicro = 1000000L, n = docs.count())
+    assert(trained.size == 256 && trained.exists(_ != 0L),
+      "training over degenerate docs must move some weight")
+    // scoring the degenerate docs is defined for all non-null texts
+    val scored = TextAnalysis.linearMargins(docs, "id", "text", trained)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!scored(4L) && !scored(2L) && !scored(3L), "defined text must score")
+    // the empty corpus fails with the remedy, not a bare / by zero
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrainN(docs.limit(0), "text", col("y"),
+        w0, steps = 1, lrMicro = 1000000L, n = 0L)
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+  }
 }
