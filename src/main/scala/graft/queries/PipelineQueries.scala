@@ -1070,6 +1070,61 @@ object PipelineQueries {
           .orderBy("vec_id")
       }),
 
+    // Cluster-BALANCED curation (the diversify phase of D4 — Tirumala et
+    // al. '23: semantic clusters capped so no topic dominates the kept
+    // corpus): docs route to their embedding cluster via the SAME
+    // integer-micro argmin as q_ivf_assign (exact cross-engine), then
+    // each cluster keeps at most 8 docs by deterministic md5 rank — the
+    // keep-k is ONE partial-aggregable TopKPairs aggregate per cell
+    // (map-side combinable, no window), and the kept ids equi-join back
+    // to documents for the curated slice. At 100 TB:
+    // assignment rides the scan (16 broadcast centroid literals), the
+    // shuffle carries (cell, hv, id) triples capped at k per task.
+    Q("q_cluster_balanced",
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cell, e AS ce FROM q ORDER BY vec_id LIMIT 16),
+             |dd AS (SELECT q.vec_id, c.cell,
+             |    CAST(list_sum(list_transform(list_zip(q.e, c.ce),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+             |  FROM q, c),
+             |asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             |  FROM dd) WHERE rn = 1),
+             |h AS (SELECT vec_id, cell,
+             |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+             |  FROM asg),
+             |keep AS (SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+             |      ORDER BY hv DESC, vec_id) AS rk FROM h) WHERE rk <= 8)
+             |SELECT k.vec_id AS doc_id, CAST(k.cell AS BIGINT) AS cell, d2.source
+             |FROM keep k JOIN documents d2 ON d2.doc_id = k.vec_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val q = t(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(x * 1000000.0D) as bigint))").as("e"))
+        val cents = q.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cell"), col("e").as("ce"))
+        val asg = q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cell"),
+            expr("aggregate(zip_with(e, ce, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("dist"))
+          .groupBy("vec_id").agg(min(struct(col("dist"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"))
+        val topk = udaf(new graft.functions.Aggregators.TopKPairs(8))
+        val hv = conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        val keep = asg
+          .groupBy("cell").agg(topk(hv, col("vec_id")).as("tk"))
+          .select(col("cell").cast("long").as("cell"),
+            explode(col("tk")).as("p"))
+          .select(col("p._2").as("doc_id"), col("cell"))
+        keep.join(t(s, d, "documents").select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("cell"), col("source"))
+          .orderBy("doc_id")
+      }),
+
     // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
     // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
     // every codebook Lloyd iteration depends on — made cross-engine exact

@@ -339,4 +339,15 @@ class MixtureSpec extends SparkTestBase {
       .sortBy(t => (t._1, -t._4, t._2)).toSeq
     assert(again == grouped)
   }
+
+  test("cluster-balanced curation: per-cell cap holds, membership is the md5 top-k per cell") {
+    val rows = SparkEntry.queries("q_cluster_balanced")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val perCell = rows.groupBy(_._2).view.mapValues(_.size)
+    perCell.foreach { case (cell, n) =>
+      assert(n <= 8, s"cell $cell kept $n docs, cap is 8")
+    }
+    assert(rows.map(_._1).distinct.size == rows.size, "a doc kept twice")
+    assert(perCell.keys.size > 1, "balanced curation needs multiple cells")
+  }
 }
