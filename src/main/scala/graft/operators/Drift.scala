@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two slices of one corpus — the
+  * check every long-lived ingest pipeline runs before a new crawl batch
+  * is allowed to shift the training mixture. Population Stability Index
+  * (the standard credit-scoring drift metric; PSI < 0.1 stable, > 0.25
+  * action): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over histogram buckets,
+  * with Laplace(+1) smoothing so empty buckets stay defined.
+  *
+  * Scale shape: ONE pass — values land in [[HistQuantile.bucketOf]]'s
+  * exact integer equi-width buckets and both slices' counts come from a
+  * single partial-aggregable conditional-sum groupBy (B buckets total,
+  * never the corpus); totals are one broadcast scalar row; the only
+  * floating step is one ln per BUCKET from rational inputs,
+  * micro-quantized per bucket before any cross-bucket sum (the
+  * q_kmeans_step discipline), so the per-bucket table is cross-engine
+  * exact and PSI = Σ term_micro / 1e6.
+  */
+object Drift {
+
+  /** Per-bucket PSI table of `value` between the `isRef` slice and the
+    * rest: (bucket, cnt_ref, cnt_cur, term_micro), one row per bucket
+    * (the full spine — missing buckets appear with zero counts). NULL
+    * values are excluded from both slices, like [[HistQuantile.sketchBy]].
+    */
+  def psi(df: DataFrame, value: Column, isRef: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    HistQuantile.checkRange(lo, hi, buckets)
+    val counts = df.filter(value.isNotNull)
+      .select(HistQuantile.bucketOf(value, lo, hi, buckets).as("bucket"),
+        isRef.cast("boolean").as("r"))
+      .groupBy("bucket")
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("r"), 0L).otherwise(1L)).as("cnt_cur"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+    val tot = full.agg(sum("cnt_ref").as("nr"), sum("cnt_cur").as("nc"))
+    val p = (col("cnt_ref") + lit(1L)).cast("double") /
+      (col("nr") + lit(buckets.toLong)).cast("double")
+    val q = (col("cnt_cur") + lit(1L)).cast("double") /
+      (col("nc") + lit(buckets.toLong)).cast("double")
+    full.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cnt_ref"), col("cnt_cur"),
+        round((p - q) * log(p / q) * lit(1e6), 0).cast("long").as("term_micro"))
+  }
+}

@@ -1125,6 +1125,39 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Distribution drift between the reference slice (src0) and the rest
+    // of the corpus — Population Stability Index over HistQuantile's
+    // exact integer buckets with Laplace smoothing (operators/Drift).
+    // The gate every ingest runs before a new crawl batch shifts the
+    // training mixture: PSI < 0.1 stable, > 0.25 action. One ln per
+    // BUCKET from rational inputs, micro-quantized per bucket before any
+    // sum — the per-bucket table is cross-engine exact; PSI = Σ
+    // term_micro / 1e6.
+    Q("q_psi_drift",
+      Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v, source = 'src0' AS r
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |bkt AS (SELECT (LEAST(1023, GREATEST(0, v)) * 16) // 1024 AS bucket, r FROM v),
+             |cnts AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+             |    CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cnt_cur
+             |  FROM bkt GROUP BY bucket),
+             |spine AS (SELECT unnest(range(16)) AS bucket),
+             |f AS (SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             |    coalesce(c.cnt_ref, 0) AS cnt_ref, coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM spine s LEFT JOIN cnts c ON c.bucket = s.bucket),
+             |tot AS (SELECT sum(cnt_ref) AS nr, sum(cnt_cur) AS nc FROM f)
+             |SELECT bucket, cnt_ref, cnt_cur,
+             |  CAST(round((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE)
+             |      - CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))
+             |    * ln((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE))
+             |        / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)))
+             |    * 1e6, 0) AS BIGINT) AS term_micro
+             |FROM f, tot ORDER BY bucket""".stripMargin),
+      (s, d) =>
+        Drift.psi(t(s, d, "documents"), col("n_chars"),
+            col("source") === "src0", lo = 0L, hi = 1024L, buckets = 16)
+          .orderBy("bucket")),
+
     // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
     // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
     // every codebook Lloyd iteration depends on — made cross-engine exact

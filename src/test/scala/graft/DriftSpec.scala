@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+/** PSI drift-detector laws: per-bucket terms are non-negative (each is
+  * (p−q)·ln(p/q), same sign both factors), identical slices score ~0,
+  * and a planted shift scores far above a same-distribution split.
+  */
+class DriftSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def psiTotal(rows: Seq[(Long, Long, Long, Long)]): Double =
+    rows.map(_._4).sum / 1e6
+
+  private def run(df: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.Column): Seq[(Long, Long, Long, Long)] =
+    Drift.psi(df, col("v"), ref, lo = 0L, hi = 1024L, buckets = 16)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("every PSI term is non-negative; full spine emitted") {
+    val df = (1L to 400L).map(i => (i, i % 1024)).toDF("id", "v")
+    val rows = run(df, col("id") % 2 === 0)
+    assert(rows.length == 16, "full bucket spine expected")
+    rows.foreach { case (b, _, _, tm) =>
+      assert(tm >= 0L, s"bucket $b term $tm negative — (p-q)ln(p/q) law broken")
+    }
+  }
+
+  test("identical-distribution split scores ~0; a planted shift scores large") {
+    // same distribution both slices: interleaved ids over the same values
+    val same = (1L to 800L).map(i => (i, (i / 2) % 1024)).toDF("id", "v")
+    val psiSame = psiTotal(run(same, col("id") % 2 === 0))
+    // planted shift: ref concentrated low, current concentrated high
+    val shifted = ((1L to 400L).map(i => (i, i % 200)) ++
+      (401L to 800L).map(i => (i, 700 + i % 200))).toDF("id", "v")
+    val psiShift = psiTotal(run(shifted, col("id") <= 400L))
+    assert(psiSame < 0.05, s"same-distribution PSI should be ~0, got $psiSame")
+    assert(psiShift > 0.25, s"planted shift should trip the action threshold, got $psiShift")
+    assert(psiShift > psiSame * 10)
+  }
+
+  test("NULL values are excluded; counts conserve the non-null corpus") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(900L)), (4L, Some(20L)))
+      .toDF("id", "v")
+    val rows = run(df, col("id") % 2 === 1)
+    assert(rows.map(_._2).sum == 2L && rows.map(_._3).sum == 1L,
+      "non-null rows must land in exactly one slice each")
+  }
+}
