@@ -40,13 +40,27 @@ object Drift {
       .select(col("bucket"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
         coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
-    val tot = full.agg(sum("cnt_ref").as("nr"), sum("cnt_cur").as("nc"))
+    psiTerms(full, Nil, buckets)
+  }
+
+  /** The PSI arithmetic alone, over a PRE-COUNTED complete-spine table
+    * `(groupCols..., bucket, cnt_ref, cnt_cur)` — for callers whose
+    * counts come from elsewhere (a drained streaming sketch vs a batch
+    * reference, per-source panels). Totals are one bounded aggregate per
+    * group, broadcast back; output appends `term_micro` per row.
+    */
+  def psiTerms(full: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val tot = full.groupBy(gcols: _*)
+      .agg(sum("cnt_ref").as("nr"), sum("cnt_cur").as("nc"))
+    val joined =
+      if (groupCols.isEmpty) full.crossJoin(broadcast(tot))
+      else full.join(broadcast(tot), groupCols)
     val p = (col("cnt_ref") + lit(1L)).cast("double") /
       (col("nr") + lit(buckets.toLong)).cast("double")
     val q = (col("cnt_cur") + lit(1L)).cast("double") /
       (col("nc") + lit(buckets.toLong)).cast("double")
-    full.crossJoin(broadcast(tot))
-      .select(col("bucket"), col("cnt_ref"), col("cnt_cur"),
-        round((p - q) * log(p / q) * lit(1e6), 0).cast("long").as("term_micro"))
+    joined.select(gcols ++ Seq(col("bucket"), col("cnt_ref"), col("cnt_cur"),
+      round((p - q) * log(p / q) * lit(1e6), 0).cast("long").as("term_micro")): _*)
   }
 }

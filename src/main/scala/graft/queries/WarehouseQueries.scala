@@ -931,6 +931,72 @@ object WarehouseQueries {
           .orderBy("event_type", "phi_ppm", "est")
       }),
 
+    // Streaming DRIFT monitor — the continuously-current PSI panel: each
+    // non-reference source's n_chars histogram is maintained as stream
+    // state (the SAME exact integer cells as StreamingHistQuantile —
+    // histogram linearity makes the drained table the batch sketch of
+    // everything seen at any arrival order), and PSI vs the static src0
+    // reference histogram runs over the DRAINED sketch (sources × 16
+    // rows, never the corpus). The production shape: the reference is a
+    // frozen batch artifact, the current side is live ingest, and the
+    // monitor reads per-source drift at any moment. Single-batch drain
+    // asserted (memory sink holds one emission generation); the oracle
+    // re-derives counts and PSI terms per source in SQL.
+    Q("q_stream_drift",
+      Some("""WITH cur AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE source <> 'src0' AND n_chars IS NOT NULL),
+             |ref AS (SELECT CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL),
+             |curc AS (SELECT source, (LEAST(1023, GREATEST(0, v)) * 16) // 1024 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt_cur FROM cur GROUP BY 1, 2),
+             |refc AS (SELECT (LEAST(1023, GREATEST(0, v)) * 16) // 1024 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt_ref FROM ref GROUP BY 1),
+             |spine AS (SELECT s.source, CAST(b.b AS BIGINT) AS bucket
+             |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s
+             |  CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+             |f AS (SELECT sp.source, sp.bucket,
+             |    coalesce(r.cnt_ref, 0) AS cnt_ref, coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM spine sp
+             |  LEFT JOIN curc c ON c.source = sp.source AND c.bucket = sp.bucket
+             |  LEFT JOIN refc r ON r.bucket = sp.bucket),
+             |tot AS (SELECT source, sum(cnt_ref) AS nr, sum(cnt_cur) AS nc
+             |  FROM f GROUP BY source)
+             |SELECT f.source, f.bucket, f.cnt_ref, f.cnt_cur,
+             |  CAST(round((CAST(f.cnt_ref + 1 AS DOUBLE) / CAST(t.nr + 16 AS DOUBLE)
+             |      - CAST(f.cnt_cur + 1 AS DOUBLE) / CAST(t.nc + 16 AS DOUBLE))
+             |    * ln((CAST(f.cnt_ref + 1 AS DOUBLE) / CAST(t.nr + 16 AS DOUBLE))
+             |        / (CAST(f.cnt_cur + 1 AS DOUBLE) / CAST(t.nc + 16 AS DOUBLE)))
+             |    * 1e6, 0) AS BIGINT) AS term_micro
+             |FROM f JOIN tot t USING (source) ORDER BY source, bucket""".stripMargin),
+      (s, d) => {
+        import graft.operators.{Drift, HistQuantile}
+        val sink = "q_stream_drift_sink"
+        graft.streaming.StateScope.withStateConf(s) {
+          val cur = graft.Tables.tableStream(s, d, "documents")
+            .filter(col("source") =!= "src0")
+          graft.streaming.StateScope.drainSingleBatch(
+            graft.streaming.StreamingHistQuantile.track(cur, "source",
+              col("n_chars"), lo = 0L, hi = 1024L, buckets = 16), sink)
+        }
+        val curCnt = s.table(sink).select(col("g").as("source"),
+          col("hq_bucket").as("bucket"), col("cnt").as("cnt_cur"))
+        val docs = t(s, d, "documents")
+        val refCnt = HistQuantile.sketchBy(docs.filter(col("source") === "src0"),
+            Nil, col("n_chars"), lo = 0L, hi = 1024L, buckets = 16)
+          .select(col("hq_bucket").as("bucket"), col("cnt").as("cnt_ref"))
+        val spine = docs.filter(col("source") =!= "src0")
+          .select(col("source")).distinct()
+          .crossJoin(s.range(16).select(col("id").as("bucket")))
+        val full = spine
+          .join(curCnt, Seq("source", "bucket"), "left")
+          .join(refCnt, Seq("bucket"), "left")
+          .select(col("source"), col("bucket"),
+            coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+            coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+        Drift.psiTerms(full, Seq("source"), buckets = 16)
+          .orderBy("source", "bucket")
+      }),
+
     // Stream-stream interval join on the scoreboard (the attribution
     // shape: view -> click within 2h per user): TWO file-source streams
     // over the same events directory, watermarked on both sides so the

@@ -181,7 +181,7 @@ class LintSpec extends SparkTestBase {
     "q_stream_anomaly", "q_stream_session", "q_stream_neardedup",
     "q_stream_heavy", "q_stream_join", "q_stream_sample", "q_stream_cms",
     "q_stream_dedup", "q_stream_quantile", "q_stream_curation",
-    "q_stream_dedup_2b", "q_stream_cms_2b",
+    "q_stream_dedup_2b", "q_stream_cms_2b", "q_stream_drift",
     // driver-loop iterative builders (collect per round by contract)
     "q_coreset", "q_mmr_select", "q_embed_knn_ivf", "q_embed_knn_ivfpq",
     "q_embed_knn_pq", "q_pq_assign", "q_ivf_assign", "q_kmeans_step",
