@@ -23,24 +23,27 @@ import graft.engine.{GraftSession, GraftSql}
   */
 object Repl {
 
-  /** Split a script into statements on semicolons OUTSIDE single-quoted
-    * literals ('' is the SQL escape), dropping `--` line comments and
-    * blank statements. Quote state carries across lines (a multi-line
-    * string literal keeps its embedded `;` and `--`).
+  /** Split a script into statements on semicolons OUTSIDE quoted
+    * literals, dropping `--` line comments and blank statements. BOTH
+    * quote forms are tracked: Spark SQL's default (non-ANSI) parser
+    * treats double-quoted strings as literals too, so a `;` or `--`
+    * inside "..." must survive the split exactly like inside '...'.
+    * Quote state carries across lines (a multi-line string literal keeps
+    * its embedded `;` and `--`).
     */
   private[graft] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQuote = false
+    var quote: Char = 0 // 0 = outside; '\'' or '"' = inside that literal
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
-      if (inQuote) {
+      if (quote != 0) {
         cur += c
-        if (c == '\'') inQuote = false
+        if (c == quote) quote = 0
         i += 1
       } else c match {
-        case '\'' => cur += c; inQuote = true; i += 1
+        case '\'' | '"' => cur += c; quote = c; i += 1
         case ';' => out += cur.result(); cur.clear(); i += 1
         case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
           while (i < script.length && script.charAt(i) != '\n') i += 1

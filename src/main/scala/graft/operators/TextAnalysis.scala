@@ -503,7 +503,12 @@ object TextAnalysis {
     val wArr = typedLit(weightsMicro)
     val bucketOf: Column => Column = t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-    df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
+    // NULL text coalesces to an empty token array: the fold then scores 0
+    // with n_toks 0 instead of propagating NULL — matching the DuckDB
+    // oracle's coalesce(list_sum(...), 0) convention on both engines.
+    df.withColumn("__t", coalesce(
+        filter(tokens(col(textCol)), t => t =!= ""),
+        typedLit(Seq.empty[String])))
       .select(col(idCol),
         aggregate(transform(col("__t"),
             t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),

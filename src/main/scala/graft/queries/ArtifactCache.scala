@@ -24,20 +24,40 @@ private[queries] object ArtifactCache {
   /** Cache dir for the artifact `tag` derived from `table` at `sfDir`;
     * `build(dir)` runs (under the dir's lock) iff any of `markers`
     * (dir-relative, e.g. "_SUCCESS" or "postings/_SUCCESS") is missing.
+    *
+    * The key is a CONTENT summary of the source table's data files
+    * (count + Σlength + Σmtime), not the directory's own status: a
+    * directory mtime is not reliably bumped by an in-place rewrite of a
+    * file inside it, and keying on it could serve a stale artifact.
+    * Marker existence is checked through the CACHE dir's own FileSystem
+    * — the cache lives under local java.io.tmpdir while the source may
+    * be hdfs/s3, and resolving markers against the source's FS would
+    * look for them on the wrong store.
     */
   def dir(s: SparkSession, sfDir: String, table: String, tag: String,
       markers: Seq[String])(build: String => Unit): String = {
+    val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val key = s"${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
+    val srcFs = src.getFileSystem(conf)
+    var nFiles = 0L
+    var sumLen = 0L
+    var sumMtime = 0L
+    val it = srcFs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      nFiles += 1
+      sumLen += st.getLen
+      sumMtime += st.getModificationTime
+    }
+    val key = s"${srcFs.makeQualified(src)}|$nFiles|$sumLen|$sumMtime"
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val d = sys.props("java.io.tmpdir") + s"/graft_${tag}_cache_$hash"
+    val cacheFs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
     val lock = locks.computeIfAbsent(d, _ => new Object)
     lock.synchronized {
       if (!markers.forall(m =>
-          fs.exists(new org.apache.hadoop.fs.Path(s"$d/$m")))) build(d)
+          cacheFs.exists(new org.apache.hadoop.fs.Path(s"$d/$m")))) build(d)
     }
     d
   }

@@ -14,6 +14,24 @@ object WarehouseQueries {
 
   import Money.cents
 
+  /** Recursively delete per-invocation temp dirs (the 2b queries' landing
+    * parquet + RocksDB checkpoint) once their drains are done — repeated
+    * bench/correctness runs must not accumulate corpus-slice copies and
+    * state stores in /tmp. Best-effort: a failed delete never fails the
+    * query that produced a correct result.
+    */
+  private def rmTemp(dirs: String*): Unit = dirs.foreach { d =>
+    try {
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val it = java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next()): Unit
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   val all: Seq[Q] = Seq(
 
     // CDC upsert (MERGE): every 10th order is "updated" (status U, +1.00
@@ -796,6 +814,9 @@ object WarehouseQueries {
         docs.filter(col("doc_id") % 2 === 1).coalesce(1)
           .write.mode("append").parquet(land)
         drainGeneration() // generation 2: first-wins vs checkpointed state
+        // both generations drained and collected — the landing slices and
+        // checkpointed state have served their purpose
+        rmTemp(land, ckpt)
         acc.synchronized(acc.toSeq)
           .toDF("digest", "keep_id").orderBy("keep_id")
       }),
@@ -853,6 +874,7 @@ object WarehouseQueries {
         docs.filter(col("doc_id") % 2 === 1).coalesce(1)
           .write.mode("append").parquet(land)
         drainGeneration() // generation 2: accumulation vs resumed state
+        rmTemp(land, ckpt)
         acc.synchronized(acc.toSeq)
           .map { case ((r, bkt), n) => (r, bkt, n) }
           .toDF("cms_row", "cms_bucket", "cnt")

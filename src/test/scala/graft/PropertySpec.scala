@@ -24,7 +24,11 @@ class PropertySpec extends SparkTestBase {
       "SELECT 'line1\nline2;still' AS ml",
       "SELECT '-- not a comment;' AS c",
       "CREATE EXTERNAL TABLE t (a INT) STORED AS PARQUET LOCATION '/x;y.parquet'",
-      "SELECT 1 -- inline comment with ; semicolon\n + 2 AS n")
+      "SELECT 1 -- inline comment with ; semicolon\n + 2 AS n",
+      // Spark's default (non-ANSI) parser treats "..." as a string
+      // literal too: ';' and '--' inside double quotes must survive
+      "SELECT \"a;b -- not; a comment\" AS dq, 3 AS n",
+      "SELECT \"mixed '; quotes\" AS dq2")
     val rnd = new scala.util.Random(42)
     (1 to 50).foreach { _ =>
       val stmts = Seq.fill(1 + rnd.nextInt(5))(atoms(rnd.nextInt(atoms.length)))
