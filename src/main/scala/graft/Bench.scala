@@ -92,9 +92,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Multi-core SUSTAINED probe (r16 verdict task 2): the same
+    // fixed-work shape as calibrate() — one task per core, pure codegen'd
+    // arithmetic, no I/O — but 3× the work, so it holds every core busy
+    // for ~1 s at local[32]. Rationale: the short probe measures
+    // instantaneous single-burst speed and CANNOT see multi-core
+    // throttling or a co-tenant stealing cores mid-run (r16's evening
+    // drift: raw batch rose while the short probe read FASTER). A
+    // sustained all-core probe IS sensitive to that regime. Emitted as
+    // calib_mc_sec:[pre,post] beside calib_sec; the bracket-agreement
+    // health rule (BASELINE.md "Bench noise calibration") applies to
+    // BOTH probes — a record is trend-comparable only when both
+    // brackets agree within ~10%.
+    def calibrateMc(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1200000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     runOnce("q_scan") // warmup
     calibrate()       // warmup the probe's codegen path too
     val calibPre = calibrate()
+    calibrateMc()     // distinct literal => distinct generated class; warm it
+    val calibMcPre = calibrateMc()
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // Dev-only focus filter (comma-separated names) for adjudicating a
@@ -133,6 +155,7 @@ object Bench {
     // contention that started mid-run. min(pre, post) is the calibration
     // figure (same minimum-estimator rationale as the per-query minima).
     val calibPost = calibrate()
+    val calibMcPost = calibrateMc()
     // Streaming-engine startup probe (fixed work, no testdata): what a
     // scoreboard drain pays BEFORE touching data on this machine right
     // now. Run twice post-suite (streaming classes already warmed by the
@@ -185,8 +208,9 @@ object Bench {
         else only.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
       val rt = runTotals.map(fmt).mkString("[", ",", "]")
       val cal = s"""[${fmt(calibPre)},${fmt(calibPost)}]"""
+      val calMc = s"""[${fmt(calibMcPre)},${fmt(calibMcPost)}]"""
       val sCal = streamCalib.map(fmt).mkString("[", ",", "]")
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"streaming_calib_sec":$sCal,"lint_errors":$lintErrors,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$onlyField$om$fl,"queries":$qs,"value":${fmt(total)}}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":$nRuns,"run_totals":$rt,"calib_sec":$cal,"calib_mc_sec":$calMc,"streaming_calib_sec":$sCal,"lint_errors":$lintErrors,"batch_sec":${fmt(batchSec)},"streaming_sec":${fmt(streamingSec)},"streaming_n":${streamQ.size}$onlyField$om$fl,"queries":$qs,"value":${fmt(total)}}"""
     }
     var drop = 0
     while (drop < asc.size && line(asc.drop(drop), asc.take(drop)).length > BudgetChars)
