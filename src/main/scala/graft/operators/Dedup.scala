@@ -541,6 +541,56 @@ object Dedup {
     labels.select(col("v"), col("label").as("cluster_rep"))
   }
 
+  /** Incrementally maintain a near-dup cluster table under an APPEND —
+    * the lifecycle step a 100 TB nightly ingest needs, where the stored
+    * table from [[resolveClusters]] cannot be rebuilt with a global
+    * connected-components run per batch.
+    *
+    * `existing` = (v, cluster_rep) as produced by [[resolveClusters]]
+    * over the old corpus; `newPairs` = verified near-dup pairs involving
+    * at least one appended doc (new × corpus from
+    * [[minHashIncrementalHashed]], plus new × new from [[minHashPairsHashed]]
+    * over the increment alone — LSH candidates are never corpus × corpus).
+    *
+    * Only components TOUCHED by a new edge are re-resolved: each stored
+    * cluster's connectivity is summarized EXACTLY by its star edges
+    * (member → representative), so connected components over
+    * (touched clusters' stars ∪ newPairs) equals the full recompute on
+    * the touched subgraph, and every other row of `existing` passes
+    * through by an anti-join on its representative. Labels stay the
+    * component-min id, so the output is row-identical to
+    * `resolveClusters(oldPairs ∪ newPairs)` (spec-pinned in DedupSpec).
+    *
+    * Scale shape: the touched-rep set is one equi-join + distinct on the
+    * (small) new-edge endpoint set; the CC iteration runs over
+    * |touched members| + |newPairs| edges — cost ∝ the increment and the
+    * clusters it touches, never the corpus. The untouched corpus moves
+    * through one hash anti-join on `cluster_rep` (id pairs only,
+    * documents never move).
+    */
+  def updateClusters(existing: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val p = newPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val endpoints = p.select(col("src").as("v"))
+      .union(p.select(col("dst").as("v"))).distinct()
+    // representatives of every stored cluster containing a new-edge
+    // endpoint (endpoints with no stored row — appended docs, or old
+    // docs never before paired — enter the CC via the new edges alone)
+    val touchedReps = existing.join(endpoints, Seq("v"))
+      .select(col("cluster_rep")).distinct()
+    val touched = existing.join(touchedReps, Seq("cluster_rep"))
+      .select(col("v"), col("cluster_rep"))
+    // star edges: every stored cluster has >= 2 members (resolveClusters
+    // emits only paired docs), so each touched member incl. the rep
+    // itself appears in at least one star edge
+    val stars = touched.filter(col("v") =!= col("cluster_rep"))
+      .select(col("v").as("src"), col("cluster_rep").as("dst"))
+    val relabeled = resolveClusters(stars.union(p), "src", "dst")
+    existing.join(touchedReps, Seq("cluster_rep"), "left_anti")
+      .select(col("v"), col("cluster_rep"))
+      .union(relabeled.select(col("v"), col("cluster_rep")))
+  }
+
   /** Corpus with near-duplicate clusters collapsed to one representative:
     * every doc whose cluster representative is a DIFFERENT doc is dropped
     * via an id-only anti-join — documents never move.

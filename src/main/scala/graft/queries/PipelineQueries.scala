@@ -68,6 +68,22 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The BASE-corpus cluster table for the incremental-maintenance query
+    * (`q_dedup_clusters_incr`): doc_id % 4 != 3 stands in for "the corpus
+    * as of the last nightly build", clustered once and stored — the
+    * increment (doc_id % 4 == 3) is then merged by
+    * [[Dedup.updateClusters]] touching only affected components.
+    */
+  private def materializedBaseClusterDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "clusterbase", Seq("_SUCCESS")) { dir =>
+      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      val pairs = Dedup.minHashPairsHashed(base, "doc_id",
+        Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+      Dedup.resolveClusters(pairs, "id_a", "id_b")
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** The full-chain IVF oracle (16-vector seed → exact-micro Lloyd step →
     * float-cast centroids → argmax cell assignment → top-4 probe → cosine
     * ranks), bit-mirrored in DuckDB via OracleVec. Shared by
@@ -499,6 +515,47 @@ object PipelineQueries {
           .join(clusters.filter(col("v") =!= col("cluster_rep"))
               .select(col("v").as("doc_id")),
             Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      }),
+
+    // Incremental CLUSTER-TABLE maintenance — the lifecycle step that
+    // makes q_dedup_apply_from_table's artifact survive a nightly append
+    // (a 100 TB ingest appends docs; it cannot re-run global connected
+    // components). The base corpus (doc_id % 4 != 3) is clustered once
+    // and STORED (ArtifactCache, the production nightly artifact); the
+    // increment's near-dup pairs come from incremental LSH (new × corpus
+    // + new × new — corpus × corpus candidates are never generated), and
+    // Dedup.updateClusters merges them touching ONLY components with a
+    // new edge: stored connectivity is replayed as member→rep star
+    // edges, CC runs over stars ∪ new pairs, untouched rows pass through
+    // an anti-join on their representative. Result is row-identical to
+    // the full recompute over corpus+increment, so the oracle IS
+    // q_dedup_clusters' recursive closure over ALL documents
+    // (LSH completeness at j >= 0.9 as established by q_dedup_minhash).
+    Q("q_dedup_clusters_incr",
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v)
+              |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+              |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shinglesHashed(col("text"), 5)
+        val base = docs.filter(col("doc_id") % 4 =!= 3)
+        val incr = docs.filter(col("doc_id") % 4 === 3)
+        val existing = s.read.parquet(materializedBaseClusterDir(s, d))
+        val newPairs = Dedup.minHashIncrementalHashed(incr, base, "doc_id",
+            sh, threshold = 0.7, k = 126, bands = 21)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+              threshold = 0.7, k = 126, bands = 21)
+            .select(col("id_a"), col("id_b")))
+        Dedup.updateClusters(existing, newPairs)
+          .select(col("v").as("doc_id"), col("cluster_rep"))
           .orderBy("doc_id")
       }),
 

@@ -363,6 +363,76 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("updateClusters == full recompute on a planted append (all merge shapes)") {
+    import spark.implicits._
+    // stored clusters: {1,2,3}, {10,11}, {20,21} (untouched), {30,31}
+    val basePairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val existing = graft.operators.Dedup.resolveClusters(basePairs, "id_a", "id_b")
+    // the append exercises every merge shape at once:
+    //  (40,41): brand-new cluster from two appended docs
+    //  (42,10): appended doc joins a stored cluster
+    //  (3,30):  a new edge MERGES two stored clusters
+    //  (0,11):  appended doc with an id SMALLER than the stored rep —
+    //           the touched component's label must change to 0
+    val newPairs = Seq((40L, 41L), (42L, 10L), (3L, 30L), (0L, 11L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.updateClusters(existing, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup
+      .resolveClusters(basePairs.unionAll(newPairs), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental $got != full recompute $want")
+    // the untouched cluster passed through with its stored label
+    assert(got(20L) == 20L && got(21L) == 20L)
+    // and the small-id append relabeled its whole component
+    assert(got(10L) == 0L && got(42L) == 0L)
+  }
+
+  test("updateClusters == full recompute on a seeded random append") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    def draw(k: Int, lo: Int, hi: Int) = Seq.fill(k)(
+      (lo + rnd.nextInt(hi - lo), lo + rnd.nextInt(hi - lo)))
+      .collect { case (a, b) if a != b => (a.toLong, b.toLong) }
+    val basePairs = draw(150, 0, n).toDF("id_a", "id_b")
+    // append edges span old x old, old x new, new x new vertex ranges
+    val newPairs = (draw(30, 0, n + 80) ++ draw(30, n, n + 80))
+      .toDF("id_a", "id_b")
+    val existing = graft.operators.Dedup
+      .resolveClusters(basePairs, "id_a", "id_b", maxIter = 40)
+    val got = graft.operators.Dedup
+      .updateClusters(existing, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup
+      .resolveClusters(basePairs.unionAll(newPairs), "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, {
+      val bad = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).take(5)
+      s"diverging: ${bad.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")}"
+    })
+  }
+
+  test("updateClusters with no new pairs returns the stored table unchanged") {
+    import spark.implicits._
+    val basePairs = Seq((2L, 1L), (10L, 11L)).toDF("id_a", "id_b")
+    val existing = graft.operators.Dedup.resolveClusters(basePairs, "id_a", "id_b")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.updateClusters(existing, noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("q_dedup_clusters_incr (stored base + append) == q_dedup_clusters (full)") {
+    val full = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val incr = SparkEntry.queries("q_dedup_clusters_incr")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == full, "incremental maintenance drifted from the full recompute")
+  }
+
   test("cluster resolution of an empty pair set is empty (no duplicates found)") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
