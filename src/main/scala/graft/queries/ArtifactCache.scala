@@ -61,4 +61,24 @@ private[queries] object ArtifactCache {
     }
     d
   }
+
+  /** Staged build — the append-lifecycle extension of [[dir]]: each
+    * `(marker, stage)` runs IN ORDER, and only when its own marker is
+    * missing, so an APPEND stage (a new index generation) re-runs
+    * without repeating the complete base build — the marker protocol
+    * distinguishes "append pending" from "cold cache". Every stage must
+    * be overwrite-idempotent into its OWN subdirectory (its generation):
+    * a stage crashed mid-write re-runs by overwriting only what it owns,
+    * so it can neither duplicate rows (the in-place mode-append hazard)
+    * nor trigger a spurious full rebuild.
+    */
+  def staged(s: SparkSession, sfDir: String, table: String, tag: String,
+      stages: Seq[(String, String => Unit)]): String =
+    dir(s, sfDir, table, tag, stages.map(_._1)) { d =>
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      stages.foreach { case (m, stage) =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$d/$m"))) stage(d)
+      }
+    }
 }

@@ -89,12 +89,19 @@ object PipelineQueries {
     * ranks), bit-mirrored in DuckDB via OracleVec. Shared by
     * q_embed_knn_ivf (chain in-query) and q_ann_from_index (stored-index
     * query) — identical ranks by construction.
+    *
+    * `trainWhere` restricts the TRAINING corpus (seed + Lloyd
+    * accumulation) — empty for the full-corpus chain; the
+    * q_ann_index_incr variant trains on the base slice only (the frozen
+    * quantizer a nightly append assigns under), while assignment, probe,
+    * and ranks always run over the whole corpus.
     */
-  private val IvfOracleSql: Option[String] = Some {
+  private def ivfOracleSqlFor(trainWhere: String): String = {
     def cos(a: String, b: String) = OracleVec.cosSql(a, b)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seed AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
-       |asg AS (SELECT e.vec_id, e.v, seed.cell, ${cos("e.v", "seed.sv")} AS sim FROM e, seed),
+       |eb AS (SELECT vec_id, v FROM e$trainWhere),
+       |seed AS (SELECT vec_id AS cell, v AS sv FROM eb ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT eb.vec_id, eb.v, seed.cell, ${cos("eb.v", "seed.sv")} AS sim FROM eb, seed),
        |a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, cell DESC) AS rn FROM asg),
        |av AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
@@ -120,6 +127,8 @@ object PipelineQueries {
        |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
 
+  private val IvfOracleSql: Option[String] = Some(ivfOracleSqlFor(""))
+
   /** Materialize the trained IVF-Flat index over `embeddings` once per
     * corpus version via [[ArtifactCache]]: `centroids/` = the 16-seed +
     * one-Lloyd-step trained quantizer (the q_embed_knn_ivf training),
@@ -144,6 +153,46 @@ object PipelineQueries {
       Similarity.ivfAssignCells(emb, "vec_id", "embedding", cents)
         .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
     }
+
+  /** The IVF index under the APPEND lifecycle (`q_ann_index_incr`): the
+    * quantizer is trained ONCE on the base corpus (vec_id % 4 != 3, "the
+    * corpus as of the index build") and frozen; the appended vectors are
+    * assigned under the STORED centroids and land as their own postings
+    * GENERATION (`postings/gen=1`, hive-partitioned by cell like gen=0)
+    * — the segment model every production vector store appends with.
+    * [[ArtifactCache.staged]] gives each stage its own marker, so a
+    * pending append re-runs WITHOUT repeating the base build, and each
+    * stage overwrites only its own generation (crash-safe, no in-place
+    * mode-append duplication). One read of `postings/` discovers
+    * (gen, cell) partitions; queries prune on cell across generations.
+    */
+  private def materializedIvfIncrIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def cents(dir: String) = Similarity.centroidRows(
+      s.read.parquet(dir + "/centroids"), "cell", "centroid")
+    ArtifactCache.staged(s, d, "embeddings", "ivfincr", Seq(
+      "centroids/_SUCCESS" -> { dir =>
+        val base = t(s, d, "embeddings").filter(col("vec_id") % 4 =!= 3)
+        val seed = Similarity.centroidRows(
+          base.orderBy("vec_id").limit(16), "vec_id", "embedding")
+        Similarity.kmeansStep(base, "vec_id", "embedding", seed)
+          .select(col("cell"),
+            expr("transform(centroid, x -> cast(x as float))").as("centroid"))
+          .write.mode("overwrite").parquet(dir + "/centroids")
+      },
+      "postings/gen=0/_SUCCESS" -> { dir =>
+        val base = t(s, d, "embeddings").filter(col("vec_id") % 4 =!= 3)
+        Similarity.ivfAssignCells(base, "vec_id", "embedding", cents(dir))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/postings/gen=0")
+      },
+      "postings/gen=1/_SUCCESS" -> { dir =>
+        val incr = t(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
+        Similarity.ivfAssignCells(incr, "vec_id", "embedding", cents(dir))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/postings/gen=1")
+      }))
+  }
 
   /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
     * text, perRound = 16, rounds = 3)`, inlined as a literal so the
@@ -1076,6 +1125,31 @@ object PipelineQueries {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val idx = materializedIvfIndexDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // The IVF index APPEND — the other half of the artifact lifecycle
+    // (q_dedup_clusters_incr is the dedup twin): the quantizer is trained
+    // on the BASE corpus and frozen; appended vectors are assigned under
+    // the stored centroids and land as a second postings generation
+    // (postings/gen=1, still hive-partitioned by cell), so one scan of
+    // the postings root serves both generations with cell pruning intact
+    // and the append never rewrites the base build (staged markers,
+    // ArtifactCache.staged). Frozen quantizer means appended == rebuilt
+    // under the same centroids — exactly what the oracle computes: the
+    // shared IVF chain with TRAINING restricted to the base slice and
+    // assignment/probe/ranks over the whole corpus.
+    Q("q_ann_index_incr", Some(ivfOracleSqlFor(" WHERE vec_id % 4 <> 3")),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfIncrIndexDir(s, d)
         Similarity.ivfKnnFromIndex(
             s.read.parquet(idx + "/postings"),
             emb.filter(col("vec_id") < 5),

@@ -231,4 +231,45 @@ class SimilaritySpec extends SparkTestBase {
       .filter(_.getName.startsWith("cell="))
     assert(parts.nonEmpty, "postings are not partitioned by cell")
   }
+
+  test("IVF append: appended generations == rebuild under the frozen quantizer; append never rewrites the base") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = SparkEntry.queries("q_ann_index_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfincr_cache_"))
+    assert(caches.nonEmpty, "no staged IVF index found")
+    val idx = caches.maxBy(_.lastModified()).getAbsolutePath
+    // frozen-quantizer law: the union of postings generations equals a
+    // full re-assignment of the WHOLE corpus under the stored centroids
+    val cents = Similarity.centroidRows(
+      spark.read.parquet(idx + "/centroids"), "cell", "centroid")
+    val rebuilt = Similarity.ivfAssignCells(emb, "vec_id", "embedding", cents)
+      .select(col("c_id"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stored = spark.read.parquet(idx + "/postings")
+      .select(col("c_id"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == rebuilt,
+      "appended postings diverge from a full rebuild under the same centroids")
+    // marker protocol: wiping ONLY the append generation re-runs ONLY the
+    // append stage — base postings and centroids are untouched
+    val baseMarkers = Seq("centroids/_SUCCESS", "postings/gen=0/_SUCCESS")
+      .map(m => new java.io.File(idx, m))
+    baseMarkers.foreach(m => assert(m.exists(), s"missing $m"))
+    val before = baseMarkers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val gen1 = new org.apache.hadoop.fs.Path(idx + "/postings/gen=1")
+    gen1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(gen1, true): Unit
+    val again = SparkEntry.queries("q_ann_index_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == got, "re-appended index drifted")
+    baseMarkers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"${m.getParent} was rebuilt by a pending append (append mistaken for full build)")
+    }
+    assert(new java.io.File(idx, "postings/gen=1/_SUCCESS").exists(),
+      "append stage did not re-run")
+  }
 }
