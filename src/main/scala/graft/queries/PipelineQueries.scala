@@ -129,6 +129,84 @@ object PipelineQueries {
 
   private val IvfOracleSql: Option[String] = Some(ivfOracleSqlFor(""))
 
+  /** The full IVF-PQ chain oracle — three unrolled exact-micro Lloyd
+    * iterations, euclidean coarse cells + residuals, residual-codebook
+    * training, per-subspace encoding, 3-cell probes, per-(query, cell)
+    * residual LUTs, ordered ADC fold (see q_embed_knn_ivfpq's comment).
+    * Shared by q_embed_knn_ivfpq (chain in-query) and q_ann_from_index_pq
+    * (stored compressed index) — identical ranks by construction.
+    */
+  private val IvfPqOracleSql: Option[String] = Some {
+    import OracleVec.{cosSql => cos, euclidSql => eu, sqDiffSql => sq}
+        def sl(v: String, s: String) =
+          s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
+        def sub(a: String, b: String) =
+          s"list_transform(list_zip($a, $b), zz -> zz[1] - zz[2])"
+        def lloyd(j: Int): String = {
+          val p = s"cent${j - 1}"
+          s"""asg$j AS (SELECT e.vec_id, e.v, c.cell, ${cos("e.v", "c.cv")} AS sim FROM e, $p c),
+             |a$j AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY sim DESC, cell DESC) AS rn FROM asg$j),
+             |av$j AS (SELECT vec_id, v, cell FROM a$j WHERE rn = 1),
+             |mo$j AS (SELECT cell, r.range AS i,
+             |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+             |  FROM av$j, range(64) r GROUP BY cell, r.range),
+             |cand$j AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
+             |  FROM mo$j GROUP BY cell),
+             |cent$j AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv FROM $p p LEFT JOIN cand$j c ON c.cell = p.cell)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |cent0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+           |${lloyd(1)},
+           |${lloyd(2)},
+           |${lloyd(3)},
+           |casg AS (SELECT e.vec_id, e.v, c.cell, ${eu("e.v", "c.cv")} AS d FROM e, cent3 c),
+           |c1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY d, cell) AS rn FROM casg),
+           |cell_of AS (SELECT vec_id, v, cell FROM c1 WHERE rn = 1),
+           |resid AS (SELECT co.vec_id, co.cell, ${sub("co.v", "c.cv")} AS rv
+           |  FROM cell_of co JOIN cent3 c ON c.cell = co.cell),
+           |sdR AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, rv AS sv
+           |  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)),
+           |asgR AS (SELECT resid.vec_id, r.range AS s, sdR.cell,
+           |    ${eu(sl("resid.rv", "r.range"), sl("sdR.sv", "r.range"))} AS dist
+           |  FROM resid, range(8) r, sdR),
+           |aR AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY dist, cell) AS rn FROM asgR),
+           |avR AS (SELECT vec_id, s, cell FROM aR WHERE rn = 1),
+           |moR AS (SELECT avR.s, avR.cell, r2.range AS i,
+           |    CAST(sum(CAST(floor(resid.rv[CAST(avR.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+           |    count(*) AS n
+           |  FROM avR JOIN resid USING (vec_id), range(8) r2 GROUP BY avR.s, avR.cell, r2.range),
+           |bkR AS (SELECT s, cell, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS bc
+           |  FROM moR GROUP BY s, cell),
+           |gridR AS (SELECT sdR.cell, r.range AS s, sdR.sv FROM sdR, range(8) r),
+           |bkall AS (SELECT gridR.s, gridR.cell, coalesce(bkR.bc, ${sl("gridR.sv", "gridR.s")}) AS bc
+           |  FROM gridR LEFT JOIN bkR ON bkR.s = gridR.s AND bkR.cell = gridR.cell),
+           |encA AS (SELECT resid.vec_id, resid.cell AS ccell, b.s, b.cell AS codeword,
+           |    ${eu(sl("resid.rv", "b.s"), "b.bc")} AS d
+           |  FROM resid, bkall b),
+           |enc1 AS (SELECT vec_id, ccell, s, codeword, row_number() OVER (PARTITION BY vec_id, s
+           |    ORDER BY d, codeword) AS rn FROM encA),
+           |codes AS (SELECT vec_id AS c_id, ccell AS cell, s, codeword AS code FROM enc1 WHERE rn = 1),
+           |qd AS (SELECT e.vec_id AS q_id, e.v AS qv, c.cell, c.cv, ${eu("e.v", "c.cv")} AS d
+           |  FROM e, cent3 c WHERE e.vec_id < 5),
+           |q1 AS (SELECT q_id, qv, cell, cv, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY d, cell) AS rn FROM qd),
+           |probe AS (SELECT q_id, cell, ${sub("qv", "cv")} AS q_resid FROM q1 WHERE rn <= 3),
+           |lut AS (SELECT p.q_id, p.cell, b.s, b.cell AS codeword,
+           |    ${sq(sl("p.q_resid", "b.s"), "b.bc")} AS ld
+           |  FROM probe p, bkall b),
+           |parts AS (SELECT lut.q_id, codes.c_id, lut.s, lut.ld
+           |  FROM codes JOIN lut ON lut.cell = codes.cell AND lut.s = codes.s AND lut.codeword = codes.code
+           |  WHERE codes.c_id <> lut.q_id),
+           |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
+           |  FROM parts GROUP BY q_id, c_id),
+           |r AS (SELECT q_id, c_id, dist, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)
+           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Materialize the trained IVF-Flat index over `embeddings` once per
     * corpus version via [[ArtifactCache]]: `centroids/` = the 16-seed +
     * one-Lloyd-step trained quantizer (the q_embed_knn_ivf training),
@@ -192,6 +270,57 @@ object PipelineQueries {
           .write.mode("overwrite").partitionBy("cell")
           .parquet(dir + "/postings/gen=1")
       }))
+  }
+
+  /** Materialize the COMPRESSED (IVF-PQ) index once per corpus version —
+    * the layout production vector stores actually serve: `centroids/` =
+    * the 3-iteration-Lloyd coarse quantizer, `books/` = the residual PQ
+    * codebooks (m=8 subspaces × ks=16 codewords × 8 dims of doubles —
+    * KBs), `codes/` = every vector's 8-byte PQ code, PARTITIONED BY cell
+    * (32× smaller than the IVF-Flat postings' raw float vectors: the
+    * probe scan reads codes, never vectors). Doubles round-trip parquet
+    * exactly, so the served chain is bit-identical to the inline one.
+    */
+  private def materializedIvfPqIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "embeddings", "ivfpq",
+        Seq("centroids/_SUCCESS", "books/_SUCCESS", "codes/_SUCCESS")) { dir =>
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val seed = Similarity.centroidRows(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+      val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        seed, maxIters = 3, tol = 0.0)
+      val cents = trained.map(_._2.map(_.toDouble).toArray)
+      val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
+        cents, m = 8, ks = 16)
+      // cell/codeword ids are POSITIONS in the trained arrays — store
+      // them explicitly so the read side reassembles the same arrays
+      cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/centroids")
+      (for { sp <- books.indices; c <- books(sp).indices }
+        yield (sp, c, books(sp)(c).toSeq)).toDF("s", "cword", "bc")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/books")
+      Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+    }
+
+  /** Reassemble (coarse centroids, PQ codebooks) from a stored IVF-PQ
+    * index — two bounded collects (8 + 128 rows, the centroid-table
+    * contract).
+    */
+  private def readIvfPqModel(s: org.apache.spark.sql.SparkSession,
+      idx: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = s.read.parquet(idx + "/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = s.read.parquet(idx + "/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val ks = bookRows.keys.map(_._2).max + 1
+    (cents, Array.tabulate(m, ks)((sp, c) => bookRows((sp, c))))
   }
 
   /** BPE merge table learned at sf0.01 — `Bpe.trainMerges(documents,
@@ -1424,77 +1553,7 @@ object PipelineQueries {
     // double bit matching the codegen'd expressions (OracleVec; exact
     // integer sums make the trained tables parallelism-invariant, which
     // is what makes a trained-index oracle possible at all).
-    Q("q_embed_knn_ivfpq",
-      Some {
-        import OracleVec.{cosSql => cos, euclidSql => eu, sqDiffSql => sq}
-        def sl(v: String, s: String) =
-          s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
-        def sub(a: String, b: String) =
-          s"list_transform(list_zip($a, $b), zz -> zz[1] - zz[2])"
-        def lloyd(j: Int): String = {
-          val p = s"cent${j - 1}"
-          s"""asg$j AS (SELECT e.vec_id, e.v, c.cell, ${cos("e.v", "c.cv")} AS sim FROM e, $p c),
-             |a$j AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
-             |    ORDER BY sim DESC, cell DESC) AS rn FROM asg$j),
-             |av$j AS (SELECT vec_id, v, cell FROM a$j WHERE rn = 1),
-             |mo$j AS (SELECT cell, r.range AS i,
-             |    CAST(sum(CAST(floor(v[CAST(r.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
-             |  FROM av$j, range(64) r GROUP BY cell, r.range),
-             |cand$j AS (SELECT cell, list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS REAL) AS DOUBLE) ORDER BY i) AS cv
-             |  FROM mo$j GROUP BY cell),
-             |cent$j AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv FROM $p p LEFT JOIN cand$j c ON c.cell = p.cell)""".stripMargin
-        }
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |cent0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-           |${lloyd(1)},
-           |${lloyd(2)},
-           |${lloyd(3)},
-           |casg AS (SELECT e.vec_id, e.v, c.cell, ${eu("e.v", "c.cv")} AS d FROM e, cent3 c),
-           |c1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY d, cell) AS rn FROM casg),
-           |cell_of AS (SELECT vec_id, v, cell FROM c1 WHERE rn = 1),
-           |resid AS (SELECT co.vec_id, co.cell, ${sub("co.v", "c.cv")} AS rv
-           |  FROM cell_of co JOIN cent3 c ON c.cell = co.cell),
-           |sdR AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, rv AS sv
-           |  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)),
-           |asgR AS (SELECT resid.vec_id, r.range AS s, sdR.cell,
-           |    ${eu(sl("resid.rv", "r.range"), sl("sdR.sv", "r.range"))} AS dist
-           |  FROM resid, range(8) r, sdR),
-           |aR AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
-           |    ORDER BY dist, cell) AS rn FROM asgR),
-           |avR AS (SELECT vec_id, s, cell FROM aR WHERE rn = 1),
-           |moR AS (SELECT avR.s, avR.cell, r2.range AS i,
-           |    CAST(sum(CAST(floor(resid.rv[CAST(avR.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
-           |    count(*) AS n
-           |  FROM avR JOIN resid USING (vec_id), range(8) r2 GROUP BY avR.s, avR.cell, r2.range),
-           |bkR AS (SELECT s, cell, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS bc
-           |  FROM moR GROUP BY s, cell),
-           |gridR AS (SELECT sdR.cell, r.range AS s, sdR.sv FROM sdR, range(8) r),
-           |bkall AS (SELECT gridR.s, gridR.cell, coalesce(bkR.bc, ${sl("gridR.sv", "gridR.s")}) AS bc
-           |  FROM gridR LEFT JOIN bkR ON bkR.s = gridR.s AND bkR.cell = gridR.cell),
-           |encA AS (SELECT resid.vec_id, resid.cell AS ccell, b.s, b.cell AS codeword,
-           |    ${eu(sl("resid.rv", "b.s"), "b.bc")} AS d
-           |  FROM resid, bkall b),
-           |enc1 AS (SELECT vec_id, ccell, s, codeword, row_number() OVER (PARTITION BY vec_id, s
-           |    ORDER BY d, codeword) AS rn FROM encA),
-           |codes AS (SELECT vec_id AS c_id, ccell AS cell, s, codeword AS code FROM enc1 WHERE rn = 1),
-           |qd AS (SELECT e.vec_id AS q_id, e.v AS qv, c.cell, c.cv, ${eu("e.v", "c.cv")} AS d
-           |  FROM e, cent3 c WHERE e.vec_id < 5),
-           |q1 AS (SELECT q_id, qv, cell, cv, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY d, cell) AS rn FROM qd),
-           |probe AS (SELECT q_id, cell, ${sub("qv", "cv")} AS q_resid FROM q1 WHERE rn <= 3),
-           |lut AS (SELECT p.q_id, p.cell, b.s, b.cell AS codeword,
-           |    ${sq(sl("p.q_resid", "b.s"), "b.bc")} AS ld
-           |  FROM probe p, bkall b),
-           |parts AS (SELECT lut.q_id, codes.c_id, lut.s, lut.ld
-           |  FROM codes JOIN lut ON lut.cell = codes.cell AND lut.s = codes.s AND lut.codeword = codes.code
-           |  WHERE codes.c_id <> lut.q_id),
-           |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
-           |  FROM parts GROUP BY q_id, c_id),
-           |r AS (SELECT q_id, c_id, dist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)
-           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
-      },
+    Q("q_embed_knn_ivfpq", IvfPqOracleSql,
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val seed = Similarity.centroidRows(
@@ -1510,6 +1569,28 @@ object PipelineQueries {
           cents, m = 8, ks = 16)
         val encoded = Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
         Pq.ivfPqTopK(encoded, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), col("rn"))
+          .orderBy("q_id", "rn")
+      }),
+
+    // The COMPRESSED index served from storage — q_ann_from_index's
+    // production sibling: q_ann_from_index serves IVF-Flat (raw vectors
+    // in the postings); this serves the 32×-smaller IVF-PQ layout
+    // (8-byte codes, codebooks + centroids read back as two bounded
+    // model tables), which is what a real vector store keeps hot. The
+    // query pays routing + the probed cells' CODE scan + the ADC fold —
+    // codes parquet is partitioned by cell, so the equi-join on probed
+    // cells prunes unread partitions. Same trained model as
+    // q_embed_knn_ivfpq (doubles round-trip parquet exactly), so the
+    // oracle text is shared and the ranks are identical.
+    Q("q_ann_from_index_pq", IvfPqOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfPqIndexDir(s, d)
+        val (cents, books) = readIvfPqModel(s, idx)
+        Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
+            emb.filter(col("vec_id") < 5),
             "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
           .select(col("q_id"), col("c_id"), col("rn"))
           .orderBy("q_id", "rn")

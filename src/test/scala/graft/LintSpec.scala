@@ -198,6 +198,7 @@ class LintSpec extends SparkTestBase {
     "q_ann_from_index", // materializes the IVF index on cache miss
     "q_dedup_clusters_incr", // materializes the base cluster table on cache miss
     "q_ann_index_incr", // materializes the staged IVF index on cache miss
+    "q_ann_from_index_pq", // materializes the IVF-PQ index on cache miss
     "q_incr_agg", "q_upsert", "q_zorder", "q_table_checksum",
     "q_arrow_roundtrip", "q_create_external", "q_dsv2_scan")
 

@@ -104,4 +104,34 @@ class PqSpec extends SparkTestBase {
     // every query returns exactly k ranked candidates
     assert(res.values.forall(_.size == k))
   }
+
+  test("stored IVF-PQ index == the in-query chain, and the index is reused") {
+    // the compressed-index split must return the inline chain's ranks
+    // exactly (doubles round-trip parquet, so the model tables are
+    // bit-identical), and a second invocation reads the cache
+    val inline = SparkEntry.queries("q_embed_knn_ivfpq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromIdx = SparkEntry.queries("q_ann_from_index_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromIdx == inline, "stored IVF-PQ query drifted from the inline chain")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_ivfpq_cache_"))
+    assert(caches.nonEmpty, "no materialized IVF-PQ index found")
+    val markers = caches.flatMap(c => Seq("centroids", "books", "codes").map(x =>
+      new java.io.File(c, x + "/_SUCCESS"))).filter(_.exists())
+    assert(markers.nonEmpty, "materialized IVF-PQ index has no _SUCCESS markers")
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_ann_from_index_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == inline)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"IVF-PQ index ${m.getParent} was rewritten on a cache hit")
+    }
+    // the codes layout carries the pruning contract: hive cell=N dirs
+    val parts = caches.flatMap(c =>
+      Option(new java.io.File(c, "codes").listFiles()).toSeq.flatten)
+      .filter(_.getName.startsWith("cell="))
+    assert(parts.nonEmpty, "codes are not partitioned by cell")
+  }
 }
