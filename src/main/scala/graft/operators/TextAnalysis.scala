@@ -554,6 +554,78 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_terms"))
   }
 
+  /** [[logisticGradStep]] with a BIAS (intercept) feature — the training
+    * hardening a real quality gate needs: on an imbalanced corpus the
+    * no-intercept model wastes its feature weights encoding the base
+    * rate. `weightsMicro` has `buckets + 1` entries, the LAST being the
+    * intercept; every document carries the implicit x_bias = 1, so the
+    * margin adds w_bias once per doc and the gradient table gains one
+    * row at bucket = `buckets` (Σ residuals — once per DOCUMENT, not per
+    * token). Same exact-integer discipline as the unbiased step: one
+    * sigmoid per doc micro-quantized before any cross-row sum; the
+    * shuffle carries buckets+1 keys.
+    */
+  def logisticGradStepBias(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+    require(weightsMicro.size == buckets + 1,
+      s"need ${buckets + 1} weights (incl. bias), got ${weightsMicro.size}")
+    val wArr = typedLit(weightsMicro)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    df.withColumn("__t", coalesce(
+        filter(tokens(col(textCol)), t => t =!= ""),
+        typedLit(Seq.empty[String])))
+      .withColumn("__m", aggregate(
+        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x) + element_at(wArr, buckets + 1))
+      .withColumn("__r", round(
+        (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
+          - label.cast("double")) * lit(1e6), 0).cast("long"))
+      // bucket ids ride the row; the bias sentinel joins the explode so
+      // ONE aggregate produces the whole (buckets+1)-row gradient table
+      .select(explode(concat(
+          transform(col("__t"), t => bucketOf(t)),
+          array(lit(buckets.toLong)))).as("bucket"),
+        col("__r"))
+      .groupBy("bucket")
+      .agg(sum(col("__r")).as("grad_micro"),
+        count(lit(1)).cast("long").as("n_terms"))
+  }
+
+  /** `steps` regularized full-batch GD steps of [[logisticGradStepBias]]:
+    * w_j ← w_j − lr·grad_j/n − lr·λ·w_j (all exact integer micros; the
+    * shrink term is `lrMicro·l2Micro·w_j / 1e12`, truncating toward
+    * zero like every Long division here). The INTERCEPT is not
+    * regularized — shrinking it would re-bias an imbalanced fit, the
+    * standard convention. L2 bounds the weights on separable data where
+    * the unregularized trainer grows them without limit
+    * (TextAnalysisSpec pins both laws). Returns `buckets + 1` weights,
+    * bias last.
+    */
+  def logisticTrainReg(df: DataFrame, textCol: String, label: Column,
+      init: Seq[Long], steps: Int, lrMicro: Long, n: Long, l2Micro: Long,
+      buckets: Int = 256): Seq[Long] = {
+    require(n > 0, s"logisticTrainReg needs a non-empty corpus (n=$n); " +
+      "pass n = df.count() and train only when data exists")
+    require(init.size == buckets + 1,
+      s"need ${buckets + 1} init weights (incl. bias), got ${init.size}")
+    var w = init.toVector
+    var s = 0
+    while (s < steps) {
+      val grads = logisticGradStepBias(df, textCol, label, w, buckets)
+        .collect() // buckets + 1 rows — bounded
+        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val data = lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
+        val shrink =
+          if (j == buckets) 0L else lrMicro * l2Micro * wj / 1000000000000L
+        wj - data - shrink
+      }
+      s += 1
+    }
+    w
+  }
+
   /** `steps` full-batch gradient-descent steps of [[logisticGradStep]].
     * Each step's driver round-trip is the `buckets`-row gradient table
     * (bounded merge-table contract); the update is integer arithmetic

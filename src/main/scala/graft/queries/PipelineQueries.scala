@@ -1934,6 +1934,63 @@ object PipelineQueries {
             LrInitWeights, buckets = 256)
           .orderBy("bucket")),
 
+    // The HARDENED training step — bias (intercept) feature + L2
+    // shrinkage, the two things q_linear_train_step's plain GD lacks (on
+    // a separable fixture its weights grow without bound; on an
+    // imbalanced corpus the features must encode the base rate). Output
+    // is the 257-row weight table AFTER one regularized step from the
+    // inlined init (bias starts at 0.25), so the oracle pins margin-
+    // with-intercept, the per-DOCUMENT bias gradient row, and the exact
+    // truncating-integer update including the lr·λ·w shrink term (bias
+    // unregularized, the standard convention). The gradient is the same
+    // one-scan 257-key integer aggregate; the update is 257-row driver
+    // arithmetic (the bounded merge-table contract).
+    Q("q_linear_train_reg", {
+      val w = LrInitWeights.mkString("[", ", ", "]")
+      // truncating division toward zero (Scala Long /) vs DuckDB's
+      // flooring // — the sign CASE, as in q_linear_train_apply
+      def tdiv(x: String, y: String) =
+        s"CASE WHEN $x >= 0 THEN ($x) // ($y) ELSE -((-($x)) // ($y)) END"
+      Some(s"""WITH wt AS (SELECT $w AS wt),
+              |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+              |    CAST(CASE WHEN b = 256 THEN 250000 ELSE wt[CAST(b AS INT) + 1] END AS BIGINT) AS w
+              |  FROM (SELECT unnest(range(257)) AS b), wt),
+              |toks AS (SELECT doc_id,
+              |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+              |m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) + 250000 AS BIGINT) AS mm
+              |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w0.w) AS mm
+              |    FROM occ JOIN w0 ON w0.b = occ.b GROUP BY occ.doc_id) s
+              |  ON s.doc_id = tk.doc_id),
+              |r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
+              |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM m),
+              |g AS (SELECT b, CAST(sum(rm) AS BIGINT) AS gg FROM (
+              |    SELECT occ.b, r.rm FROM occ JOIN r USING (doc_id)
+              |    UNION ALL SELECT CAST(256 AS BIGINT) AS b, rm FROM r)
+              |  GROUP BY b)
+              |SELECT w0.b AS bucket, CAST(w0.w
+              |  - ${tdiv("1000000 * coalesce(g.gg, 0)", "1000000 * cnt.n")}
+              |  - CASE WHEN w0.b = 256 THEN 0
+              |         ELSE ${tdiv("100000000000 * w0.w", "1000000000000")} END
+              |  AS BIGINT) AS w_micro
+              |FROM w0 LEFT JOIN g ON g.b = w0.b CROSS JOIN cnt
+              |ORDER BY bucket""".stripMargin)
+    },
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val trained = TextAnalysis.logisticTrainReg(docs, "text",
+          when(col("source") === "src0", 1L).otherwise(0L),
+          LrInitWeights :+ 250000L, steps = 1, lrMicro = 1000000L,
+          n = docs.count(), l2Micro = 100000L)
+        trained.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+          .toDF("bucket", "w_micro").orderBy("bucket")
+      }),
+
     // The classifier LIFECYCLE composed end-to-end, the q_dedup_apply
     // pattern for the quality gate: TRAIN two full-batch GD steps
     // (logisticTrainN — each step one corpus scan + a 256-key integer

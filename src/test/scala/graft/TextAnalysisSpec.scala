@@ -481,6 +481,68 @@ class TextAnalysisSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("L2 bounds the weights where plain GD grows them; reg training still reduces loss on a non-separable fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // separable fixture: unregularized full-batch GD keeps pushing the
+    // margin -> weights grow monotonically; L2 shrinkage caps them
+    val pos = (1 to 60).map(i => (s"alpha beta gamma delta epsilon tok$i", 1L))
+    val neg = (1 to 60).map(i => (s"omega sigma lambda kappa theta neg$i", 0L))
+    val sep = (pos ++ neg).toDF("text", "y").cache()
+    val y = col("y")
+    val plain = TextAnalysis.logisticTrainN(sep, "text", y, Seq.fill(256)(0L),
+      steps = 20, lrMicro = 2000000L, n = 120L)
+    val reg = TextAnalysis.logisticTrainReg(sep, "text", y, Seq.fill(257)(0L),
+      steps = 20, lrMicro = 2000000L, n = 120L, l2Micro = 300000L)
+    val maxPlain = plain.map(math.abs).max
+    val maxReg = reg.dropRight(1).map(math.abs).max // features only (bias unregularized)
+    assert(maxReg < maxPlain,
+      s"L2 did not bound the weights: reg $maxReg vs plain $maxPlain")
+    sep.unpersist()
+    // non-separable fixture (conflicting labels on identical text, 2:1):
+    // the regularized step still moves loss toward the 2/3 optimum
+    val conflict = ((1 to 40).map(_ => ("alpha beta gamma", 1L)) ++
+      (1 to 20).map(_ => ("alpha beta gamma", 0L))).toDF("text", "y").cache()
+    val l0 = TextAnalysis.logisticLoss(conflict, "text", y, Seq.fill(256)(0L))
+    val w = TextAnalysis.logisticTrainReg(conflict, "text", y, Seq.fill(257)(0L),
+      steps = 5, lrMicro = 1000000L, n = 60L, l2Micro = 10000L)
+    val l5 = TextAnalysis.logisticLoss(conflict, "text", y, w.dropRight(1))
+    assert(l5 < l0, s"regularized steps did not reduce loss: $l0 -> $l5")
+    conflict.unpersist()
+  }
+
+  test("the bias term learns the base rate no feature can express; bias gradient row counts documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // token-free docs, 4:1 positive — only an intercept can fit this
+    val df = ((1 to 80).map(_ => ("", 1L)) ++ (1 to 20).map(_ => ("", 0L)))
+      .toDF("text", "y").cache()
+    val y = col("y")
+    val w = TextAnalysis.logisticTrainReg(df, "text", y, Seq.fill(257)(0L),
+      steps = 10, lrMicro = 4000000L, n = 100L, l2Micro = 0L)
+    assert(w.last > 0L, s"bias did not learn the positive base rate: ${w.last}")
+    // loss under the learned intercept beats the zero model's ln 2:
+    // score margins by hand (no tokens -> margin = bias)
+    val p = 1.0 / (1.0 + math.exp(-w.last / 1e6))
+    val lossBias = -(0.8 * math.log(p) + 0.2 * math.log(1 - p))
+    assert(lossBias < math.log(2.0) - 0.05, s"intercept fit too weak: $lossBias")
+    // the bias gradient row aggregates once per DOCUMENT
+    val g = TextAnalysis.logisticGradStepBias(df, "text", y, Seq.fill(257)(0L))
+      .filter(col("bucket") === 256L).collect()
+    assert(g.length == 1 && g(0).getLong(2) == 100L,
+      s"bias row must count documents: ${g.toSeq}")
+    // and the biased gradient step is partitioning-invariant
+    val mixed = ((1 to 30).map(i => (s"alpha tok$i", 1L)) ++
+      (1 to 30).map(i => (s"omega neg$i", 0L))).toDF("text", "y")
+    val w1 = (0 until 257).map(b => (b * 37L) % 900L - 450L)
+    val a = TextAnalysis.logisticGradStepBias(mixed, "text", y, w1)
+      .orderBy("bucket").collect().toSeq
+    val b = TextAnalysis.logisticGradStepBias(mixed.repartition(7), "text", y, w1)
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+    df.unpersist()
+  }
+
   test("q_linear_train_step gradient matches a driver-side recomputation") {
     // independent re-derivation of the registered query's step on a tiny
     // slice: margins, sigmoid residual quantization, bucket sums
