@@ -20,6 +20,26 @@ object WarehouseQueries {
     * state stores in /tmp. Best-effort: a failed delete never fails the
     * query that produced a correct result.
     */
+  /** The FROZEN drift reference — src0's n_chars histogram materialized
+    * once per corpus version ([[ArtifactCache]]): production drift
+    * monitoring freezes the reference distribution as an artifact when a
+    * corpus version ships and compares every live batch against it;
+    * recomputing the reference per query (the pre-r17 shape) silently
+    * couples the gate to whatever the reference slice CURRENTLY contains.
+    * 16 rows (bucket, cnt_ref) — the exact integer cells of
+    * [[graft.operators.HistQuantile.sketchBy]]; WarehouseOpsSpec pins
+    * stored == recomputed.
+    */
+  private def materializedPsiRefDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "psiref", Seq("_SUCCESS")) { dir =>
+      HistQuantile.sketchBy(
+          t(s, d, "documents").filter(col("source") === "src0"),
+          Nil, col("n_chars"), lo = 0L, hi = 1024L, buckets = 16)
+        .select(col("hq_bucket").as("bucket"), col("cnt").as("cnt_ref"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   private def rmTemp(dirs: String*): Unit = dirs.foreach { d =>
     try {
       val p = java.nio.file.Paths.get(d)
@@ -1003,9 +1023,9 @@ object WarehouseQueries {
         val curCnt = s.table(sink).select(col("g").as("source"),
           col("hq_bucket").as("bucket"), col("cnt").as("cnt_cur"))
         val docs = t(s, d, "documents")
-        val refCnt = HistQuantile.sketchBy(docs.filter(col("source") === "src0"),
-            Nil, col("n_chars"), lo = 0L, hi = 1024L, buckets = 16)
-          .select(col("hq_bucket").as("bucket"), col("cnt").as("cnt_ref"))
+        // the reference side is the FROZEN artifact, not a live recompute
+        // — the full production lifecycle: freeze once, monitor forever
+        val refCnt = s.read.parquet(materializedPsiRefDir(s, d))
         val spine = docs.filter(col("source") =!= "src0")
           .select(col("source")).distinct()
           .crossJoin(s.range(16).select(col("id").as("bucket")))

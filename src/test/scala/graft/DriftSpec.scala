@@ -49,4 +49,21 @@ class DriftSpec extends SparkTestBase {
     assert(rows.map(_._2).sum == 2L && rows.map(_._3).sum == 1L,
       "non-null rows must land in exactly one slice each")
   }
+
+  test("frozen PSI reference artifact == a live recompute of the src0 sketch") {
+    // the streaming drift panel reads its reference from the stored
+    // artifact; freezing must not change a single bucket count
+    SparkEntry.queries("q_stream_drift")(spark, sf).collect(): Unit
+    val caches = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_psiref_cache_"))
+    assert(caches.nonEmpty, "no frozen PSI reference found")
+    val stored = spark.read
+      .parquet(caches.maxBy(_.lastModified()).getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = graft.operators.HistQuantile.sketchBy(
+        Tables.t(spark, sf, "documents").filter(col("source") === "src0"),
+        Nil, col("n_chars"), lo = 0L, hi = 1024L, buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == live, "frozen reference drifted from the live sketch")
+  }
 }
