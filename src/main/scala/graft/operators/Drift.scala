@@ -27,21 +27,8 @@ object Drift {
     * values are excluded from both slices, like [[HistQuantile.sketchBy]].
     */
   def psi(df: DataFrame, value: Column, isRef: Column,
-      lo: Long, hi: Long, buckets: Int): DataFrame = {
-    HistQuantile.checkRange(lo, hi, buckets)
-    val counts = df.filter(value.isNotNull)
-      .select(HistQuantile.bucketOf(value, lo, hi, buckets).as("bucket"),
-        isRef.cast("boolean").as("r"))
-      .groupBy("bucket")
-      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("cnt_ref"),
-        sum(when(col("r"), 0L).otherwise(1L)).as("cnt_cur"))
-    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
-    val full = spine.join(counts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
-        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
-    psiTerms(full, Nil, buckets)
-  }
+      lo: Long, hi: Long, buckets: Int): DataFrame =
+    psiTerms(spineCounts(df, value, isRef, lo, hi, buckets), Nil, buckets)
 
   /** The PSI arithmetic alone, over a PRE-COUNTED complete-spine table
     * `(groupCols..., bucket, cnt_ref, cnt_cur)` — for callers whose
@@ -49,7 +36,33 @@ object Drift {
     * reference, per-source panels). Totals are one bounded aggregate per
     * group, broadcast back; output appends `term_micro` per row.
     */
-  def psiTerms(full: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame = {
+  def psiTerms(full: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame =
+    terms(full, groupCols, buckets) { (p, q) => (p - q) * log(p / q) }
+
+  /** Jensen-Shannon per-bucket terms over the SAME Laplace-smoothed
+    * bucket table as [[psiTerms]]: term_b = (p·ln(p/m) + q·ln(q/m)) / 2
+    * with m = (p + q) / 2. JSD = Σ term_micro / 1e6 — symmetric in the
+    * two slices, bounded [0, ln 2] (so thresholds transfer across
+    * corpora, unlike PSI's unbounded tail), 0 iff the smoothed
+    * distributions coincide. Laplace(+1) keeps every p, q > 0, so the
+    * logs are total; same one-ln-per-BUCKET micro-quantization.
+    */
+  def jsTerms(full: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame =
+    terms(full, groupCols, buckets) { (p, q) =>
+      val m = (p + q) / lit(2.0)
+      (p * log(p / m) + q * log(q / m)) * lit(0.5)
+    }
+
+  /** [[psi]]'s one-pass bucket/spine plumbing with the JS term. */
+  def js(df: DataFrame, value: Column, isRef: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame =
+    jsTerms(spineCounts(df, value, isRef, lo, hi, buckets), Nil, buckets)
+
+  /** Shared term machinery: smoothed slice probabilities per bucket,
+    * metric-specific `term(p, q)` micro-quantized per row.
+    */
+  private def terms(full: DataFrame, groupCols: Seq[String], buckets: Int)(
+      term: (Column, Column) => Column): DataFrame = {
     val gcols = groupCols.map(col)
     val tot = full.groupBy(gcols: _*)
       .agg(sum("cnt_ref").as("nr"), sum("cnt_cur").as("nc"))
@@ -61,6 +74,22 @@ object Drift {
     val q = (col("cnt_cur") + lit(1L)).cast("double") /
       (col("nc") + lit(buckets.toLong)).cast("double")
     joined.select(gcols ++ Seq(col("bucket"), col("cnt_ref"), col("cnt_cur"),
-      round((p - q) * log(p / q) * lit(1e6), 0).cast("long").as("term_micro")): _*)
+      round(term(p, q) * lit(1e6), 0).cast("long").as("term_micro")): _*)
+  }
+
+  private def spineCounts(df: DataFrame, value: Column, isRef: Column,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    HistQuantile.checkRange(lo, hi, buckets)
+    val counts = df.filter(value.isNotNull)
+      .select(HistQuantile.bucketOf(value, lo, hi, buckets).as("bucket"),
+        isRef.cast("boolean").as("r"))
+      .groupBy("bucket")
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("r"), 0L).otherwise(1L)).as("cnt_cur"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
   }
 }

@@ -1418,6 +1418,40 @@ object PipelineQueries {
             col("source") === "src0", lo = 0L, hi = 1024L, buckets = 16)
           .orderBy("bucket")),
 
+    // A second drift metric over the SAME bucket machinery: Jensen-
+    // Shannon divergence — symmetric in the slices and bounded [0, ln 2],
+    // so one action threshold transfers across corpora where PSI's
+    // unbounded tail does not. Same Laplace-smoothed probabilities, same
+    // one-ln-per-bucket micro-quantization; term = (p·ln(p/m) +
+    // q·ln(q/m))/2 with m = (p+q)/2 (total under smoothing: p, q > 0
+    // always). DriftSpec pins symmetry, the ln 2 bound, and ~0 on an
+    // identical split.
+    Q("q_js_drift",
+      Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v, source = 'src0' AS r
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |bkt AS (SELECT (LEAST(1023, GREATEST(0, v)) * 16) // 1024 AS bucket, r FROM v),
+             |cnts AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+             |    CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cnt_cur
+             |  FROM bkt GROUP BY bucket),
+             |spine AS (SELECT unnest(range(16)) AS bucket),
+             |f AS (SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             |    coalesce(c.cnt_ref, 0) AS cnt_ref, coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM spine s LEFT JOIN cnts c ON c.bucket = s.bucket),
+             |tot AS (SELECT sum(cnt_ref) AS nr, sum(cnt_cur) AS nc FROM f),
+             |pq AS (SELECT bucket, cnt_ref, cnt_cur,
+             |    CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE) AS p,
+             |    CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE) AS q
+             |  FROM f, tot)
+             |SELECT bucket, cnt_ref, cnt_cur,
+             |  CAST(round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+             |    * 0.5 * 1e6, 0) AS BIGINT) AS term_micro
+             |FROM pq ORDER BY bucket""".stripMargin),
+      (s, d) =>
+        Drift.js(t(s, d, "documents"), col("n_chars"),
+            col("source") === "src0", lo = 0L, hi = 1024L, buckets = 16)
+          .orderBy("bucket")),
+
     // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
     // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
     // every codebook Lloyd iteration depends on — made cross-engine exact

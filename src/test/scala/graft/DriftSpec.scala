@@ -50,15 +50,50 @@ class DriftSpec extends SparkTestBase {
       "non-null rows must land in exactly one slice each")
   }
 
+  test("JS divergence: symmetric, bounded by ln 2, ~0 on identical split, shift detected") {
+    def runJs(df: org.apache.spark.sql.DataFrame,
+        ref: org.apache.spark.sql.Column): Seq[(Long, Long)] =
+      Drift.js(df, col("v"), ref, lo = 0L, hi = 1024L, buckets = 16)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val same = (1L to 800L).map(i => (i, (i / 2) % 1024)).toDF("id", "v")
+    val jsSame = runJs(same, col("id") % 2 === 0).map(_._2).sum / 1e6
+    assert(jsSame < 0.01, s"same-distribution JSD should be ~0, got $jsSame")
+    val shifted = ((1L to 400L).map(i => (i, i % 200)) ++
+      (401L to 800L).map(i => (i, 700 + i % 200))).toDF("id", "v")
+    val fwd = runJs(shifted, col("id") <= 400L)
+    val rev = runJs(shifted, col("id") > 400L)
+    // symmetry holds PER BUCKET: term(p, q) == term(q, p)
+    assert(fwd == rev, "JSD must be symmetric in the two slices")
+    val jsShift = fwd.map(_._2).sum / 1e6
+    assert(jsShift <= math.log(2.0) + 1e-6,
+      s"JSD exceeded its ln 2 bound: $jsShift")
+    assert(jsShift > 0.3 && jsShift > jsSame * 10,
+      s"planted shift under-detected: $jsShift vs $jsSame")
+    // every term non-negative (each KL summand is p·ln(p/m) with m a
+    // mixture — Gibbs' inequality per bucket pair)
+    fwd.foreach { case (b, tm) => assert(tm >= 0L, s"bucket $b term $tm < 0") }
+  }
+
   test("frozen PSI reference artifact == a live recompute of the src0 sketch") {
     // the streaming drift panel reads its reference from the stored
-    // artifact; freezing must not change a single bucket count
-    SparkEntry.queries("q_stream_drift")(spark, sf).collect(): Unit
-    val caches = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+    // artifact; freezing must not change a single bucket count. Clear
+    // ALL psiref caches first so the one inspected is unambiguously this
+    // sf's (other sfDirs' caches share the prefix) — also exercises the
+    // cold rebuild.
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def refCaches() = tmp.listFiles()
       .filter(_.getName.startsWith("graft_psiref_cache_"))
-    assert(caches.nonEmpty, "no frozen PSI reference found")
-    val stored = spark.read
-      .parquet(caches.maxBy(_.lastModified()).getAbsolutePath)
+    refCaches().foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    SparkEntry.queries("q_stream_drift")(spark, sf).collect(): Unit
+    val caches = refCaches()
+    assert(caches.length == 1,
+      s"expected exactly the cold-rebuilt reference, found ${caches.length}")
+    val stored = spark.read.parquet(caches.head.getAbsolutePath)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val live = graft.operators.HistQuantile.sketchBy(
         Tables.t(spark, sf, "documents").filter(col("source") === "src0"),
