@@ -115,4 +115,24 @@ class BpeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("encode from the stored merge table == the inlined-literal encode, and the model is reused") {
+    val inlined = SparkEntry.queries("q_bpe_encode")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromTable = SparkEntry.queries("q_bpe_encode_from_table")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromTable == inlined, "stored-model encode drifted from the inlined chain")
+    val caches = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_bpemerges_cache_"))
+    assert(caches.nonEmpty, "no stored merge table found")
+    val markers = caches.map(c => new java.io.File(c, "_SUCCESS")).filter(_.exists())
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_bpe_encode_from_table")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == inlined)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"merge table ${m.getParent} was rewritten on a cache hit")
+    }
+  }
 }
