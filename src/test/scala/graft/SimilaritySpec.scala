@@ -234,13 +234,22 @@ class SimilaritySpec extends SparkTestBase {
 
   test("IVF append: appended generations == rebuild under the frozen quantizer; append never rewrites the base") {
     val emb = Tables.t(spark, sf, "embeddings")
+    // clear ALL ivfincr caches first so the one inspected is unambiguously
+    // this sf's (other sfDirs' caches share the prefix and may be newer)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def incrCaches() = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfincr_cache_"))
+    incrCaches().foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
     val got = SparkEntry.queries("q_ann_index_incr")(spark, sf)
       .collect().map(_.toString).toSeq
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    val caches = tmp.listFiles()
-      .filter(_.getName.startsWith("graft_ivfincr_cache_"))
-    assert(caches.nonEmpty, "no staged IVF index found")
-    val idx = caches.maxBy(_.lastModified()).getAbsolutePath
+    val caches = incrCaches()
+    assert(caches.length == 1,
+      s"expected exactly the cold-rebuilt index, found ${caches.length}")
+    val idx = caches.head.getAbsolutePath
     // frozen-quantizer law: the union of postings generations equals a
     // full re-assignment of the WHOLE corpus under the stored centroids
     val cents = Similarity.centroidRows(
