@@ -112,11 +112,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Each bracket reading is the MIN of three consecutive probe runs:
+    // a single reading swings ±35% on this sandbox (r16 measurements —
+    // enough to fail the bracket-agreement rule on a quiet machine),
+    // while the minimum of three tracks the machine's actual current
+    // speed (the same minimum-estimator rationale as the per-query
+    // minima). Costs ~1 s (short) / ~3 s (mc) per bracket.
+    def minOf3(probe: () => Double): Double = Seq.fill(3)(probe()).min
+
     runOnce("q_scan") // warmup
     calibrate()       // warmup the probe's codegen path too
-    val calibPre = calibrate()
+    val calibPre = minOf3(() => calibrate())
     calibrateMc()     // distinct literal => distinct generated class; warm it
-    val calibMcPre = calibrateMc()
+    val calibMcPre = minOf3(() => calibrateMc())
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // Dev-only focus filter (comma-separated names) for adjudicating a
@@ -154,8 +162,8 @@ object Bench {
     // Second probe reading after the suite: bracketing the run catches
     // contention that started mid-run. min(pre, post) is the calibration
     // figure (same minimum-estimator rationale as the per-query minima).
-    val calibPost = calibrate()
-    val calibMcPost = calibrateMc()
+    val calibPost = minOf3(() => calibrate())
+    val calibMcPost = minOf3(() => calibrateMc())
     // Streaming-engine startup probe (fixed work, no testdata): what a
     // scoreboard drain pays BEFORE touching data on this machine right
     // now. Run twice post-suite (streaming classes already warmed by the
