@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Incremental cluster-maintenance cost-shape probe (the soak leg of the
+  * r16 verdict's task 1): on one corpus, times
+  *
+  *   full = minHashPairsHashed(all) -> resolveClusters
+  *          (the nightly full rebuild the incremental path replaces)
+  *   incr = LSH(new x base) ∪ LSH(new x new) -> Dedup.updateClusters
+  *          against the STORED base cluster table
+  *
+  * for increments of varying size (increment = doc_id % den == den-1),
+  * asserting row-identity between the two on every run. The base cluster
+  * table is built OUTSIDE the timed region — it is the stored artifact a
+  * production pipeline amortizes over every nightly append (reported
+  * separately as base=). The claim under test: incr cost tracks the
+  * INCREMENT (candidate generation + CC over touched components), not
+  * the corpus; the one corpus-proportional term left in the timed region
+  * is the base-side signature scan of incremental LSH, which a
+  * production deployment also stores (signatures beside the cluster
+  * table) — so the measured incr time is an UPPER bound on the
+  * production shape.
+  *
+  * Usage: runMain graft.IncrSoak <dir> <den...>
+  *   e.g. IncrSoak /tmp/graft_sf1 16 8 4   (increments of 1/16, 1/8, 1/4)
+  */
+object IncrSoak {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IncrSoak <dir> <den...>")
+    val dir = args(0)
+    val dens = args.drop(1).map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val docs = Tables.t(spark, dir, "documents")
+    val sh = Dedup.shinglesHashed(col("text"), 5)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def clusterAll() = {
+      val pairs = Dedup.minHashPairsHashed(docs, "doc_id", sh,
+        threshold = 0.7, k = 126, bands = 21)
+      val r = Dedup.resolveClusters(pairs, "id_a", "id_b")
+      r.write.format("noop").mode("overwrite").save()
+      r
+    }
+    // warmup (codegen + JVM) on the smallest increment's shapes
+    clusterAll()
+    val (full, tFull) = time(clusterAll())
+    val nDocs = docs.count()
+    println(f"[incrsoak] corpus=$nDocs%d docs  full rebuild=${tFull}%7.2f s")
+
+    dens.foreach { den =>
+      val base = docs.filter(col("doc_id") % den =!= (den - 1))
+      val incr = docs.filter(col("doc_id") % den === (den - 1))
+      val nIncr = incr.count()
+      val baseDir = java.nio.file.Files
+        .createTempDirectory(s"incrsoak-base-$den").toString
+      val (_, tBase) = time {
+        val basePairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
+          threshold = 0.7, k = 126, bands = 21)
+        Dedup.resolveClusters(basePairs, "id_a", "id_b")
+          .write.mode("overwrite").parquet(baseDir)
+      }
+      val (merged, tIncr) = time {
+        val existing = spark.read.parquet(baseDir)
+        val newPairs = Dedup.minHashIncrementalHashed(incr, base, "doc_id",
+            sh, threshold = 0.7, k = 126, bands = 21)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+              threshold = 0.7, k = 126, bands = 21)
+            .select(col("id_a"), col("id_b")))
+        val m = Dedup.updateClusters(existing, newPairs)
+        m.write.format("noop").mode("overwrite").save()
+        m
+      }
+      val diff = merged.except(full).count() + full.except(merged).count()
+      require(diff == 0, s"den=$den: incremental != full recompute ($diff rows)")
+      println(f"[incrsoak] den=$den%-3d incr_docs=$nIncr%-7d base=${tBase}%7.2f s  " +
+        f"incr=${tIncr}%7.2f s  full=${tFull}%7.2f s  (row-identical)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

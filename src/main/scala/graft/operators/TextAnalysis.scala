@@ -673,6 +673,54 @@ object TextAnalysis {
       .collect()(0).getDouble(0)
   }
 
+  /** Confusion-matrix evaluation of a trained hashed-BoW classifier over
+    * a labeled frame — the metric pass that closes the train → apply →
+    * EVALUATE loop (a quality gate nobody measured is a quality gate
+    * nobody can trust). Prediction = margin w·x > 0, i.e. sigmoid > 0.5;
+    * `weightsMicro` is either a plain `buckets`-entry table
+    * ([[logisticTrainN]]) or `buckets + 1` with the intercept last
+    * ([[logisticTrainReg]]).
+    *
+    * Scale shape: ONE corpus scan — the margin is the same no-shuffle
+    * integer HOF fold as [[linearMargins]], the confusion matrix is a
+    * single 4-counter aggregate (map-side combinable, one row out), and
+    * precision/recall/F1/accuracy are exact integer-micro divisions over
+    * those counters, so no float ever crosses a row boundary and the
+    * result is bit-equal at any parallelism. F1 uses the single-division
+    * form 2·tp / (2·tp + fp + fn) — no compounding of rounded P and R.
+    */
+  def classifierEval(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+    val withBias = weightsMicro.size == buckets + 1
+    require(withBias || weightsMicro.size == buckets,
+      s"need $buckets or ${buckets + 1} weights, got ${weightsMicro.size}")
+    val wArr = typedLit(weightsMicro)
+    val bucketOf: Column => Column = t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    val bias = if (withBias) element_at(wArr, buckets + 1) else lit(0L)
+    val cells = df.withColumn("__t", coalesce(
+        filter(tokens(col(textCol)), t => t =!= ""),
+        typedLit(Seq.empty[String])))
+      .withColumn("__m", aggregate(
+        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x) + bias)
+      .select((label === 1L).as("__y"), (col("__m") > 0L).as("__p"))
+      .agg(
+        // coalesce: an empty frame evaluates to an all-zero matrix, not a
+        // NULL row (sum over zero rows is NULL)
+        coalesce(sum(when(col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("tn"))
+    // `div` (integral division) — Spark's `/` on longs returns double;
+    // all counters are non-negative so floor == truncation on both engines
+    cells.selectExpr("tp", "fp", "fn", "tn",
+      "CASE WHEN tp + fp = 0 THEN 0L ELSE 1000000L * tp div (tp + fp) END AS precision_micro",
+      "CASE WHEN tp + fn = 0 THEN 0L ELSE 1000000L * tp div (tp + fn) END AS recall_micro",
+      "CASE WHEN 2L * tp + fp + fn = 0 THEN 0L ELSE 2000000L * tp div (2L * tp + fp + fn) END AS f1_micro",
+      "CASE WHEN tp + fp + fn + tn = 0 THEN 0L ELSE 1000000L * (tp + tn) div (tp + fp + fn + tn) END AS accuracy_micro")
+  }
+
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 256): DataFrame = {
     val weightOf: Column => Column = b =>

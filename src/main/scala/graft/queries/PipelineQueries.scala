@@ -272,6 +272,31 @@ object PipelineQueries {
       }))
   }
 
+  /** COMPACT the two-generation incremental IVF index into one postings
+    * layout — the third verb of the segment lifecycle (build → append →
+    * compact): every nightly append adds a generation, and per-query
+    * listing/open cost grows with the segment count, so production
+    * stores periodically rewrite the accumulated generations. Depends on
+    * [[materializedIvfIncrIndexDir]] (built first if cold); compaction
+    * itself is pure I/O — ONE scan of both generations (all cells), the
+    * gen dimension dropped, ONE partitionBy(cell) rewrite, centroids
+    * copied verbatim. No re-assignment and no re-training: the frozen
+    * quantizer guarantees compacted == the generations' union
+    * (spec-pinned in SimilaritySpec), which is why the oracle is
+    * unchanged.
+    */
+  private def materializedIvfCompactIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "embeddings", "ivfcompact",
+        Seq("centroids/_SUCCESS", "postings/_SUCCESS")) { dir =>
+      val incr = materializedIvfIncrIndexDir(s, d)
+      s.read.parquet(incr + "/centroids").coalesce(1)
+        .write.mode("overwrite").parquet(dir + "/centroids")
+      s.read.parquet(incr + "/postings")
+        .select(col("c_id"), col("c_vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+    }
+
   /** Materialize the COMPRESSED (IVF-PQ) index once per corpus version —
     * the layout production vector stores actually serve: `centroids/` =
     * the 3-iteration-Lloyd coarse quantizer, `books/` = the residual PQ
@@ -1315,6 +1340,28 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // The index COMPACTED — the third lifecycle verb after build (gen=0)
+    // and append (gen=1): the accumulated generations rewritten into one
+    // postings layout (pure I/O, no re-assignment — see
+    // materializedIvfCompactIndexDir). The frozen quantizer means
+    // compacted == appended == rebuilt, so the oracle is the same
+    // base-trained IVF chain as q_ann_index_incr; what changes is the
+    // served layout: one parquet segment per cell again, cell pruning
+    // intact, per-query open cost back to the single-generation floor.
+    Q("q_ann_index_compact", Some(ivfOracleSqlFor(" WHERE vec_id % 4 <> 3")),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfCompactIndexDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
 
     // The ORACLED core of the IVF path: coarse-cell ASSIGNMENT (the
     // routing step every inverted-file query and every Lloyd iteration
@@ -2109,6 +2156,70 @@ object PipelineQueries {
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
         TextAnalysis.linearMargins(docs, "doc_id", "text", trained)
           .orderBy("doc_id")
+      }),
+
+    // EVALUATION of the trained classifier — the verb that closes the
+    // train → apply → EVALUATE loop (q_linear_train_apply scores; this
+    // measures): confusion matrix + precision/recall/F1/accuracy of the
+    // same two-step-trained weights against the weak labels, prediction
+    // = margin > 0. One corpus scan (margins ride the scan, the matrix
+    // is a single 4-counter aggregate); the rates are exact integer-
+    // micro divisions over the counters — F1 in the single-division
+    // 2tp/(2tp+fp+fn) form so no rounded rate compounds. The oracle
+    // unrolls the identical two GD steps (the q_linear_train_apply
+    // chain), then folds the same confusion cells; all counters are
+    // non-negative so DuckDB's flooring // equals Spark's truncating div.
+    Q("q_classifier_eval", {
+      def step(i: Int): String = {
+        val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
+        s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+           |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum($wp.w) AS mm
+           |    FROM occ JOIN $wp ON $wp.b = occ.b GROUP BY occ.doc_id) s
+           |  ON s.doc_id = tk.doc_id),
+           |$r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
+           |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM $m),
+           |$g AS (SELECT occ.b, CAST(sum($r.rm) AS BIGINT) AS gg
+           |  FROM occ JOIN $r ON $r.doc_id = occ.doc_id GROUP BY occ.b),
+           |$w AS (SELECT $wp.b, $wp.w - (CASE WHEN coalesce($g.gg, 0) >= 0
+           |    THEN (1000000 * coalesce($g.gg, 0)) // (1000000 * cnt.n)
+           |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
+           |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
+      }
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+              |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+              |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+              |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
+              |  FROM (SELECT unnest(range(256)) AS b)),
+              |${step(1)},
+              |${step(2)},
+              |sc AS (SELECT tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+              |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
+              |      FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
+              |    ON s.doc_id = tk.doc_id),
+              |c AS (SELECT
+              |  CAST(coalesce(sum(CASE WHEN y = 1 AND mm > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+              |  CAST(coalesce(sum(CASE WHEN y = 0 AND mm > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+              |  CAST(coalesce(sum(CASE WHEN y = 1 AND mm <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+              |  CAST(coalesce(sum(CASE WHEN y = 0 AND mm <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+              |  FROM sc)
+              |SELECT tp, fp, fn, tn,
+              |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micro,
+              |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micro,
+              |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_micro,
+              |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
+              |FROM c""".stripMargin)
+    },
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val y = when(col("source") === "src0", 1L).otherwise(0L)
+        val trained = TextAnalysis.logisticTrainN(docs, "text", y,
+          LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
+        TextAnalysis.classifierEval(docs, "text", y, trained)
       }),
 
     // Benchmark decontamination: drop corpus docs sharing any word 13-gram

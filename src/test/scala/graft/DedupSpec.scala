@@ -415,6 +415,34 @@ class DedupSpec extends SparkTestBase {
     })
   }
 
+  test("updateClusters COMPOSES: two successive appends == one full recompute") {
+    // the table a nightly job maintains is updated every night — the
+    // operator must be closed under iteration, not just correct for one
+    // append over a freshly-built base
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def draw(k: Int, lo: Int, hi: Int) = Seq.fill(k)(
+      (lo + rnd.nextInt(hi - lo), lo + rnd.nextInt(hi - lo)))
+      .collect { case (a, b) if a != b => (a.toLong, b.toLong) }
+    val basePairs = draw(120, 0, 150).toDF("id_a", "id_b")
+    val night1 = (draw(25, 0, 200) ++ draw(25, 150, 200)).toDF("id_a", "id_b")
+    val night2 = (draw(25, 0, 260) ++ draw(25, 200, 260)).toDF("id_a", "id_b")
+    val t0 = graft.operators.Dedup
+      .resolveClusters(basePairs, "id_a", "id_b", maxIter = 40)
+    val t1 = graft.operators.Dedup.updateClusters(t0, night1)
+    val got = graft.operators.Dedup.updateClusters(t1, night2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Dedup
+      .resolveClusters(basePairs.unionAll(night1).unionAll(night2),
+        "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, {
+      val bad = (got.keySet ++ want.keySet)
+        .filter(k => got.get(k) != want.get(k)).take(5)
+      s"diverging after 2nd append: ${bad.map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; ")}"
+    })
+  }
+
   test("updateClusters with no new pairs returns the stored table unchanged") {
     import spark.implicits._
     val basePairs = Seq((2L, 1L), (10L, 11L)).toDF("id_a", "id_b")

@@ -190,7 +190,7 @@ class LintSpec extends SparkTestBase {
     "q_mix_temperature", "q_sample_pps", "q_curriculum", "q_freq_items",
     "q_heavy_hitters", "q_dedup_semantic", "q_decontaminate_semantic",
     "q_recursive_cte", "q_hll_merge", "q_embed_standardize",
-    "q_linear_train_apply",
+    "q_linear_train_apply", "q_classifier_eval",
     // write-path round-trips (produce files on build)
     "q_write_partitioned", "q_write_bucketed", "q_write_zordered",
     "q_multiformat", "q_schema_evolution", "q_compact", "q_dpp",
@@ -199,6 +199,7 @@ class LintSpec extends SparkTestBase {
     "q_dedup_clusters_incr", // materializes the base cluster table on cache miss
     "q_ann_index_incr", // materializes the staged IVF index on cache miss
     "q_ann_from_index_pq", // materializes the IVF-PQ index on cache miss
+    "q_ann_index_compact", // compacts the staged IVF index on cache miss
     "q_incr_agg", "q_upsert", "q_zorder", "q_table_checksum",
     "q_arrow_roundtrip", "q_create_external", "q_dsv2_scan")
 

@@ -281,4 +281,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(new java.io.File(idx, "postings/gen=1/_SUCCESS").exists(),
       "append stage did not re-run")
   }
+
+  test("IVF compact: single-generation rewrite == the two-generation index, gen dimension gone") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // clear stale compact AND incr caches (other sf dirs share the
+    // prefixes) so the ones inspected are unambiguously this run's
+    tmp.listFiles().filter(f =>
+        f.getName.startsWith("graft_ivfcompact_cache_") ||
+        f.getName.startsWith("graft_ivfincr_cache_"))
+      .foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    val incrRanks = SparkEntry.queries("q_ann_index_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val gotRanks = SparkEntry.queries("q_ann_index_compact")(spark, sf)
+      .collect().map(_.toString).toSeq
+    // frozen quantizer: compacting the generations cannot change ranks
+    assert(gotRanks == incrRanks,
+      "compacted index drifted from the two-generation index")
+    val caches = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfcompact_cache_"))
+    assert(caches.length == 1,
+      s"expected exactly the cold-built compact index, found ${caches.length}")
+    val idx = caches.head.getAbsolutePath
+    // layout contract: cell= dirs sit DIRECTLY under postings/ — the gen
+    // dimension is compacted away, cell pruning intact
+    val parts = Option(new java.io.File(idx, "postings").listFiles())
+      .toSeq.flatten.filter(_.isDirectory)
+    assert(parts.nonEmpty && parts.forall(_.getName.startsWith("cell=")),
+      s"compacted postings are not a flat cell= layout: ${parts.map(_.getName).toSeq}")
+    // row-set contract: compaction is pure I/O — same (c_id, cell) set as
+    // the generations' union
+    val stored = spark.read.parquet(idx + "/postings")
+      .select(col("c_id"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val incrCaches = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfincr_cache_"))
+    assert(incrCaches.length == 1)
+    val gens = spark.read.parquet(incrCaches.head.getAbsolutePath + "/postings")
+      .select(col("c_id"), col("cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == gens, "compacted postings lost or duplicated rows")
+    // cache hit: a second invocation serves the compacted layout as-is
+    val marker = new java.io.File(idx, "postings/_SUCCESS")
+    val before = marker.lastModified()
+    val again = SparkEntry.queries("q_ann_index_compact")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == incrRanks)
+    assert(marker.lastModified() == before,
+      "compact index was rewritten on a cache hit")
+  }
 }

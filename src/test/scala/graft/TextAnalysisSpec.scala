@@ -630,4 +630,75 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want, "train->apply query drifted from the hand recomputation")
   }
+
+  test("q_classifier_eval == a hand-computed confusion matrix under the trained weights") {
+    // same two hand-derived GD steps as the train->apply recomputation,
+    // then hand confusion cells (pred = margin > 0) and the exact
+    // integer-micro rate formulas
+    val docs = Tables.t(spark, sf, "documents")
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    val n = rows.length.toLong
+    def bucketOf(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    def toks(s: Option[String]): Array[String] =
+      s.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).getOrElse(Array.empty)
+    def stepOnce(w: Vector[Long]): Vector[Long] = {
+      val grads = scala.collection.mutable.Map[Int, Long]()
+      rows.foreach { case (_, text, src) =>
+        val ts = toks(text)
+        val yv = if (src == "src0") 1.0 else 0.0
+        val margin = ts.map(t => w(bucketOf(t))).sum
+        val rm = BigDecimal((1.0 / (1.0 + math.exp(-margin / 1e6)) - yv) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        ts.foreach(t => grads(bucketOf(t)) = grads.getOrElse(bucketOf(t), 0L) + rm)
+      }
+      w.zipWithIndex.map { case (wj, j) =>
+        wj - 1000000L * grads.getOrElse(j, 0L) / (1000000L * n)
+      }
+    }
+    val w0 = (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L).toVector
+    val w2 = stepOnce(stepOnce(w0))
+    var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+    rows.foreach { case (_, text, src) =>
+      val pos = toks(text).map(t => w2(bucketOf(t))).sum > 0L
+      val y = src == "src0"
+      if (y && pos) tp += 1 else if (!y && pos) fp += 1
+      else if (y && !pos) fn += 1 else tn += 1
+    }
+    val want = (tp, fp, fn, tn,
+      if (tp + fp == 0) 0L else 1000000L * tp / (tp + fp),
+      if (tp + fn == 0) 0L else 1000000L * tp / (tp + fn),
+      if (2 * tp + fp + fn == 0) 0L else 2000000L * tp / (2 * tp + fp + fn),
+      1000000L * (tp + tn) / n)
+    val got = SparkEntry.queries("q_classifier_eval")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(want), "classifier eval drifted from the hand confusion matrix")
+    // the matrix partitions the corpus, and the trained gate actually
+    // separates at better-than-chance accuracy on this fixture
+    assert(tp + fp + fn + tn == n)
+    assert(want._8 > 500000L, s"trained gate is no better than chance: ${want._8}")
+  }
+
+  test("classifierEval accepts the bias-table layout (buckets + 1, intercept last)") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb", "src0"), (2L, "cc dd", "src1"),
+      (3L, null.asInstanceOf[String], "src1")).toDF("doc_id", "text", "source")
+    // all-zero feature weights + positive bias => every doc (incl. the
+    // NULL-text one, which scores bias alone) predicts positive
+    val w = Vector.fill(256)(0L) :+ 1000L
+    val got = graft.operators.TextAnalysis.classifierEval(df, "text",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("source") === "src0", 1L).otherwise(0L), w)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) == ((1L, 2L, 0L, 0L)))
+    assert(got.getLong(4) == 333333L, "precision 1/3 in micros")
+    assert(got.getLong(5) == 1000000L, "recall 1")
+    assert(got.getLong(6) == 500000L, "F1 = 2/(2+2) = 0.5")
+    assert(got.getLong(7) == 333333L)
+  }
 }
