@@ -11,6 +11,17 @@ then untrustworthy). calib_mc_sec, when present on both sides, is
 reported so parallel-CPU movers can be read against the multi-core
 probe (BASELINE.md "Multi-core sustained probe").
 
+MEDIAN-RATIO normalization (r17): when the hardware changes between
+rounds (r16 -> r17 the sandbox got 2-3x faster and the 400M short
+probe became overhead-dominated, see "calib floor" in BASELINE.md),
+the probe factor stops being a trustworthy normalizer. The robust
+alternative reported alongside: the MEDIAN of per-query raw ratios
+new/old over the common set (queries >= 0.15 s on both sides) is the
+empirical machine factor — by construction at least half the board
+moved with it, so drift is then judged as deviation from that median.
+Movers are reported under BOTH normalizations; a mover under one but
+not the other is machine-regime sensitivity, not a code regression.
+
 Usage: benchdiff.py OLD.json NEW.json [threshold_pct]
 """
 import json
@@ -36,19 +47,7 @@ def load(path):
     return d
 
 
-def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.20
-    fo, fn = min(old["calib_sec"]) / REF, min(new["calib_sec"]) / REF
-    qo = {k: v / fo for k, v in old["queries"].items() if v >= 0}
-    qn = {k: v / fn for k, v in new["queries"].items() if v >= 0}
-    common = sorted(set(qo) & set(qn))
-    added = sorted(set(qn) - set(qo))
-    removed = sorted(set(qo) - set(qn))
-    print(f"old: {len(qo)} keys, factor {fo:.2f} (calib {old['calib_sec']}, mc {old.get('calib_mc_sec')})")
-    print(f"new: {len(qn)} keys, factor {fn:.2f} (calib {new['calib_sec']}, mc {new.get('calib_mc_sec')})")
-    so, sn = sum(qo[k] for k in common), sum(qn[k] for k in common)
-    print(f"common set ({len(common)}): {so:.1f} -> {sn:.1f} s normalized ({(sn - so) / so:+.1%})")
+def movers_table(title, qo, qn, common, thr):
     movers = []
     for k in common:
         a, b = qo[k], qn[k]
@@ -59,14 +58,54 @@ def main():
             movers.append((rel, k, a, b))
     movers.sort(reverse=True)
     if movers:
-        print(f"\nmovers >{thr:.0%} (normalized s, old -> new):")
+        print(f"\n{title} movers >{thr:.0%} (old -> new):")
         for rel, k, a, b in movers:
             print(f"  {k:<28} {a:7.3f} -> {b:7.3f}  ({rel:+.0%})")
     else:
-        print(f"\nno movers past {thr:.0%}")
+        print(f"\n{title}: no movers past {thr:.0%}")
+    return {k for _, k, _, _ in movers}
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.20
+    fo, fn = min(old["calib_sec"]) / REF, min(new["calib_sec"]) / REF
+    ro = {k: v for k, v in old["queries"].items() if v >= 0}
+    rn = {k: v for k, v in new["queries"].items() if v >= 0}
+    common = sorted(set(ro) & set(rn))
+    added = sorted(set(rn) - set(ro))
+    removed = sorted(set(ro) - set(rn))
+    print(f"old: {len(ro)} keys, factor {fo:.2f} (calib {old['calib_sec']}, mc {old.get('calib_mc_sec')})")
+    print(f"new: {len(rn)} keys, factor {fn:.2f} (calib {new['calib_sec']}, mc {new.get('calib_mc_sec')})")
+
+    # probe-factor normalization (the original rule)
+    qo = {k: v / fo for k, v in ro.items()}
+    qn = {k: v / fn for k, v in rn.items()}
+    so, sn = sum(qo[k] for k in common), sum(qn[k] for k in common)
+    print(f"common set ({len(common)}): {so:.1f} -> {sn:.1f} s probe-normalized ({(sn - so) / so:+.1%})")
+
+    # median-ratio normalization (r17 rule for hardware changes)
+    ratios = sorted(rn[k] / ro[k] for k in common
+                    if ro[k] >= 0.15 and rn[k] >= 0.15)
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        print(f"median per-query raw ratio new/old: {med:.3f} "
+              f"(over {len(ratios)} queries >=0.15s; probe factors imply {fn / fo:.3f})")
+        mo = {k: v for k, v in ro.items()}
+        mn = {k: v / med for k, v in rn.items()}
+        a = movers_table("probe-normalized", qo, qn, common, thr)
+        b = movers_table("median-normalized", mo, mn, common, thr)
+        both = sorted(a & b)
+        if both:
+            print(f"\nmovers under BOTH normalizations ({len(both)}): {', '.join(both)}")
+        else:
+            print("\nno query moves under both normalizations")
+    else:
+        movers_table("probe-normalized", qo, qn, common, thr)
+
     if added:
         print(f"\nadded ({len(added)}): " + ", ".join(
-            f"{k}={qn[k]:.2f}s" for k in added))
+            f"{k}={rn[k]:.2f}s raw" for k in added))
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
 
