@@ -12,16 +12,17 @@ import org.apache.spark.sql.functions.col
   *          against the STORED base cluster table
   *
   * for increments of varying size (increment = doc_id % den == den-1),
-  * asserting row-identity between the two on every run. The base cluster
-  * table is built OUTSIDE the timed region — it is the stored artifact a
-  * production pipeline amortizes over every nightly append (reported
-  * separately as base=). The claim under test: incr cost tracks the
-  * INCREMENT (candidate generation + CC over touched components), not
-  * the corpus; the one corpus-proportional term left in the timed region
-  * is the base-side signature scan of incremental LSH, which a
-  * production deployment also stores (signatures beside the cluster
-  * table) — so the measured incr time is an UPPER bound on the
-  * production shape.
+  * asserting row-identity between the two on every run. The base
+  * artifact — cluster table AND banded-signature table
+  * ([[operators.Dedup.bandedSignatures]], the production signature
+  * store) — is built OUTSIDE the timed region: it is what a nightly
+  * pipeline amortizes over every append (reported separately as
+  * base=). The timed incr region is the true append shape
+  * ([[operators.Dedup.minHashIncrementalFromBands]]): increment
+  * signatures + band join against the STORE + exact verify reading
+  * only candidate old docs + new×new pairs + updateClusters — no
+  * corpus re-hash anywhere, so the cost tracks the increment and its
+  * candidates, never the corpus.
   *
   * Usage: runMain graft.IncrSoak <dir> <den...>
   *   e.g. IncrSoak /tmp/graft_sf1 16 8 4   (increments of 1/16, 1/8, 1/4)
@@ -74,24 +75,40 @@ object IncrSoak {
         val basePairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
           threshold = 0.7, k = 126, bands = 21)
         Dedup.resolveClusters(basePairs, "id_a", "id_b")
-          .write.mode("overwrite").parquet(baseDir)
+          .write.mode("overwrite").parquet(baseDir + "/clusters")
+        Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
+          .write.mode("overwrite").parquet(baseDir + "/bands")
       }
+      val existing = spark.read.parquet(baseDir + "/clusters")
+      val newPairs = Dedup.minHashIncrementalFromBands(incr, base,
+          "doc_id", sh, spark.read.parquet(baseDir + "/bands"),
+          threshold = 0.7, k = 126, bands = 21)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+            threshold = 0.7, k = 126, bands = 21)
+          .select(col("id_a"), col("id_b")))
+      // updateClusters is EAGER (the CC fixpoint loop runs actions at
+      // construction) — the timer must wrap construction AND the write
       val (merged, tIncr) = time {
-        val existing = spark.read.parquet(baseDir)
-        val newPairs = Dedup.minHashIncrementalHashed(incr, base, "doc_id",
-            sh, threshold = 0.7, k = 126, bands = 21)
-          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
-              threshold = 0.7, k = 126, bands = 21)
-            .select(col("id_a"), col("id_b")))
         val m = Dedup.updateClusters(existing, newPairs)
         m.write.format("noop").mode("overwrite").save()
         m
       }
       val diff = merged.except(full).count() + full.except(merged).count()
       require(diff == 0, s"den=$den: incremental != full recompute ($diff rows)")
+      // touch rate: the fraction of the stored table whose component has
+      // a new edge — the term incremental cost actually scales with (a
+      // replica whose near-dup cliques span copies touches ~half the
+      // table even for a small increment; see BASELINE.md)
+      val endpoints = newPairs.select(col("id_a").as("v"))
+        .union(newPairs.select(col("id_b").as("v"))).distinct()
+      val touchedReps = existing.join(endpoints, Seq("v"))
+        .select("cluster_rep").distinct()
+      val touched = existing.join(touchedReps, Seq("cluster_rep")).count()
+      val baseRows = existing.count()
       println(f"[incrsoak] den=$den%-3d incr_docs=$nIncr%-7d base=${tBase}%7.2f s  " +
-        f"incr=${tIncr}%7.2f s  full=${tFull}%7.2f s  (row-identical)")
+        f"incr=${tIncr}%7.2f s  full=${tFull}%7.2f s  " +
+        f"touched=$touched%d/$baseRows%d stored rows  (row-identical)")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -164,6 +164,70 @@ object Dedup {
     minHashIncrementalCore(newDf, corpus, idCol, hashedCol, hashedCol,
       threshold, k, bands, maxBucket)
 
+  /** The STORABLE banded-signature table of a corpus — (id, band, bh),
+    * the LSH bucket keys [[minHashPairsHashed]] joins on. `bands` longs
+    * per document (vs the document text), so a production pipeline
+    * materializes it beside the cluster table, and a nightly append
+    * never re-hashes the corpus: candidate generation is the
+    * increment's bands joined against this STORE
+    * ([[minHashIncrementalFromBands]]).
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, hashedCol: Column,
+      k: Int = 126, bands: Int = 21): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    df.select(col(idCol).as("id"), minhash_sig(hashedCol, k).as("sig"))
+      .select(col("id"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $r + 1, $r), b))"))
+        .as(Seq("band", "bh")))
+  }
+
+  /** [[minHashIncrementalHashed]] with the corpus side's banded
+    * signatures read from a STORE ([[bandedSignatures]] materialized at
+    * base-build time) — the true production append shape: the corpus is
+    * never re-hashed; its only appearance is a semi-join read of the
+    * CANDIDATE old docs for exact verification (ids first, shingles
+    * computed only for the rows that survive the semi-join). Cost is
+    * therefore ∝ the increment + its candidates, never the corpus —
+    * the IncrSoak table in BASELINE.md prices exactly this split.
+    * Returns the same (new_id, old_id, jac) rows as the recompute path
+    * (DedupSpec pins equality).
+    */
+  def minHashIncrementalFromBands(newDf: DataFrame, corpus: DataFrame,
+      idCol: String, hashedCol: Column, storedBands: DataFrame,
+      threshold: Double, k: Int = 126, bands: Int = 21,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
+    val oldAll = storedBands
+      .select(col("id").as("old_id"), col("band"), col("bh").as("new_bh"))
+    // same hot-bucket guard as the recompute path, applied to the store
+    val oldB =
+      if (maxBucket == Long.MaxValue) oldAll
+      else {
+        val hot = oldAll.groupBy("band", "new_bh")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxBucket)
+          .select("band", "new_bh")
+        oldAll.join(broadcast(hot), Seq("band", "new_bh"), "left_anti")
+      }
+    val cand = bandedSignatures(newDf, idCol, hashedCol, k, bands)
+      .select(col("id").as("new_id"), col("band"), col("bh").as("new_bh"))
+      .join(oldB, Seq("band", "new_bh"))
+      .select("new_id", "old_id").distinct()
+    // verification reads ONLY candidate old docs: semi-join by id before
+    // the shingle projection, so the corpus scan prunes to the candidate
+    // set instead of re-shingling every stored document
+    val candOlds = corpus.join(
+      cand.select(col("old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val newToks = newDf.select(col(idCol).as("new_id"), hashedCol.as("toks_a"))
+    val oldToks = candOlds.select(col(idCol).as("old_id"), hashedCol.as("toks_b"))
+    cand.join(newToks, "new_id").join(oldToks, "old_id")
+      .withColumn("jac", bounded_jaccard(col("toks_a"), col("toks_b"), threshold))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jac"))
+  }
+
   private def minHashIncrementalCore(newDf: DataFrame, corpus: DataFrame,
       idCol: String, sigInput: Column, verifToks: Column, threshold: Double,
       k: Int, bands: Int, maxBucket: Long): DataFrame = {
@@ -570,7 +634,15 @@ object Dedup {
     */
   def updateClusters(existing: DataFrame, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // The verified pair set feeds THREE consumers — the CC edge set, the
+    // touched-endpoint set, and (through touchedReps) the untouched
+    // anti-join — and upstream it is typically an LSH candidate-verify
+    // chain: left lazy, that chain re-runs once per consumer (measured
+    // 3× at the sf1 soak). One eager localCheckpoint materializes the
+    // small id-pair table; every consumer reads executor-local blocks
+    // (freed with the reference, no unpersist bookkeeping).
     val p = newPairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
     val endpoints = p.select(col("src").as("v"))
       .union(p.select(col("dst").as("v"))).distinct()
     // representatives of every stored cluster containing a new-edge

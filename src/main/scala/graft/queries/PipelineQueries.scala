@@ -68,20 +68,29 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
-  /** The BASE-corpus cluster table for the incremental-maintenance query
+  /** The BASE-corpus maintenance artifact for the incremental query
     * (`q_dedup_clusters_incr`): doc_id % 4 != 3 stands in for "the corpus
-    * as of the last nightly build", clustered once and stored — the
-    * increment (doc_id % 4 == 3) is then merged by
-    * [[Dedup.updateClusters]] touching only affected components.
+    * as of the last nightly build". TWO tables are stored — `clusters/`
+    * (the resolved label table [[Dedup.updateClusters]] merges into) and
+    * `bands/` (the corpus's banded MinHash signatures,
+    * [[Dedup.bandedSignatures]] — `bands` longs per doc), so the nightly
+    * append never re-hashes the corpus: candidate generation joins the
+    * increment's bands against the stored table, and verification reads
+    * only candidate old docs. Both subdirs `_SUCCESS`-gated — a crash
+    * between the writes rebuilds both.
     */
   private def materializedBaseClusterDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
-    ArtifactCache.dir(s, d, "documents", "clusterbase", Seq("_SUCCESS")) { dir =>
+    ArtifactCache.dir(s, d, "documents", "clusterbase",
+        Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
       val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
-      val pairs = Dedup.minHashPairsHashed(base, "doc_id",
-        Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
+      val sh = Dedup.shinglesHashed(col("text"), 5)
+      val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
+        threshold = 0.7, k = 126, bands = 21)
       Dedup.resolveClusters(pairs, "id_a", "id_b")
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(dir + "/clusters")
+      Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
+        .write.mode("overwrite").parquet(dir + "/bands")
     }
 
   /** The full-chain IVF oracle (16-vector seed → exact-micro Lloyd step →
@@ -776,9 +785,13 @@ object PipelineQueries {
         val sh = Dedup.shinglesHashed(col("text"), 5)
         val base = docs.filter(col("doc_id") % 4 =!= 3)
         val incr = docs.filter(col("doc_id") % 4 === 3)
-        val existing = s.read.parquet(materializedBaseClusterDir(s, d))
-        val newPairs = Dedup.minHashIncrementalHashed(incr, base, "doc_id",
-            sh, threshold = 0.7, k = 126, bands = 21)
+        val art = materializedBaseClusterDir(s, d)
+        val existing = s.read.parquet(art + "/clusters")
+        // candidates from the STORED band table — the corpus is never
+        // re-hashed in-query; verification reads candidate olds only
+        val newPairs = Dedup.minHashIncrementalFromBands(incr, base,
+            "doc_id", sh, s.read.parquet(art + "/bands"),
+            threshold = 0.7, k = 126, bands = 21)
           .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
           .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
               threshold = 0.7, k = 126, bands = 21)

@@ -181,6 +181,26 @@ class DedupSpec extends SparkTestBase {
     assert(unordered(got) == unordered(allPairs), s"got=$got want=$allPairs")
   }
 
+  test("stored-bands incremental LSH == the recompute path (and the hot-bucket guard holds)") {
+    // the production append shape: the corpus's banded signatures come
+    // from a STORE (bandedSignatures) instead of being re-hashed — the
+    // pair set must be identical to minHashIncrementalHashed's at every
+    // maxBucket setting
+    val sh = Dedup.shinglesHashed(col("text"), 5)
+    val base = docs.filter(col("doc_id") % 4 =!= 3)
+    val incr = docs.filter(col("doc_id") % 4 === 3)
+    val stored = Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
+    for (cap <- Seq(Long.MaxValue, 8L)) {
+      val want = Dedup.minHashIncrementalHashed(incr, base, "doc_id", sh,
+          threshold = 0.7, k = 126, bands = 21, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.minHashIncrementalFromBands(incr, base, "doc_id", sh,
+          stored, threshold = 0.7, k = 126, bands = 21, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"stored-bands path drifted at maxBucket=$cap")
+    }
+  }
+
   test("minhash signature estimates jaccard (statistical, fixed seed)") {
     import spark.implicits._
     // two token sets with known jaccard 1/3 (2 shared of 6 union)
