@@ -59,10 +59,25 @@ object IncrSoak {
       r.write.format("noop").mode("overwrite").save()
       r
     }
-    // warmup (codegen + JVM) on the smallest increment's shapes
+    // warmup (codegen + JVM): the full-rebuild shapes AND the
+    // incremental shapes — without the latter, the first den's incr
+    // reading pays all of the FromBands/updateClusters codegen
     clusterAll()
     val (full, tFull) = time(clusterAll())
     val nDocs = docs.count()
+    locally {
+      val den = dens.head
+      val base = docs.filter(col("doc_id") % den =!= (den - 1))
+      val incr = docs.filter(col("doc_id") % den === (den - 1))
+      val warmBands = Dedup.bandedSignatures(base, "doc_id", sh, 126, 21)
+      val warmPairs = Dedup.minHashIncrementalFromBands(incr, base, "doc_id",
+          sh, warmBands, threshold = 0.7, k = 126, bands = 21)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      Dedup.updateClusters(
+          Dedup.resolveClusters(warmPairs, "id_a", "id_b"), warmPairs)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
     println(f"[incrsoak] corpus=$nDocs%d docs  full rebuild=${tFull}%7.2f s")
 
     dens.foreach { den =>
