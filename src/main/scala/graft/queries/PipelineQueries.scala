@@ -105,9 +105,17 @@ object PipelineQueries {
     * quantizer a nightly append assigns under), while assignment, probe,
     * and ranks always run over the whole corpus.
     */
-  private def ivfOracleSqlFor(trainWhere: String): String = {
+  private def ivfOracleSqlFor(trainWhere: String): String =
+    s"""WITH ${ivfOracleCtesFor(trainWhere)}
+       |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  /** The chain above as a bare CTE block (ending in `r` = the ranked
+    * candidates), so evaluation oracles (q_ann_recall) can extend it
+    * with further CTEs instead of duplicating the 25-line chain.
+    */
+  private def ivfOracleCtesFor(trainWhere: String): String = {
     def cos(a: String, b: String) = OracleVec.cosSql(a, b)
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |eb AS (SELECT vec_id, v FROM e$trainWhere),
        |seed AS (SELECT vec_id AS cell, v AS sv FROM eb ORDER BY vec_id LIMIT 16),
        |asg AS (SELECT eb.vec_id, eb.v, seed.cell, ${cos("eb.v", "seed.sv")} AS sim FROM eb, seed),
@@ -132,8 +140,7 @@ object PipelineQueries {
        |cand AS (SELECT probe.q_id, probe.qv, corp.c_id, corp.cvv
        |  FROM probe JOIN corp USING (cell) WHERE corp.c_id <> probe.q_id),
        |r AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY ${cos("qv", "cvv")} DESC, c_id) AS BIGINT) AS rn FROM cand)
-       |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+       |    ORDER BY ${cos("qv", "cvv")} DESC, c_id) AS BIGINT) AS rn FROM cand)""".stripMargin
   }
 
   private val IvfOracleSql: Option[String] = Some(ivfOracleSqlFor(""))
@@ -1375,6 +1382,53 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // EVALUATION of the served ANN index — recall@10 of the stored
+    // IVF-Flat index's answers against exact brute-force cosine top-10,
+    // the health metric a production vector store monitors after every
+    // build/append/compact (approximate indexes silently lose recall
+    // when the quantizer drifts from the data; this query is the alarm).
+    // Per query vector: |IVF top-10 ∩ exact top-10| as an exact integer
+    // — both sides are deterministic oracled chains (q_ann_from_index,
+    // q_embed_knn), so their INTERSECTION hashes too; recall_micro is
+    // hits·1e6/10, an exact integer multiple. Scale shape: the exact
+    // side is the 5-query broadcast KNN (bounded partial-top-k heaps);
+    // the join is 50 rows against 50.
+    Q("q_ann_recall",
+      Some(s"""WITH ${ivfOracleCtesFor("")},
+              |ak AS (SELECT q_id, c_id FROM r WHERE rn <= 10),
+              |ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+              |               c.vec_id) AS xrn
+              |  FROM embeddings q JOIN embeddings c
+              |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+              |exk AS (SELECT q_id, c_id FROM ex WHERE xrn <= 10),
+              |h AS (SELECT exk.q_id,
+              |    CAST(coalesce(sum(CASE WHEN ak.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+              |  FROM exk LEFT JOIN ak ON ak.q_id = exk.q_id AND ak.c_id = exk.c_id
+              |  GROUP BY exk.q_id)
+              |SELECT q_id, n_hits, CAST(n_hits * 100000 AS BIGINT) AS recall_micro
+              |FROM h ORDER BY q_id""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val idx = materializedIvfIndexDir(s, d)
+        val approx = Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"), queries,
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)
+          .select("q_id", "c_id")
+          .join(approx, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+          .orderBy("q_id")
+      }),
 
     // The ORACLED core of the IVF path: coarse-cell ASSIGNMENT (the
     // routing step every inverted-file query and every Lloyd iteration

@@ -232,6 +232,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(parts.nonEmpty, "postings are not partitioned by cell")
   }
 
+  test("q_ann_recall == recall recomputed driver-side from the two oracled chains") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 5L).toSeq, "one row per query vector")
+    // recall_micro is the exact integer hits·1e6/10, never a float
+    rows.foreach { case (q, hits, micro) =>
+      assert(hits >= 0 && hits <= 10, s"query $q: hits out of [0, 10]")
+      assert(micro == hits * 100000L, s"query $q: recall_micro drifted")
+    }
+    // recompute |served-index top-10 ∩ exact top-10| from the chains
+    val exact = SparkEntry.queries("q_embed_knn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SparkEntry.queries("q_ann_from_index")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (q, hits, _) =>
+      val expect = exact.filter(_._1 == q).intersect(served.filter(_._1 == q)).size
+      assert(hits == expect, s"query $q: recall diverges from the chain intersection")
+    }
+  }
+
   test("IVF append: appended generations == rebuild under the frozen quantizer; append never rewrites the base") {
     val emb = Tables.t(spark, sf, "embeddings")
     // clear ALL ivfincr caches first so the one inspected is unambiguously
