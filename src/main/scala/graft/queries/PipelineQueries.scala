@@ -151,8 +151,14 @@ object PipelineQueries {
     * residual LUTs, ordered ADC fold (see q_embed_knn_ivfpq's comment).
     * Shared by q_embed_knn_ivfpq (chain in-query) and q_ann_from_index_pq
     * (stored compressed index) — identical ranks by construction.
+    *
+    * `trainWhere` restricts the TRAINING corpus — coarse seeds + Lloyd
+    * iterations (`eb`) and the residual-codebook chain (`residb`) — to
+    * the base slice the q_ann_index_incr_pq append freezes its model on;
+    * assignment, encoding, probes, and ranks always run over the whole
+    * corpus. Empty for the full-corpus chain (eb == e, residb == resid).
     */
-  private val IvfPqOracleSql: Option[String] = Some {
+  private def ivfPqOracleSqlFor(trainWhere: String): String = {
     import OracleVec.{cosSql => cos, euclidSql => eu, sqDiffSql => sq}
         def sl(v: String, s: String) =
           s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
@@ -160,7 +166,7 @@ object PipelineQueries {
           s"list_transform(list_zip($a, $b), zz -> zz[1] - zz[2])"
         def lloyd(j: Int): String = {
           val p = s"cent${j - 1}"
-          s"""asg$j AS (SELECT e.vec_id, e.v, c.cell, ${cos("e.v", "c.cv")} AS sim FROM e, $p c),
+          s"""asg$j AS (SELECT eb.vec_id, eb.v, c.cell, ${cos("eb.v", "c.cv")} AS sim FROM eb, $p c),
              |a$j AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
              |    ORDER BY sim DESC, cell DESC) AS rn FROM asg$j),
              |av$j AS (SELECT vec_id, v, cell FROM a$j WHERE rn = 1),
@@ -172,7 +178,8 @@ object PipelineQueries {
              |cent$j AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv FROM $p p LEFT JOIN cand$j c ON c.cell = p.cell)""".stripMargin
         }
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |cent0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+           |eb AS (SELECT vec_id, v FROM e$trainWhere),
+           |cent0 AS (SELECT vec_id AS cell, v AS cv FROM eb ORDER BY vec_id LIMIT 8),
            |${lloyd(1)},
            |${lloyd(2)},
            |${lloyd(3)},
@@ -182,18 +189,19 @@ object PipelineQueries {
            |cell_of AS (SELECT vec_id, v, cell FROM c1 WHERE rn = 1),
            |resid AS (SELECT co.vec_id, co.cell, ${sub("co.v", "c.cv")} AS rv
            |  FROM cell_of co JOIN cent3 c ON c.cell = co.cell),
+           |residb AS (SELECT vec_id, cell, rv FROM resid$trainWhere),
            |sdR AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, rv AS sv
-           |  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT 16)),
-           |asgR AS (SELECT resid.vec_id, r.range AS s, sdR.cell,
-           |    ${eu(sl("resid.rv", "r.range"), sl("sdR.sv", "r.range"))} AS dist
-           |  FROM resid, range(8) r, sdR),
+           |  FROM (SELECT vec_id, rv FROM residb ORDER BY vec_id LIMIT 16)),
+           |asgR AS (SELECT residb.vec_id, r.range AS s, sdR.cell,
+           |    ${eu(sl("residb.rv", "r.range"), sl("sdR.sv", "r.range"))} AS dist
+           |  FROM residb, range(8) r, sdR),
            |aR AS (SELECT vec_id, s, cell, row_number() OVER (PARTITION BY vec_id, s
            |    ORDER BY dist, cell) AS rn FROM asgR),
            |avR AS (SELECT vec_id, s, cell FROM aR WHERE rn = 1),
            |moR AS (SELECT avR.s, avR.cell, r2.range AS i,
-           |    CAST(sum(CAST(floor(resid.rv[CAST(avR.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
+           |    CAST(sum(CAST(floor(residb.rv[CAST(avR.s AS INT) * 8 + CAST(r2.range AS INT) + 1] * 1000000.0) AS BIGINT)) AS BIGINT) AS sm,
            |    count(*) AS n
-           |  FROM avR JOIN resid USING (vec_id), range(8) r2 GROUP BY avR.s, avR.cell, r2.range),
+           |  FROM avR JOIN residb USING (vec_id), range(8) r2 GROUP BY avR.s, avR.cell, r2.range),
            |bkR AS (SELECT s, cell, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY i) AS bc
            |  FROM moR GROUP BY s, cell),
            |gridR AS (SELECT sdR.cell, r.range AS s, sdR.sv FROM sdR, range(8) r),
@@ -222,6 +230,8 @@ object PipelineQueries {
            |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)
            |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   }
+
+  private val IvfPqOracleSql: Option[String] = Some(ivfPqOracleSqlFor(""))
 
   /** Materialize the trained IVF-Flat index over `embeddings` once per
     * corpus version via [[ArtifactCache]]: `centroids/` = the 16-seed +
@@ -346,6 +356,64 @@ object PipelineQueries {
       Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
         .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
     }
+
+  /** The COMPRESSED index under the APPEND lifecycle
+    * (`q_ann_index_incr_pq`) — q_ann_index_incr's production sibling:
+    * the coarse quantizer AND the residual codebooks are trained once on
+    * the base corpus (vec_id % 4 != 3) and frozen; appended vectors are
+    * assigned + PQ-encoded under the STORED model and land as their own
+    * codes GENERATION (`codes/gen=1`, hive-partitioned by cell like
+    * gen=0). [[ArtifactCache.staged]] markers let a pending append
+    * re-run without repeating model training or the base encode; each
+    * stage overwrites only its own subdirectory. Frozen model ⇒
+    * appended == rebuilt under the same (centroids, books), which is
+    * exactly what the oracle computes (training CTEs restricted to the
+    * base slice, encode/probe/ranks over the whole corpus).
+    */
+  private def materializedIvfPqIncrIndexDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    def baseOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("vec_id") % 4 =!= 3)
+    def storedCents(dir: String): Array[Array[Double]] =
+      s.read.parquet(dir + "/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+    ArtifactCache.staged(s, d, "embeddings", "ivfpqincr", Seq(
+      "centroids/_SUCCESS" -> { dir =>
+        val base = baseOf(t(s, d, "embeddings"))
+        val seed = Similarity.centroidRows(
+          base.orderBy("vec_id").limit(8), "vec_id", "embedding").sortBy(_._1)
+        val trained = Similarity.kmeansTrain(base, "vec_id", "embedding",
+          seed, maxIters = 3, tol = 0.0)
+        trained.map(_._2.map(_.toDouble)).zipWithIndex
+          .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+          .toDF("cell", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(dir + "/centroids")
+      },
+      "books/_SUCCESS" -> { dir =>
+        val base = baseOf(t(s, d, "embeddings"))
+        val books = Pq.trainResidualCodebooks(base, "vec_id", "embedding",
+          storedCents(dir), m = 8, ks = 16)
+        (for { sp <- books.indices; c <- books(sp).indices }
+          yield (sp, c, books(sp)(c).toSeq)).toDF("s", "cword", "bc")
+          .coalesce(1).write.mode("overwrite").parquet(dir + "/books")
+      },
+      "codes/gen=0/_SUCCESS" -> { dir =>
+        val (cents, books) = readIvfPqModel(s, dir)
+        Pq.ivfPqEncode(baseOf(t(s, d, "embeddings")), "vec_id", "embedding",
+            cents, books)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/codes/gen=0")
+      },
+      "codes/gen=1/_SUCCESS" -> { dir =>
+        val (cents, books) = readIvfPqModel(s, dir)
+        val incr = t(s, d, "embeddings").filter(col("vec_id") % 4 === 3)
+        Pq.ivfPqEncode(incr, "vec_id", "embedding", cents, books)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/codes/gen=1")
+      }))
+  }
 
   /** Reassemble (coarse centroids, PQ codebooks) from a stored IVF-PQ
     * index — two bounded collects (8 + 128 rows, the centroid-table
@@ -1762,6 +1830,29 @@ object PipelineQueries {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val idx = materializedIvfPqIndexDir(s, d)
+        val (cents, books) = readIvfPqModel(s, idx)
+        Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), col("rn"))
+          .orderBy("q_id", "rn")
+      }),
+
+    // The compressed index under the APPEND lifecycle — the verb that
+    // was still missing from the PQ family (q_ann_index_incr covers
+    // IVF-Flat): coarse centroids AND residual codebooks are trained on
+    // the BASE corpus and frozen; appended vectors are assigned +
+    // PQ-encoded under the stored model and land as codes/gen=1 (staged
+    // markers, so the append re-runs without retraining or re-encoding
+    // the base — see materializedIvfPqIncrIndexDir). One read of codes/
+    // serves both generations with cell pruning intact. Frozen model
+    // means appended == rebuilt, so the oracle is the shared IVF-PQ
+    // chain with TRAINING (Lloyd + codebooks) restricted to the base
+    // slice and encode/probe/ranks over the whole corpus.
+    Q("q_ann_index_incr_pq", Some(ivfPqOracleSqlFor(" WHERE vec_id % 4 <> 3")),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfPqIncrIndexDir(s, d)
         val (cents, books) = readIvfPqModel(s, idx)
         Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
             emb.filter(col("vec_id") < 5),

@@ -134,4 +134,57 @@ class PqSpec extends SparkTestBase {
       .filter(_.getName.startsWith("cell="))
     assert(parts.nonEmpty, "codes are not partitioned by cell")
   }
+
+  test("IVF-PQ append: appended codes == re-encoding the whole corpus under the frozen model; append never rewrites base or model") {
+    // clear ALL ivfpqincr caches first so the one inspected is
+    // unambiguously this sf's (other sfDirs' caches share the prefix)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def incrCaches() = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfpqincr_cache_"))
+    incrCaches().foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    val got = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val caches = incrCaches()
+    assert(caches.length == 1,
+      s"expected exactly the cold-rebuilt index, found ${caches.length}")
+    val idx = caches.head.getAbsolutePath
+    // frozen-model law: the union of code generations equals re-encoding
+    // the WHOLE corpus under the stored (centroids, books)
+    val cents = spark.read.parquet(idx + "/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = spark.read.parquet(idx + "/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val books = Array.tabulate(8, 16)((sp, c) => bookRows((sp, c)))
+    val rebuilt = Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
+      .select(col("vec_id"), col("cell").cast("int"), col("pq_code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val stored = spark.read.parquet(idx + "/codes")
+      .select(col("vec_id"), col("cell").cast("int"), col("pq_code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored == rebuilt,
+      "appended codes diverge from a full re-encode under the stored model")
+    // marker protocol: wiping ONLY the append generation re-runs ONLY
+    // the append stage — model tables and base codes are untouched
+    val baseMarkers = Seq("centroids/_SUCCESS", "books/_SUCCESS",
+        "codes/gen=0/_SUCCESS").map(m => new java.io.File(idx, m))
+    baseMarkers.foreach(m => assert(m.exists(), s"missing $m"))
+    val before = baseMarkers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val gen1 = new org.apache.hadoop.fs.Path(idx + "/codes/gen=1")
+    gen1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(gen1, true): Unit
+    val again = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == got, "re-appended index drifted")
+    baseMarkers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"${m.getParent} was rebuilt by a pending append (append mistaken for full build)")
+    }
+    assert(new java.io.File(idx, "codes/gen=1/_SUCCESS").exists(),
+      "append stage did not re-run")
+  }
 }
