@@ -79,6 +79,23 @@ object PipelineQueries {
     * only candidate old docs. Both subdirs `_SUCCESS`-gated — a crash
     * between the writes rebuilds both.
     */
+  /** The full-corpus near-dup cluster table as a recursive closure over
+    * the exact pair set — shared by q_dedup_clusters_incr (incremental
+    * merge == full recompute, the frozen-LSH law) and
+    * q_dedup_clusters_compact (the merged table rolled forward to
+    * storage reads back identically).
+    */
+  private lazy val FullClosureOracleSql: Option[String] =
+    Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+            |e AS (SELECT id_a AS a, id_b AS b FROM p
+            |      UNION SELECT id_b, id_a FROM p),
+            |reach AS (
+            |  SELECT a AS v, a AS r FROM e
+            |  UNION
+            |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v)
+            |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
+
   private def materializedBaseClusterDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "clusterbase",
@@ -90,6 +107,42 @@ object PipelineQueries {
       Dedup.resolveClusters(pairs, "id_a", "id_b")
         .write.mode("overwrite").parquet(dir + "/clusters")
       Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
+        .write.mode("overwrite").parquet(dir + "/bands")
+    }
+
+  /** The incremental merge ROLLED FORWARD to storage
+    * (`q_dedup_clusters_compact`) — the third verb of the cluster-table
+    * lifecycle, mirroring the IVF index's build → append → compact: a
+    * nightly cycle cannot leave its merge result in memory, it must
+    * become the artifact the NEXT append reads. Writes both tables the
+    * maintenance protocol needs: `clusters/` = [[Dedup.updateClusters]]
+    * over the stored base + the increment's LSH pairs (exactly
+    * q_dedup_clusters_incr's computation), and `bands/` = the base band
+    * store UNION the increment's banded signatures — the MinHash
+    * functions are frozen (seeded), so base ∪ increment bands ==
+    * re-banding the whole corpus (DedupSpec pins it), and tomorrow's
+    * append starts from this dir as its base.
+    */
+  private def materializedCompactClusterDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "clustercompact",
+        Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
+      val docs = t(s, d, "documents")
+      val sh = Dedup.shinglesHashed(col("text"), 5)
+      val base = docs.filter(col("doc_id") % 4 =!= 3)
+      val incr = docs.filter(col("doc_id") % 4 === 3)
+      val art = materializedBaseClusterDir(s, d)
+      val newPairs = Dedup.minHashIncrementalFromBands(incr, base,
+          "doc_id", sh, s.read.parquet(art + "/bands"),
+          threshold = 0.7, k = 126, bands = 21)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+            threshold = 0.7, k = 126, bands = 21)
+          .select(col("id_a"), col("id_b")))
+      Dedup.updateClusters(s.read.parquet(art + "/clusters"), newPairs)
+        .write.mode("overwrite").parquet(dir + "/clusters")
+      s.read.parquet(art + "/bands")
+        .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, k = 126, bands = 21))
         .write.mode("overwrite").parquet(dir + "/bands")
     }
 
@@ -845,16 +898,7 @@ object PipelineQueries {
     // the full recompute over corpus+increment, so the oracle IS
     // q_dedup_clusters' recursive closure over ALL documents
     // (LSH completeness at j >= 0.9 as established by q_dedup_minhash).
-    Q("q_dedup_clusters_incr",
-      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
-              |e AS (SELECT id_a AS a, id_b AS b FROM p
-              |      UNION SELECT id_b, id_a FROM p),
-              |reach AS (
-              |  SELECT a AS v, a AS r FROM e
-              |  UNION
-              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v)
-              |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
-              |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    Q("q_dedup_clusters_incr", FullClosureOracleSql,
       (s, d) => {
         val docs = t(s, d, "documents")
         val sh = Dedup.shinglesHashed(col("text"), 5)
@@ -872,6 +916,23 @@ object PipelineQueries {
               threshold = 0.7, k = 126, bands = 21)
             .select(col("id_a"), col("id_b")))
         Dedup.updateClusters(existing, newPairs)
+          .select(col("v").as("doc_id"), col("cluster_rep"))
+          .orderBy("doc_id")
+      }),
+
+    // The merge ROLLED FORWARD — the cluster-table lifecycle's third
+    // verb (build → append-merge → compact), the dedup twin of
+    // q_ann_index_compact: q_dedup_clusters_incr computes the merged
+    // table in-query; a production nightly must WRITE it (plus the
+    // corpus-complete band store) so tomorrow's append reads today's
+    // merge as its base. The query prices the roll-forward's serve
+    // side: one scan of the compacted cluster table, nothing else.
+    // Row-identical to the in-query merge and to a full recompute
+    // (frozen LSH), so the oracle is the same full-corpus closure.
+    Q("q_dedup_clusters_compact", FullClosureOracleSql,
+      (s, d) => {
+        val dir = materializedCompactClusterDir(s, d)
+        s.read.parquet(dir + "/clusters")
           .select(col("v").as("doc_id"), col("cluster_rep"))
           .orderBy("doc_id")
       }),

@@ -481,6 +481,51 @@ class DedupSpec extends SparkTestBase {
     assert(incr == full, "incremental maintenance drifted from the full recompute")
   }
 
+  test("q_dedup_clusters_compact: rolled-forward artifact == in-query merge; band store covers the full corpus") {
+    // clear stale compact caches (other sf dirs share the prefix) so the
+    // one inspected is unambiguously this run's
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def compactCaches() = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_clustercompact_cache_"))
+    compactCaches().foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    val merged = SparkEntry.queries("q_dedup_clusters_incr")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val compacted = SparkEntry.queries("q_dedup_clusters_compact")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted == merged, "compacted cluster table drifted from the in-query merge")
+    val caches = compactCaches()
+    assert(caches.length == 1,
+      s"expected exactly the cold-built compact artifact, found ${caches.length}")
+    val idx = caches.head.getAbsolutePath
+    // roll-forward law: frozen (seeded) MinHash functions mean the
+    // compacted band store == re-banding the WHOLE corpus — the property
+    // that lets tomorrow's append read this dir as its base
+    val docs = Tables.t(spark, sf, "documents")
+    val sh = graft.operators.Dedup.shinglesHashed(col("text"), 5)
+    val reband = graft.operators.Dedup
+      .bandedSignatures(docs, "doc_id", sh, k = 126, bands = 21)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = spark.read.parquet(idx + "/bands")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == reband, "compacted band store diverges from re-banding the corpus")
+    // cache protocol: a second invocation serves the artifact, no rewrite
+    val markers = Seq("clusters/_SUCCESS", "bands/_SUCCESS")
+      .map(m => new java.io.File(idx, m))
+    markers.foreach(m => assert(m.exists(), s"missing $m"))
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_dedup_clusters_compact")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == merged)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"${m.getParent} was rewritten on a cache hit")
+    }
+  }
+
   test("cluster resolution of an empty pair set is empty (no duplicates found)") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
