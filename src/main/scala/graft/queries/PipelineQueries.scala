@@ -567,6 +567,72 @@ object PipelineQueries {
   private val LrInitWeights: Seq[Long] =
     (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
 
+  /** Two unrolled GD steps + scoring under the step-2 weights — the
+    * classifier-lifecycle oracle, shared by q_linear_train_apply (chain
+    * in-query) and q_linear_apply_from_model (weights served from the
+    * stored model artifact; exact Long training round-trips parquet, so
+    * the scores are identical by construction). Each step mirrors
+    * logisticTrainN's Long arithmetic (truncation toward zero, hence the
+    * sign CASE — DuckDB's // floors); doc count n is derived in-query so
+    * one SQL text holds at every sf.
+    */
+  private lazy val LrTrainApplyOracleSql: Option[String] = {
+    def step(i: Int): String = {
+      val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
+      s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+         |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum($wp.w) AS mm
+         |    FROM occ JOIN $wp ON $wp.b = occ.b GROUP BY occ.doc_id) s
+         |  ON s.doc_id = tk.doc_id),
+         |$r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
+         |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM $m),
+         |$g AS (SELECT occ.b, CAST(sum($r.rm) AS BIGINT) AS gg
+         |  FROM occ JOIN $r ON $r.doc_id = occ.doc_id GROUP BY occ.b),
+         |$w AS (SELECT $wp.b, $wp.w - (CASE WHEN coalesce($g.gg, 0) >= 0
+         |    THEN (1000000 * coalesce($g.gg, 0)) // (1000000 * cnt.n)
+         |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
+         |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
+    }
+    Some(s"""WITH toks AS (SELECT doc_id,
+            |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+            |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+            |  FROM documents),
+            |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+            |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+            |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+            |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
+            |  FROM (SELECT unnest(range(256)) AS b)),
+            |${step(1)},
+            |${step(2)}
+            |SELECT tk.doc_id,
+            |  CAST(coalesce(s.mm, 0) AS BIGINT) AS score_micro,
+            |  CAST(len(tk.t) AS BIGINT) AS n_toks
+            |FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
+            |    FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
+            |  ON s.doc_id = tk.doc_id
+            |ORDER BY tk.doc_id""".stripMargin)
+  }
+
+  /** The stored classifier model (`q_linear_apply_from_model`) — the
+    * registry artifact the ANN/dedup/BPE families already have: the
+    * two-step-trained 256-weight table parquet'd once per corpus
+    * version, so every downstream scoring pass loads weights instead of
+    * re-running training. Exact-integer training (logisticTrainN's Long
+    * updates) round-trips parquet bit-for-bit.
+    */
+  private def materializedLrModelDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "lrmodel", Seq("_SUCCESS")) { dir =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val trained = TextAnalysis.logisticTrainN(docs, "text",
+        when(col("source") === "src0", 1L).otherwise(0L),
+        LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
+      trained.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+        .toDF("bucket", "w_micro").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** DuckDB word-frequency histogram of the spaced form — the oracle twin
     * of `Bpe.wordHistogram` (words = `|`-separated segments, guard-spaced,
     * weighted by corpus frequency). Used as a CTE by q_bpe_train_hist.
@@ -2329,51 +2395,32 @@ object PipelineQueries {
     // update per step — then scores under the step-2 weights; doc count
     // n is derived in-query on both engines, so one SQL text holds at
     // every sf.
-    Q("q_linear_train_apply", {
-      // one unrolled GD step: w{i-1} -> w{i}, mirroring logisticTrainN's
-      // Long arithmetic (truncation toward zero, hence the sign CASE —
-      // DuckDB's // floors)
-      def step(i: Int): String = {
-        val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
-        s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
-           |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum($wp.w) AS mm
-           |    FROM occ JOIN $wp ON $wp.b = occ.b GROUP BY occ.doc_id) s
-           |  ON s.doc_id = tk.doc_id),
-           |$r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
-           |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM $m),
-           |$g AS (SELECT occ.b, CAST(sum($r.rm) AS BIGINT) AS gg
-           |  FROM occ JOIN $r ON $r.doc_id = occ.doc_id GROUP BY occ.b),
-           |$w AS (SELECT $wp.b, $wp.w - (CASE WHEN coalesce($g.gg, 0) >= 0
-           |    THEN (1000000 * coalesce($g.gg, 0)) // (1000000 * cnt.n)
-           |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
-           |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
-      }
-      Some(s"""WITH toks AS (SELECT doc_id,
-              |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
-              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-              |  FROM documents),
-              |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-              |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
-              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-              |w0 AS (SELECT CAST(b AS BIGINT) AS b,
-              |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
-              |  FROM (SELECT unnest(range(256)) AS b)),
-              |${step(1)},
-              |${step(2)}
-              |SELECT tk.doc_id,
-              |  CAST(coalesce(s.mm, 0) AS BIGINT) AS score_micro,
-              |  CAST(len(tk.t) AS BIGINT) AS n_toks
-              |FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
-              |    FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
-              |  ON s.doc_id = tk.doc_id
-              |ORDER BY tk.doc_id""".stripMargin)
-    },
+    Q("q_linear_train_apply", LrTrainApplyOracleSql,
       (s, d) => {
         val docs = t(s, d, "documents")
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val trained = TextAnalysis.logisticTrainN(docs, "text", y,
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
         TextAnalysis.linearMargins(docs, "doc_id", "text", trained)
+          .orderBy("doc_id")
+      }),
+
+    // Scoring under a STORED model — the registry split for the
+    // classifier, completing the family the other trained artifacts
+    // already have (cluster table, IVF/PQ indexes, BPE merges): training
+    // runs once per corpus version and parquets its 256-weight table;
+    // every scoring pass loads the model (one bounded 256-row collect,
+    // the centroid-table contract) and pays ONLY the no-shuffle margin
+    // fold over the scan. Exact-Long training round-trips parquet, so
+    // from-model == the inline train+apply chain and the oracle text is
+    // shared with q_linear_train_apply.
+    Q("q_linear_apply_from_model", LrTrainApplyOracleSql,
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val weights = s.read.parquet(materializedLrModelDir(s, d))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).map(_._2).toSeq
+        TextAnalysis.linearMargins(docs, "doc_id", "text", weights)
           .orderBy("doc_id")
       }),
 

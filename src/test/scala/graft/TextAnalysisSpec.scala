@@ -701,4 +701,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.getLong(6) == 500000L, "F1 = 2/(2+2) = 0.5")
     assert(got.getLong(7) == 333333L)
   }
+
+  test("q_linear_apply_from_model == the inline train+apply chain, and the model is reused") {
+    // exact-Long training round-trips parquet: scoring under the stored
+    // weight table must equal the in-query chain bit-for-bit
+    val inline = SparkEntry.queries("q_linear_train_apply")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromModel = SparkEntry.queries("q_linear_apply_from_model")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromModel == inline, "stored-model scoring drifted from the inline chain")
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_lrmodel_cache_"))
+    assert(caches.nonEmpty, "no materialized classifier model found")
+    val markers = caches.map(c => new java.io.File(c, "_SUCCESS")).filter(_.exists())
+    assert(markers.nonEmpty, "materialized model has no _SUCCESS marker")
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_linear_apply_from_model")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == inline)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"model ${m.getParent} was retrained on a cache hit")
+    }
+  }
 }
