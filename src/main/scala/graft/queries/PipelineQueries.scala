@@ -2695,6 +2695,45 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // Tokenizer EVALUATION — the verb that closes the BPE lifecycle
+    // (train → store → encode → EVALUATE, mirroring q_classifier_eval
+    // for the quality gate): per-source compression of the corpus under
+    // the STORED merge table — doc counts, total BPE tokens, total
+    // chars, and chars-per-token as an exact integer-micro division
+    // (operands non-negative, so DuckDB's flooring // == Spark's
+    // truncating Long division). This is what a tokenizer report
+    // actually monitors per mixture source: a source whose compression
+    // collapses is out-of-domain for the learned merges. One corpus
+    // scan — token counts ride the scan as the same per-row expression
+    // chain q_pack_bpe budgets with; the aggregate is 5 source keys.
+    Q("q_bpe_eval",
+      Some(s"""WITH a AS (SELECT doc_id, source,
+              |    CAST(length(text) AS BIGINT) AS nc, $bpeAppliedSql AS ap FROM documents),
+              |tk AS (SELECT source, nc,
+              |    CAST(len(list_filter(string_split(trim(ap), ' '),
+              |      t -> t <> '|' AND t <> '')) AS BIGINT) AS nt FROM a)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_bpe,
+              |  CAST(sum(nc) AS BIGINT) AS n_chars,
+              |  CAST((1000000 * CAST(sum(nc) AS BIGINT)) // CAST(sum(nt) AS BIGINT) AS BIGINT) AS chars_per_tok_micro
+              |FROM tk GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val dir = materializedBpeMergesDir(s, d)
+        val merges = s.read.parquet(dir).orderBy("ord").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        t(s, d, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("nc"),
+            Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_bpe"),
+            sum("nc").as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_bpe"), col("n_chars"),
+            (col("n_chars") * 1000000L / col("n_bpe")).cast("long")
+              .as("chars_per_tok_micro"))
+          .orderBy("source")
+      }),
+
     // Packing with SUBWORD-real budgets: q_pack's window-cumsum shape,
     // but sized by the BPE token count instead of the whitespace estimate.
     Q("q_pack_bpe",

@@ -116,6 +116,32 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("q_bpe_eval == per-source compression recomputed from the stored-table encode") {
+    val got = SparkEntry.queries("q_bpe_eval")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // recompute per-source (n_docs, Σtokens, Σchars) from the stored
+    // merge table's encode — the same model q_bpe_encode_from_table reads
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_bpemerges_cache_"))
+    assert(caches.nonEmpty, "no stored merge table found")
+    val merges = spark.read.parquet(caches.head.getAbsolutePath)
+      .orderBy("ord").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = docs.select(col("source"), col("text"),
+        size(Bpe.encode(col("text"), merges)).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (src, g) =>
+      val nd = g.length.toLong
+      val nt = g.map(_._3).sum
+      val nc = g.map(_._2.length.toLong).sum
+      src -> (nd, nt, nc, nc * 1000000L / nt)
+    }
+    assert(got == expect, "q_bpe_eval drifted from the driver-side recomputation")
+    // the metric is meaningful: BPE compresses (>1 char per token) on
+    // every source of this corpus
+    got.values.foreach { case (_, _, _, micro) => assert(micro > 1000000L) }
+  }
+
   test("encode from the stored merge table == the inlined-literal encode, and the model is reused") {
     val inlined = SparkEntry.queries("q_bpe_encode")(spark, sf)
       .collect().map(_.toString).toSeq
