@@ -110,6 +110,33 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir + "/bands")
     }
 
+  /** The CURATION MANIFEST (`q_curation_manifest`): the whole data
+    * recipe — Gopher quality gates ∧ near-dup cluster losers dropped ∧
+    * benchmark decontamination — materialized once per corpus version
+    * as a kept-ids table. This is the artifact a training run actually
+    * consumes: curation logic executes in one nightly job, and every
+    * trainer/shuffler joins the manifest instead of re-running gates,
+    * LSH, and gram joins. All three stages are id-set filters, so their
+    * composition order is immaterial and each stage's semantics stays
+    * exactly its standalone oracled query's (q_gopher_rules,
+    * q_dedup_apply, q_decontaminate — CurationSpec pins the manifest as
+    * the intersection of the three keep-sets).
+    */
+  private def materializedManifestDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "manifest", Seq("_SUCCESS")) { dir =>
+      val docs = t(s, d, "documents")
+      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+      val gated = docs.filter(col("source") =!= "src0").filter(gate)
+      val losers = s.read.parquet(materializedClusterDir(s, d))
+        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+      val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+      Decontaminate.decontaminate(deduped,
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 13)
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** The incremental merge ROLLED FORWARD to storage
     * (`q_dedup_clusters_compact`) — the third verb of the cluster-table
     * lifecycle, mirroring the IVF index's build → append → compact: a
@@ -211,7 +238,14 @@ object PipelineQueries {
     * assignment, encoding, probes, and ranks always run over the whole
     * corpus. Empty for the full-corpus chain (eb == e, residb == resid).
     */
-  private def ivfPqOracleSqlFor(trainWhere: String): String = {
+  private def ivfPqOracleSqlFor(trainWhere: String): String =
+    s"""WITH ${ivfPqOracleCtesFor(trainWhere)}
+       |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  /** The chain above as a bare CTE block (ending in `r` = the ADC-ranked
+    * candidates), so evaluation oracles (q_ann_recall_pq) can extend it.
+    */
+  private def ivfPqOracleCtesFor(trainWhere: String): String = {
     import OracleVec.{cosSql => cos, euclidSql => eu, sqDiffSql => sq}
         def sl(v: String, s: String) =
           s"list_slice($v, CAST($s AS INT) * 8 + 1, CAST($s AS INT) * 8 + 8)"
@@ -230,7 +264,7 @@ object PipelineQueries {
              |  FROM mo$j GROUP BY cell),
              |cent$j AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv FROM $p p LEFT JOIN cand$j c ON c.cell = p.cell)""".stripMargin
         }
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |eb AS (SELECT vec_id, v FROM e$trainWhere),
            |cent0 AS (SELECT vec_id AS cell, v AS cv FROM eb ORDER BY vec_id LIMIT 8),
            |${lloyd(1)},
@@ -280,8 +314,7 @@ object PipelineQueries {
            |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
            |  FROM parts GROUP BY q_id, c_id),
            |r AS (SELECT q_id, c_id, dist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)
-           |SELECT q_id, c_id, rn FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+           |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)""".stripMargin
   }
 
   private val IvfPqOracleSql: Option[String] = Some(ivfPqOracleSqlFor(""))
@@ -1988,6 +2021,49 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // Recall@10 of the COMPRESSED index — q_ann_recall's PQ sibling,
+    // and the number that actually governs a PQ deployment: quantizing
+    // residuals to 8 bytes trades recall for the 32× footprint, and
+    // this query measures exactly what that trade costs on this corpus
+    // (the served IVF-Flat index rescores exact vectors, so its recall
+    // only reflects probe misses; ADC ranks also pay code distortion).
+    // Same exact-integer shape: both chains are deterministic oracled
+    // queries, the intersection count is a 50×50 join.
+    Q("q_ann_recall_pq",
+      Some(s"""WITH ${ivfPqOracleCtesFor("")},
+              |ak AS (SELECT q_id, c_id FROM r WHERE rn <= 10),
+              |ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+              |               c.vec_id) AS xrn
+              |  FROM embeddings q JOIN embeddings c
+              |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+              |exk AS (SELECT q_id, c_id FROM ex WHERE xrn <= 10),
+              |h AS (SELECT exk.q_id,
+              |    CAST(coalesce(sum(CASE WHEN ak.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+              |  FROM exk LEFT JOIN ak ON ak.q_id = exk.q_id AND ak.c_id = exk.c_id
+              |  GROUP BY exk.q_id)
+              |SELECT q_id, n_hits, CAST(n_hits * 100000 AS BIGINT) AS recall_micro
+              |FROM h ORDER BY q_id""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val idx = materializedIvfPqIndexDir(s, d)
+        val (cents, books) = readIvfPqModel(s, idx)
+        val approx = Pq.ivfPqTopK(s.read.parquet(idx + "/codes"), queries,
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+        Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", 10)
+          .select("q_id", "c_id")
+          .join(approx, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+          .orderBy("q_id")
+      }),
+
     // ---- text analysis --------------------------------------------------
 
     Q("q_text_stats",
@@ -2516,6 +2592,49 @@ object PipelineQueries {
           .select("doc_id")
           .orderBy("doc_id")
       }),
+
+    // The DATA RECIPE as one artifact — the composition every LLM
+    // pipeline ships: quality gates (q_gopher_rules' Gopher rules,
+    // ANDed), near-dup losers dropped (q_dedup_apply's cluster table,
+    // read from the materialized artifact), and benchmark
+    // decontamination (q_decontaminate's 13-gram rule), written once
+    // per corpus version as a kept-ids manifest (ArtifactCache). The
+    // query prices what a trainer pays: one scan of the manifest. The
+    // oracle composes the three stages' own oracle texts — closure
+    // losers, gram-join bad set, gate clauses — over the same corpus.
+    Q("q_curation_manifest", {
+      val gates = TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
+              |toks AS (SELECT doc_id, source,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |grams AS (SELECT doc_id, source,
+              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+              |  FROM toks WHERE len(t) >= 13),
+              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+              |bad AS (SELECT DISTINCT doc_id FROM grams
+              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+              |gated AS (SELECT doc_id FROM documents WHERE $gates)
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.source <> 'src0'
+              |  AND d.doc_id IN (SELECT doc_id FROM gated)
+              |  AND d.doc_id NOT IN (SELECT v FROM losers)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY d.doc_id""".stripMargin)
+    },
+      (s, d) =>
+        s.read.parquet(materializedManifestDir(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
 
     // ---- retrieval scoring / sequence packing ---------------------------
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The composed curation manifest (q_curation_manifest): all three
+  * stages are id-set filters, so the manifest must equal the
+  * INTERSECTION of the standalone oracled queries' keep-sets — if any
+  * stage's semantics drifted from its standalone query, this breaks.
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("q_curation_manifest == intersection of the gate / dedup / decontam keep-sets") {
+    val docs = Tables.t(spark, sf, "documents")
+    val manifest = SparkEntry.queries("q_curation_manifest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(manifest.nonEmpty, "empty manifest — gates dropped everything")
+    // standalone keep-sets, each from its own oracled query
+    val gate = graft.operators.TextAnalysis.gopherGates(col("text"))
+      .map(_._2).reduce(_ && _)
+    val gated = docs.filter(col("source") =!= "src0").filter(gate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dedupKept = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val cleanKept = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val expect = gated.intersect(dedupKept).intersect(cleanKept)
+    assert(manifest.map(_._1).toSet == expect,
+      "manifest diverges from the intersection of the standalone keep-sets")
+    // each kept row carries its true source, and src0 never leaks in
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    manifest.foreach { case (id, src) =>
+      assert(src == srcOf(id) && src != "src0")
+    }
+    // cache protocol: a second invocation serves the artifact, no rewrite
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val markers = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_manifest_cache_"))
+      .map(c => new java.io.File(c, "_SUCCESS")).filter(_.exists())
+    assert(markers.nonEmpty, "no materialized manifest found")
+    val before = markers.map(m => m.getAbsolutePath -> m.lastModified()).toMap
+    val again = SparkEntry.queries("q_curation_manifest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == manifest.toSeq)
+    markers.foreach { m =>
+      assert(m.lastModified() == before(m.getAbsolutePath),
+        s"manifest ${m.getParent} was rebuilt on a cache hit")
+    }
+  }
+}

@@ -135,6 +135,27 @@ class PqSpec extends SparkTestBase {
     assert(parts.nonEmpty, "codes are not partitioned by cell")
   }
 
+  test("q_ann_recall_pq == recall recomputed driver-side; compression costs recall vs the IVF-Flat index") {
+    val rows = SparkEntry.queries("q_ann_recall_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 5L).toSeq, "one row per query vector")
+    rows.foreach { case (q, hits, micro) =>
+      assert(hits >= 0 && hits <= 10, s"query $q: hits out of [0, 10]")
+      assert(micro == hits * 100000L, s"query $q: recall_micro drifted")
+    }
+    val exact = SparkEntry.queries("q_embed_knn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = SparkEntry.queries("q_ann_from_index_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (q, hits, _) =>
+      val expect = exact.filter(_._1 == q).intersect(served.filter(_._1 == q)).size
+      assert(hits == expect, s"query $q: recall diverges from the chain intersection")
+    }
+    // the metric earns its keep: ADC over 8-byte codes must still beat
+    // random by far (random recall@10 of a ~1%-of-corpus set is ~0)
+    assert(rows.map(_._2).sum >= 10, "PQ recall collapsed — codes no longer rank")
+  }
+
   test("IVF-PQ append: appended codes == re-encoding the whole corpus under the frozen model; append never rewrites base or model") {
     // clear ALL ivfpqincr caches first so the one inspected is
     // unambiguously this sf's (other sfDirs' caches share the prefix)
