@@ -137,6 +137,34 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The manifest under the APPEND lifecycle
+    * (`q_curation_manifest_incr`): identical composition to
+    * [[materializedManifestDir]], but the near-dup stage reads the
+    * INCREMENTALLY-MAINTAINED cluster table
+    * ([[materializedCompactClusterDir]] — base build + updateClusters
+    * merge + roll-forward) instead of the full-rebuild one. Gates and
+    * decontamination are corpus-append-commutative per doc (gates are
+    * per-row; the bad set depends only on the static benchmark's
+    * grams), and incremental == full for the cluster table is the
+    * frozen-LSH law — so the whole recipe survives a nightly append
+    * with NO full recompute anywhere, and the oracle is unchanged.
+    */
+  private def materializedManifestIncrDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "manifestincr", Seq("_SUCCESS")) { dir =>
+      val docs = t(s, d, "documents")
+      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+      val gated = docs.filter(col("source") =!= "src0").filter(gate)
+      val losers = s.read
+        .parquet(materializedCompactClusterDir(s, d) + "/clusters")
+        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+      val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+      Decontaminate.decontaminate(deduped,
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 13)
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** The incremental merge ROLLED FORWARD to storage
     * (`q_dedup_clusters_compact`) — the third verb of the cluster-table
     * lifecycle, mirroring the IVF index's build → append → compact: a
@@ -2633,6 +2661,47 @@ object PipelineQueries {
     },
       (s, d) =>
         s.read.parquet(materializedManifestDir(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
+    // The manifest SURVIVING the nightly append — same recipe, but the
+    // near-dup stage reads the incrementally-maintained cluster table
+    // (base build + updateClusters merge + roll-forward) instead of the
+    // full rebuild: gates and decontamination commute with an append
+    // per-doc, and incremental == full for the clusters is the
+    // frozen-LSH law, so the whole pipeline now has an append story
+    // with no full recompute anywhere and the oracle text is unchanged.
+    Q("q_curation_manifest_incr", {
+      val gates = TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
+              |toks AS (SELECT doc_id, source,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |grams AS (SELECT doc_id, source,
+              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+              |  FROM toks WHERE len(t) >= 13),
+              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+              |bad AS (SELECT DISTINCT doc_id FROM grams
+              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+              |gated AS (SELECT doc_id FROM documents WHERE $gates)
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.source <> 'src0'
+              |  AND d.doc_id IN (SELECT doc_id FROM gated)
+              |  AND d.doc_id NOT IN (SELECT v FROM losers)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY d.doc_id""".stripMargin)
+    },
+      (s, d) =>
+        s.read.parquet(materializedManifestIncrDir(s, d))
           .select("doc_id", "source")
           .orderBy("doc_id")),
 

@@ -47,4 +47,15 @@ class CurationSpec extends SparkTestBase {
         s"manifest ${m.getParent} was rebuilt on a cache hit")
     }
   }
+
+  test("q_curation_manifest_incr (append-maintained clusters) == q_curation_manifest (full rebuild)") {
+    // gates and decontam commute with an append per-doc; incremental ==
+    // full for the cluster table is the frozen-LSH law — so the two
+    // manifests must be row-identical
+    val full = SparkEntry.queries("q_curation_manifest")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val incr = SparkEntry.queries("q_curation_manifest_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(incr == full, "append-maintained manifest drifted from the full rebuild")
+  }
 }
