@@ -135,6 +135,38 @@ class PqSpec extends SparkTestBase {
     assert(parts.nonEmpty, "codes are not partitioned by cell")
   }
 
+  test("IVF-PQ compact: single-generation rewrite == the two-generation index, gen dimension gone") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // clear stale compact AND incr caches (other sf dirs share the
+    // prefixes) so the ones inspected are unambiguously this run's
+    tmp.listFiles().filter(f =>
+        f.getName.startsWith("graft_ivfpqcompact_cache_") ||
+        f.getName.startsWith("graft_ivfpqincr_cache_"))
+      .foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    val incrRanks = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val gotRanks = SparkEntry.queries("q_ann_index_compact_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(gotRanks == incrRanks,
+      "compacted PQ index drifted from the two-generation index")
+    val caches = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfpqcompact_cache_"))
+    assert(caches.length == 1,
+      s"expected exactly the cold-built compact index, found ${caches.length}")
+    // layout contract: cell= dirs sit DIRECTLY under codes/ — the gen
+    // dimension is compacted away, cell pruning intact
+    val parts = Option(new java.io.File(caches.head, "codes").listFiles())
+      .toSeq.flatten
+    assert(parts.exists(_.getName.startsWith("cell=")),
+      "compacted codes are not hive-partitioned by cell")
+    assert(!parts.exists(_.getName.startsWith("gen=")),
+      "gen dimension survived compaction")
+  }
+
   test("q_ann_recall_pq == recall recomputed driver-side; compression costs recall vs the IVF-Flat index") {
     val rows = SparkEntry.queries("q_ann_recall_pq")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -252,6 +252,25 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q_ann_probe_curve: recall monotone in n_probe, converges to q_ann_recall at the full probe set") {
+    val curve = SparkEntry.queries("q_ann_probe_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(curve.keys.toSet == (for (p <- 1L to 4L; q <- 0L until 5L) yield (p, q)).toSet,
+      "one row per (n_probe, query)")
+    // widening the probe set only ADDS candidates: recall is monotone
+    for (q <- 0L until 5L; p <- 1L to 3L) {
+      assert(curve((p, q)) <= curve((p + 1, q)),
+        s"query $q: recall decreased going from $p to ${p + 1} probes")
+    }
+    // at the full probe set the curve IS q_ann_recall's column
+    val recall = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (q <- 0L until 5L) {
+      assert(curve((4L, q)) == recall(q),
+        s"query $q: curve at nProbe=4 diverges from q_ann_recall")
+    }
+  }
+
   test("IVF append: appended generations == rebuild under the frozen quantizer; append never rewrites the base") {
     val emb = Tables.t(spark, sf, "embeddings")
     // clear ALL ivfincr caches first so the one inspected is unambiguously
