@@ -2806,6 +2806,67 @@ object PipelineQueries {
           .select("doc_id", "source")
           .orderBy("doc_id")),
 
+    // The END of the pipeline: manifest-kept documents packed into
+    // 512-token training shards under the STORED tokenizer — what the
+    // whole engine exists to emit. Composes three artifacts (the
+    // curation manifest, the BPE merge table, q_pack_bpe's budget
+    // packing): the trainer-side job is one semi-join of documents
+    // against the manifest, token counts riding the scan under the
+    // loaded merges, and the per-source running-sum shard assignment.
+    // The oracle composes the manifest keep-set CTEs with q_pack_bpe's
+    // windowed cumsum restricted to kept docs.
+    Q("q_pack_manifest", {
+      val gates = TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
+              |toks AS (SELECT doc_id, source,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |grams AS (SELECT doc_id, source,
+              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+              |  FROM toks WHERE len(t) >= 13),
+              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+              |bad AS (SELECT DISTINCT doc_id FROM grams
+              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+              |gated AS (SELECT doc_id FROM documents WHERE $gates),
+              |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+              |  WHERE d.source <> 'src0'
+              |    AND d.doc_id IN (SELECT doc_id FROM gated)
+              |    AND d.doc_id NOT IN (SELECT v FROM losers)
+              |    AND d.doc_id NOT IN (SELECT doc_id FROM bad)),
+              |ap AS (SELECT doc_id, source, $bpeAppliedSql AS ap FROM kept),
+              |dd AS (SELECT doc_id, source, CAST(len(list_filter(string_split(trim(ap), ' '),
+              |  t -> t <> '|' AND t <> '')) AS BIGINT) AS n_toks FROM ap)
+              |SELECT doc_id, source, n_toks,
+              |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
+              |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
+              |FROM dd WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              |ORDER BY doc_id""".stripMargin)
+    },
+      (s, d) => {
+        val manifest = s.read.parquet(materializedManifestDir(s, d))
+          .select("doc_id")
+        val merges = s.read.parquet(materializedBpeMergesDir(s, d))
+          .orderBy("ord").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val kept = t(s, d, "documents")
+          .join(manifest, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"),
+            Bpe.tokenCount(col("text"), merges).cast("long").as("n_toks"))
+        Pack.byBudget(kept, col("source"), col("doc_id"), col("n_toks"),
+            budget = 512L)
+          .withColumnRenamed("offset", "start_off")
+          .orderBy("doc_id")
+      }),
+
     // ---- retrieval scoring / sequence packing ---------------------------
 
     // BM25 relevance over a fixed query-term set (Robertson SIGIR '94).

@@ -58,4 +58,24 @@ class CurationSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(incr == full, "append-maintained manifest drifted from the full rebuild")
   }
+
+  test("q_pack_manifest: exactly the manifest docs, per-source prefix-sum offsets, shard = off / 512") {
+    val packed = SparkEntry.queries("q_pack_manifest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val manifestIds = SparkEntry.queries("q_curation_manifest")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(packed.map(_._1).toSet == manifestIds,
+      "packed doc set diverges from the manifest")
+    // per source, in doc_id order: start_off is the running token sum
+    // BEFORE the doc, shard its 512-token bucket
+    packed.groupBy(_._2).foreach { case (src, g) =>
+      var acc = 0L
+      g.sortBy(_._1).foreach { case (id, _, nToks, off, shard) =>
+        assert(off == acc, s"doc $id ($src): offset broke the prefix sum")
+        assert(shard == off / 512L, s"doc $id ($src): shard != off / 512")
+        acc += nToks
+      }
+    }
+  }
 }

@@ -135,6 +135,52 @@ class PqSpec extends SparkTestBase {
     assert(parts.nonEmpty, "codes are not partitioned by cell")
   }
 
+  test("a crashed append stage re-runs by overwriting its own generation; stale partials never survive") {
+    // ArtifactCache.staged's contract: every stage is overwrite-
+    // idempotent into its OWN subdirectory. Simulate a crash mid-append
+    // (marker missing, stale partial files present) and require the
+    // re-run to produce the clean result with the partials gone.
+    // Clear ALL ivfpqincr caches first so the one mutated and inspected
+    // is unambiguously this sf's (other sfDirs' caches share the prefix
+    // and would never be rebuilt by this sf's query).
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def incrCaches() = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_ivfpqincr_cache_"))
+    incrCaches().foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    val got = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val caches = incrCaches()
+    assert(caches.length == 1,
+      s"expected exactly the cold-rebuilt index, found ${caches.length}")
+    caches.foreach { c =>
+      val gen1 = new java.io.File(c, "codes/gen=1")
+      if (gen1.isDirectory) {
+        assert(new java.io.File(gen1, "_SUCCESS").delete(),
+          s"could not remove $gen1/_SUCCESS")
+        val stale = new java.io.File(gen1,
+          "part-99999-stale-crash-leftover.snappy.parquet")
+        java.nio.file.Files.write(stale.toPath,
+          "not parquet".getBytes("UTF-8")): Unit
+      }
+    }
+    val again = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == got, "recovered append drifted from the clean build")
+    caches.foreach { c =>
+      val gen1 = new java.io.File(c, "codes/gen=1")
+      if (gen1.isDirectory) {
+        assert(new java.io.File(gen1, "_SUCCESS").exists(),
+          "recovered append did not re-mark its generation")
+        assert(!gen1.listFiles().exists(_.getName.contains("stale-crash")),
+          "stale partial file survived the overwrite re-run")
+      }
+    }
+  }
+
   test("IVF-PQ compact: single-generation rewrite == the two-generation index, gen dimension gone") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     // clear stale compact AND incr caches (other sf dirs share the
