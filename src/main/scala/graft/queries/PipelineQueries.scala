@@ -165,6 +165,88 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
+  /** The BASE-NIGHT manifest artifact for the delta maintenance path
+    * (`q_curation_manifest_delta`): `kept/` = the recipe's keep-set over
+    * the base corpus under the base cluster table, and `benchgrams/` =
+    * the FROZEN benchmark's distinct 13-gram hashes (8 bytes each — the
+    * decontamination-list artifact real pipelines ship). The benchmark
+    * is frozen at recipe-definition night (src0 ∩ base), the standard
+    * decontam convention: an eval set does not grow with the corpus.
+    */
+  private def materializedBaseManifestDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "manifestbase",
+        Seq("kept/_SUCCESS", "benchgrams/_SUCCESS")) { dir =>
+      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      val bench = base.filter(col("source") === "src0")
+      bench.select(explode(
+          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir + "/benchgrams")
+      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+      val gated = base.filter(col("source") =!= "src0").filter(gate)
+      val losers = s.read
+        .parquet(materializedBaseClusterDir(s, d) + "/clusters")
+        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+      val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+      val contaminated = deduped
+        .select(col("doc_id"), explode(
+          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+        .join(s.read.parquet(dir + "/benchgrams"), "g")
+        .select("doc_id").distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(dir + "/kept")
+    }
+
+  /** The DELTA manifest (`q_curation_manifest_delta`) — append-night
+    * maintenance whose cost is ∝ the INCREMENT, never the corpus
+    * (q_curation_manifest_incr still re-scans every document for gates
+    * and decontamination; at 100 TB that is the last corpus-proportional
+    * term in the nightly). Per-doc verdicts are append-stable — gates
+    * depend only on the doc's own text, contamination only on the
+    * FROZEN benchmark gram store — and loser status is MONOTONE under
+    * cluster merges (a merge can only lower a cluster's min id, so a
+    * base loser never becomes a rep). Hence the new manifest is exactly:
+    *
+    *   (stored base kept-set  ANTI-JOIN  newly-losing docs)
+    *   UNION (increment docs passing gates ∧ frozen-bench decontam
+    *          ∧ not in the merged loser set)
+    *
+    * where newly-losing = losers(merged clusters) \ losers(base
+    * clusters) — a diff of two tiny id tables. Everything the append
+    * night reads is an id table, the increment, or the frozen gram
+    * store; the base corpus is never re-scanned. Row-identical to
+    * recomputing the frozen-bench recipe from scratch (CurationSpec).
+    */
+  private def materializedDeltaManifestDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "manifestdelta", Seq("_SUCCESS")) { dir =>
+      val incr = t(s, d, "documents").filter(col("doc_id") % 4 === 3)
+      val baseArt = materializedBaseManifestDir(s, d)
+      def losersOf(clusterDir: String) = s.read.parquet(clusterDir)
+        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+      val losersFull =
+        losersOf(materializedCompactClusterDir(s, d) + "/clusters")
+      val losersBase =
+        losersOf(materializedBaseClusterDir(s, d) + "/clusters")
+      val newlyLosing = losersFull.join(losersBase, Seq("doc_id"), "left_anti")
+      val keptOld = s.read.parquet(baseArt + "/kept")
+        .join(newlyLosing, Seq("doc_id"), "left_anti")
+      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+      val incrGated = incr.filter(col("source") =!= "src0").filter(gate)
+      val contaminated = incrGated
+        .select(col("doc_id"), explode(
+          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+        .join(s.read.parquet(baseArt + "/benchgrams"), "g")
+        .select("doc_id").distinct()
+      val newKept = incrGated.select("doc_id", "source")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(losersFull, Seq("doc_id"), "left_anti")
+      keptOld.unionAll(newKept)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** The incremental merge ROLLED FORWARD to storage
     * (`q_dedup_clusters_compact`) — the third verb of the cluster-table
     * lifecycle, mirroring the IVF index's build → append → compact: a
@@ -2803,6 +2885,51 @@ object PipelineQueries {
     },
       (s, d) =>
         s.read.parquet(materializedManifestIncrDir(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
+    // The DELTA manifest — append-night maintenance in O(increment):
+    // q_curation_manifest_incr still re-scans the corpus for gates and
+    // decontamination; this variant rolls the per-doc verdicts forward
+    // (they are append-stable under the FROZEN benchmark — the standard
+    // convention: an eval set does not grow with the corpus) and
+    // touches only the increment, the frozen 13-gram store, and the
+    // diff of two id tables (losers are monotone under cluster merges,
+    // so newly-losing = merged losers minus base losers). See
+    // materializedDeltaManifestDir for the identity. The oracle is the
+    // manifest recipe with the benchmark CTE frozen to the base slice.
+    Q("q_curation_manifest_delta", {
+      val gates = TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM p
+              |      UNION SELECT id_b, id_a FROM p),
+              |reach AS (
+              |  SELECT a AS v, a AS r FROM e
+              |  UNION
+              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
+              |toks AS (SELECT doc_id, source,
+              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+              |  FROM documents),
+              |grams AS (SELECT doc_id, source,
+              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+              |  FROM toks WHERE len(t) >= 13),
+              |bench AS (SELECT DISTINCT g FROM grams
+              |  WHERE source = 'src0' AND doc_id % 4 <> 3),
+              |bad AS (SELECT DISTINCT doc_id FROM grams
+              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+              |gated AS (SELECT doc_id FROM documents WHERE $gates)
+              |SELECT d.doc_id, d.source FROM documents d
+              |WHERE d.source <> 'src0'
+              |  AND d.doc_id IN (SELECT doc_id FROM gated)
+              |  AND d.doc_id NOT IN (SELECT v FROM losers)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY d.doc_id""".stripMargin)
+    },
+      (s, d) =>
+        s.read.parquet(materializedDeltaManifestDir(s, d))
           .select("doc_id", "source")
           .orderBy("doc_id")),
 

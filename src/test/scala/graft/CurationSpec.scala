@@ -59,6 +59,43 @@ class CurationSpec extends SparkTestBase {
     assert(incr == full, "append-maintained manifest drifted from the full rebuild")
   }
 
+  test("q_curation_manifest_delta == the frozen-bench recipe recomputed from scratch; losers are monotone under merges") {
+    val docs = Tables.t(spark, sf, "documents")
+    val delta = SparkEntry.queries("q_curation_manifest_delta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // from-scratch recompute of the SAME recipe: gates over everything,
+    // full-corpus near-dup losers, decontam against the FROZEN benchmark
+    // (src0 ∩ base slice) — no stored verdict reused
+    val gate = graft.operators.TextAnalysis.gopherGates(col("text"))
+      .map(_._2).reduce(_ && _)
+    val gated = docs.filter(col("source") =!= "src0").filter(gate)
+    val dedupKept = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val frozenBench = docs.filter(col("source") === "src0")
+      .filter(col("doc_id") % 4 =!= 3)
+    val cleanKept = graft.operators.Decontaminate
+      .decontaminate(gated, frozenBench, "doc_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(dedupKept).intersect(cleanKept)
+    assert(delta.map(_._1) == expect,
+      "delta manifest diverges from the from-scratch frozen-bench recipe")
+    // the identity's load-bearing lemma: a base loser never becomes a
+    // rep after the merge (min ids only decrease)
+    val sh = graft.operators.Dedup.shinglesHashed(col("text"), 5)
+    val base = docs.filter(col("doc_id") % 4 =!= 3)
+    def losersOf(df: org.apache.spark.sql.DataFrame) = {
+      val pairs = graft.operators.Dedup.minHashPairsHashed(df, "doc_id", sh,
+        threshold = 0.7, k = 126, bands = 21)
+      graft.operators.Dedup.resolveClusters(pairs, "id_a", "id_b")
+        .filter(col("v") =!= col("cluster_rep"))
+        .select("v").collect().map(_.getLong(0)).toSet
+    }
+    val lb = losersOf(base)
+    val lf = losersOf(docs)
+    assert(lb.subsetOf(lf), "a base loser became a rep after the merge")
+  }
+
   test("q_pack_manifest: exactly the manifest docs, per-source prefix-sum offsets, shard = off / 512") {
     val packed = SparkEntry.queries("q_pack_manifest")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
