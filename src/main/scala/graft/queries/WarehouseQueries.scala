@@ -1039,6 +1039,52 @@ object WarehouseQueries {
           .orderBy("source", "bucket")
       }),
 
+    // Batch drift vs the FROZEN reference — q_stream_drift's batch
+    // sibling, completing registry parity for the drift family: the
+    // original q_psi_drift recomputes the src0 histogram in-query; this
+    // reads the artifact the corpus version shipped with (16 rows) and
+    // pays only the current-side sketch — the shape a scheduled batch
+    // drift check actually runs. Stored == recomputed is pinned by
+    // WarehouseOpsSpec, so the oracle text is q_psi_drift's.
+    Q("q_psi_drift_from_ref",
+      Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v, source = 'src0' AS r
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |bkt AS (SELECT (LEAST(1023, GREATEST(0, v)) * 16) // 1024 AS bucket, r FROM v),
+             |cnts AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+             |    CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cnt_cur
+             |  FROM bkt GROUP BY bucket),
+             |spine AS (SELECT unnest(range(16)) AS bucket),
+             |f AS (SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             |    coalesce(c.cnt_ref, 0) AS cnt_ref, coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM spine s LEFT JOIN cnts c ON c.bucket = s.bucket),
+             |tot AS (SELECT sum(cnt_ref) AS nr, sum(cnt_cur) AS nc FROM f)
+             |SELECT bucket, cnt_ref, cnt_cur,
+             |  CAST(round((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE)
+             |      - CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))
+             |    * ln((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE))
+             |        / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)))
+             |    * 1e6, 0) AS BIGINT) AS term_micro
+             |FROM f, tot ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        import graft.operators.{Drift, HistQuantile}
+        val docs = t(s, d, "documents")
+        val refCnt = s.read.parquet(materializedPsiRefDir(s, d))
+        val curCnt = HistQuantile.sketchBy(
+            docs.filter(col("source") =!= "src0"),
+            Nil, col("n_chars"), lo = 0L, hi = 1024L, buckets = 16)
+          .select(col("hq_bucket").as("bucket"), col("cnt").as("cnt_cur"))
+        val spine = s.range(16).select(col("id").as("bucket"))
+        val full = spine
+          .join(refCnt, Seq("bucket"), "left")
+          .join(curCnt, Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+            coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+        Drift.psiTerms(full, Nil, buckets = 16)
+          .orderBy("bucket")
+      }),
+
     // Stream-stream interval join on the scoreboard (the attribution
     // shape: view -> click within 2h per user): TWO file-source streams
     // over the same events directory, watermarked on both sides so the

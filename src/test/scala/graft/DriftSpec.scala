@@ -101,4 +101,14 @@ class DriftSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored == live, "frozen reference drifted from the live sketch")
   }
+
+  test("q_psi_drift_from_ref (stored reference) == q_psi_drift (live recompute)") {
+    // registry parity for the batch drift check: reading the frozen
+    // reference must reproduce the live-recompute query bucket-for-bucket
+    val live = SparkEntry.queries("q_psi_drift")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val fromRef = SparkEntry.queries("q_psi_drift_from_ref")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(fromRef == live, "from-ref drift diverged from the live recompute")
+  }
 }
