@@ -414,14 +414,15 @@ object PipelineQueries {
            |  FROM e, cent3 c WHERE e.vec_id < 5),
            |q1 AS (SELECT q_id, qv, cell, cv, row_number() OVER (PARTITION BY q_id
            |    ORDER BY d, cell) AS rn FROM qd),
-           |probe AS (SELECT q_id, cell, ${sub("qv", "cv")} AS q_resid FROM q1 WHERE rn <= 3),
-           |lut AS (SELECT p.q_id, p.cell, b.s, b.cell AS codeword,
+           |probe AS (SELECT q_id, cell, rn AS pr, ${sub("qv", "cv")} AS q_resid FROM q1 WHERE rn <= 3),
+           |lut AS (SELECT p.q_id, p.cell, p.pr, b.s, b.cell AS codeword,
            |    ${sq(sl("p.q_resid", "b.s"), "b.bc")} AS ld
            |  FROM probe p, bkall b),
-           |parts AS (SELECT lut.q_id, codes.c_id, lut.s, lut.ld
+           |parts AS (SELECT lut.q_id, codes.c_id, lut.pr, lut.s, lut.ld
            |  FROM codes JOIN lut ON lut.cell = codes.cell AND lut.s = codes.s AND lut.codeword = codes.code
            |  WHERE codes.c_id <> lut.q_id),
-           |adc AS (SELECT q_id, c_id, list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
+           |adc AS (SELECT q_id, c_id, min(pr) AS pr,
+           |    list_reduce(list(ld ORDER BY s), (acc, el) -> acc + el) AS dist
            |  FROM parts GROUP BY q_id, c_id),
            |r AS (SELECT q_id, c_id, dist, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY dist, c_id) AS BIGINT) AS rn FROM adc)""".stripMargin
@@ -2273,6 +2274,66 @@ object PipelineQueries {
           .select(col("q_id"), col("n_hits"),
             (col("n_hits") * 100000L).as("recall_micro"))
           .orderBy("q_id")
+      }),
+
+    // The COMPRESSED index's operating curve — q_ann_probe_curve's PQ
+    // sibling: recall@10 of the served IVF-PQ index at nProbe 1..3 per
+    // query. Same one-chain oracle trick (adc carries the candidate's
+    // probe rank — each candidate reaches the ADC fold through exactly
+    // one cell, so the rank is single-valued — and each level re-ranks
+    // pr <= p); the Spark side prices three cell-pruned code probes.
+    // A property worth the query on its own: unlike the exact-rescoring
+    // IVF curve, ADC recall is NOT per-query monotone in nProbe — a
+    // widened probe set adds candidates whose quantized distances are
+    // underestimated, and those can displace true neighbors from the
+    // top-10 (PqSpec pins an instance on this corpus). A deployment
+    // tuning probe width against a compressed index needs the measured
+    // curve, not the monotonicity intuition.
+    Q("q_ann_probe_curve_pq",
+      Some(s"""WITH ${ivfPqOracleCtesFor("")},
+              |lv AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS n_probe),
+              |rp AS (SELECT lv.n_probe, adc.q_id, adc.c_id,
+              |    CAST(row_number() OVER (PARTITION BY lv.n_probe, adc.q_id
+              |      ORDER BY adc.dist, adc.c_id) AS BIGINT) AS rn
+              |  FROM adc, lv WHERE adc.pr <= lv.n_probe),
+              |ak AS (SELECT n_probe, q_id, c_id FROM rp WHERE rn <= 10),
+              |ex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+              |               c.vec_id) AS xrn
+              |  FROM embeddings q JOIN embeddings c
+              |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+              |exk AS (SELECT q_id, c_id FROM ex WHERE xrn <= 10),
+              |h AS (SELECT lv.n_probe, exk.q_id,
+              |    CAST(coalesce(sum(CASE WHEN ak.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+              |  FROM exk CROSS JOIN lv
+              |  LEFT JOIN ak ON ak.n_probe = lv.n_probe
+              |    AND ak.q_id = exk.q_id AND ak.c_id = exk.c_id
+              |  GROUP BY lv.n_probe, exk.q_id)
+              |SELECT n_probe, q_id, n_hits,
+              |  CAST(n_hits * 100000 AS BIGINT) AS recall_micro
+              |FROM h ORDER BY n_probe, q_id""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val idx = materializedIvfPqIndexDir(s, d)
+        val (cents, books) = readIvfPqModel(s, idx)
+        val codes = s.read.parquet(idx + "/codes")
+        val exact = Similarity.bruteForceKnn(emb, queries,
+          "vec_id", "embedding", 10).select("q_id", "c_id")
+        (1 to 3).map { p =>
+          val approx = Pq.ivfPqTopK(codes, queries,
+              "vec_id", "embedding", cents, books, k = 10, nProbe = p)
+            .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+          exact.join(approx, Seq("q_id", "c_id"), "left")
+            .groupBy("q_id")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+            .select(lit(p.toLong).as("n_probe"), col("q_id"), col("n_hits"))
+        }.reduce(_ unionAll _)
+          .select(col("n_probe"), col("q_id"), col("n_hits"),
+            (col("n_hits") * 100000L).as("recall_micro"))
+          .orderBy("n_probe", "q_id")
       }),
 
     // ---- text analysis --------------------------------------------------

@@ -234,6 +234,30 @@ class PqSpec extends SparkTestBase {
     assert(rows.map(_._2).sum >= 10, "PQ recall collapsed — codes no longer rank")
   }
 
+  test("q_ann_probe_curve_pq: bounds hold, converges to q_ann_recall_pq; ADC need NOT be per-query monotone") {
+    val curve = SparkEntry.queries("q_ann_probe_curve_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(curve.keys.toSet == (for (p <- 1L to 3L; q <- 0L until 5L) yield (p, q)).toSet,
+      "one row per (n_probe, query)")
+    curve.values.foreach(h => assert(h >= 0 && h <= 10))
+    // Unlike the exact-rescoring IVF curve, the ADC curve is NOT
+    // guaranteed per-query monotone: a widened probe set adds candidates
+    // whose quantized distances are UNDERestimated, and those can push a
+    // true neighbor out of the top-10 (this corpus exhibits it: query 3
+    // drops 4 -> 3 hits going from 1 to 2 probes at the test sf). What
+    // does hold: the full-probe column IS q_ann_recall_pq's, and the
+    // AGGREGATE recall at full probes is well above the narrowest probe's
+    // floor-of-zero (the curve stays informative as a tuning table).
+    val recall = SparkEntry.queries("q_ann_recall_pq")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (q <- 0L until 5L) {
+      assert(curve((3L, q)) == recall(q),
+        s"query $q: curve at nProbe=3 diverges from q_ann_recall_pq")
+    }
+    assert((0L until 5L).map(q => curve((3L, q))).sum >= 10,
+      "full-probe ADC recall collapsed")
+  }
+
   test("IVF-PQ append: appended codes == re-encoding the whole corpus under the frozen model; append never rewrites base or model") {
     // clear ALL ivfpqincr caches first so the one inspected is
     // unambiguously this sf's (other sfDirs' caches share the prefix)
