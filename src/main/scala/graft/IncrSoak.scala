@@ -31,7 +31,10 @@ object IncrSoak {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: IncrSoak <dir> <den...>")
     val dir = args(0)
-    val dens = args.drop(1).map(_.toInt).toSeq
+    // "nights" selects the cycle ladder below instead of the den sweep
+    val nightsMode = args.lift(1).contains("nights")
+    val dens = if (nightsMode) Seq.empty[Int]
+      else args.drop(1).map(_.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +62,59 @@ object IncrSoak {
       r.write.format("noop").mode("overwrite").save()
       r
     }
+    // nights mode: the CYCLE ladder — two successive nightly rolls
+    // (night 1 = id%4==2 against the night-0 base, night 2 = id%4==3
+    // against night 1's OUTPUT artifact), each timed as the true append
+    // shape (roll from the stored dir, write the next dir). The claim
+    // under test: per-night cost is FLAT across nights (each night pays
+    // its increment + candidates, never the depth of the history), and
+    // roll∘roll stays row-identical to the full rebuild.
+    if (nightsMode) {
+      clusterAll()
+      val (full, tFull) = time(clusterAll())
+      def slice(n: Int) =
+        if (n == 0) docs.filter(col("doc_id") % 4 < 2)
+        else docs.filter(col("doc_id") % 4 === (n + 1))
+      def roll(artDir: String, oldDocs: org.apache.spark.sql.DataFrame,
+          incr: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
+        val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
+            "doc_id", sh, spark.read.parquet(artDir + "/bands"),
+            threshold = 0.7, k = 126, bands = 21)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+              threshold = 0.7, k = 126, bands = 21)
+            .select(col("id_a"), col("id_b")))
+        Dedup.updateClusters(spark.read.parquet(artDir + "/clusters"), newPairs)
+          .write.mode("overwrite").parquet(outDir + "/clusters")
+        spark.read.parquet(artDir + "/bands")
+          .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, 126, 21))
+          .write.mode("overwrite").parquet(outDir + "/bands")
+      }
+      val d0 = java.nio.file.Files.createTempDirectory("nightsoak-0").toString
+      val (_, tBase) = time {
+        val base = slice(0)
+        val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
+          threshold = 0.7, k = 126, bands = 21)
+        Dedup.resolveClusters(pairs, "id_a", "id_b")
+          .write.mode("overwrite").parquet(d0 + "/clusters")
+        Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
+          .write.mode("overwrite").parquet(d0 + "/bands")
+      }
+      val d1 = java.nio.file.Files.createTempDirectory("nightsoak-1").toString
+      val (_, t1) = time(roll(d0, slice(0), slice(1), d1))
+      val d2 = java.nio.file.Files.createTempDirectory("nightsoak-2").toString
+      val (_, t2) = time(roll(d1,
+        docs.filter(col("doc_id") % 4 =!= 3), slice(2), d2))
+      val night2 = spark.read.parquet(d2 + "/clusters")
+      val diff = night2.except(full).count() + full.except(night2).count()
+      require(diff == 0, s"nights: roll-of-roll != full recompute ($diff rows)")
+      println(f"[incrsoak] nights corpus=${docs.count()}%d docs  " +
+        f"base=${tBase}%7.2f s  night1=${t1}%7.2f s  night2=${t2}%7.2f s  " +
+        f"full=${tFull}%7.2f s  (row-identical; equal increments => flat nights)")
+      spark.stop()
+      return
+    }
+
     // warmup (codegen + JVM): the full-rebuild shapes AND the
     // incremental shapes — without the latter, the first den's incr
     // reading pays all of the FromBands/updateClusters codegen

@@ -31,7 +31,9 @@ object ManifestSoak {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ManifestSoak <dir> <den...>")
     val dir = args(0)
-    val dens = args.drop(1).map(_.toInt).toSeq
+    // "nights" selects the delta-cycle ladder instead of the den sweep
+    val dens = if (args.lift(1).contains("nights")) Seq.empty[Int]
+      else args.drop(1).map(_.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,6 +65,94 @@ object ManifestSoak {
       d.join(contaminated, Seq("doc_id"), "left_anti")
     }
     val nDocs = docs.count()
+
+    // nights mode: the delta CYCLE ladder — two successive delta nights
+    // (night 1 = id%4==2 against the night-0 artifacts, night 2 =
+    // id%4==3 against night 1's OUTPUT), each timed as the true
+    // O(increment) append shape. Claim: per-night delta cost is FLAT
+    // across nights, and delta∘delta stays row-identical to the
+    // frozen-bench recipe from scratch.
+    if (args.lift(1).contains("nights")) {
+      def slice(n: Int) =
+        if (n == 0) docs.filter(col("doc_id") % 4 < 2)
+        else docs.filter(col("doc_id") % 4 === (n + 1))
+      val art = java.nio.file.Files
+        .createTempDirectory("manifestsoak-nights").toString
+      def buildClusters(df: DataFrame, dir: String): Unit = {
+        Dedup.resolveClusters(Dedup.minHashPairsHashed(df, "doc_id", sh,
+            threshold = 0.7, k = 126, bands = 21), "id_a", "id_b")
+          .write.mode("overwrite").parquet(dir + "/clusters")
+        Dedup.bandedSignatures(df, "doc_id", sh, k = 126, bands = 21)
+          .write.mode("overwrite").parquet(dir + "/bands")
+      }
+      def rollClusters(fromDir: String, oldDocs: DataFrame, incr: DataFrame,
+          toDir: String): Unit = {
+        val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
+            "doc_id", sh, spark.read.parquet(fromDir + "/bands"),
+            threshold = 0.7, k = 126, bands = 21)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
+              threshold = 0.7, k = 126, bands = 21)
+            .select(col("id_a"), col("id_b")))
+        Dedup.updateClusters(spark.read.parquet(fromDir + "/clusters"), newPairs)
+          .write.mode("overwrite").parquet(toDir + "/clusters")
+        spark.read.parquet(fromDir + "/bands")
+          .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, 126, 21))
+          .write.mode("overwrite").parquet(toDir + "/bands")
+      }
+      // night-0 artifacts, untimed: what every append amortizes
+      val (_, tBase) = time {
+        val base = slice(0)
+        buildClusters(base, art + "/c0")
+        base.filter(col("source") === "src0")
+          .select(explode(Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+          .distinct().write.mode("overwrite").parquet(art + "/benchgrams")
+        val gated = base.filter(col("source") =!= "src0").filter(gate)
+        val deduped = gated.join(
+          losersOf(spark.read.parquet(art + "/c0/clusters")),
+          Seq("doc_id"), "left_anti")
+        decontamVs(deduped, spark.read.parquet(art + "/benchgrams"))
+          .select("doc_id", "source")
+          .write.mode("overwrite").parquet(art + "/kept0")
+      }
+      val benchGrams = spark.read.parquet(art + "/benchgrams")
+      // one delta night: cluster roll + verdict roll, all to storage —
+      // the SAME body both nights (only the dirs and the slice move)
+      def deltaNight(n: Int, oldDocs: DataFrame): Unit = {
+        val incr = slice(n)
+        rollClusters(art + s"/c${n - 1}", oldDocs, incr, art + s"/c$n")
+        val newlyLosing =
+          losersOf(spark.read.parquet(art + s"/c$n/clusters"))
+            .join(losersOf(spark.read.parquet(art + s"/c${n - 1}/clusters")),
+              Seq("doc_id"), "left_anti")
+        val keptOld = spark.read.parquet(art + s"/kept${n - 1}")
+          .join(newlyLosing, Seq("doc_id"), "left_anti")
+        val incrGated = incr.filter(col("source") =!= "src0").filter(gate)
+        val newKept = decontamVs(incrGated, benchGrams)
+          .select("doc_id", "source")
+          .join(losersOf(spark.read.parquet(art + s"/c$n/clusters")),
+            Seq("doc_id"), "left_anti")
+        keptOld.unionAll(newKept)
+          .write.mode("overwrite").parquet(art + s"/kept$n")
+      }
+      val (_, t1) = time(deltaNight(1, slice(0)))
+      val (_, t2) = time(deltaNight(2, docs.filter(col("doc_id") % 4 =!= 3)))
+      // from-scratch frozen-bench recipe for the identity check
+      val losersFull = losersOf(Dedup.resolveClusters(
+        Dedup.minHashPairsHashed(docs, "doc_id", sh,
+          threshold = 0.7, k = 126, bands = 21), "id_a", "id_b"))
+      val full = decontamVs(docs.filter(col("source") =!= "src0").filter(gate)
+        .join(losersFull, Seq("doc_id"), "left_anti"), benchGrams)
+        .select("doc_id", "source")
+      val night2 = spark.read.parquet(art + "/kept2")
+      val diff = night2.except(full).count() + full.except(night2).count()
+      require(diff == 0, s"nights: delta-of-delta != full recipe ($diff rows)")
+      println(f"[manifestsoak] nights corpus=$nDocs%d docs  " +
+        f"base=${tBase}%7.2f s  night1=${t1}%7.2f s  night2=${t2}%7.2f s  " +
+        f"(row-identical; equal increments => flat nights)")
+      spark.stop()
+      return
+    }
 
     dens.foreach { den =>
       val base = docs.filter(col("doc_id") % den =!= (den - 1))

@@ -58,11 +58,31 @@ object Drift {
       lo: Long, hi: Long, buckets: Int): DataFrame =
     jsTerms(spineCounts(df, value, isRef, lo, hi, buckets), Nil, buckets)
 
+  /** PSI and JS terms side by side over ONE pre-counted spine table —
+    * the multi-metric drift PANEL row shape (`q_drift_panel`): the
+    * counts (the only corpus-proportional input) are computed once and
+    * both metrics are per-row arithmetic on them, so a second metric
+    * costs zero extra scans. Output appends `psi_term_micro` and
+    * `js_term_micro`; each column equals its single-metric twin's
+    * ([[psiTerms]]/[[jsTerms]]) exactly (DriftSpec pins it).
+    */
+  def psiJsTerms(full: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame =
+    termsMulti(full, groupCols, buckets)(Seq(
+      "psi_term_micro" -> ((p, q) => (p - q) * log(p / q)),
+      "js_term_micro" -> { (p, q) =>
+        val m = (p + q) / lit(2.0)
+        (p * log(p / m) + q * log(q / m)) * lit(0.5)
+      }))
+
   /** Shared term machinery: smoothed slice probabilities per bucket,
     * metric-specific `term(p, q)` micro-quantized per row.
     */
   private def terms(full: DataFrame, groupCols: Seq[String], buckets: Int)(
-      term: (Column, Column) => Column): DataFrame = {
+      term: (Column, Column) => Column): DataFrame =
+    termsMulti(full, groupCols, buckets)(Seq("term_micro" -> term))
+
+  private def termsMulti(full: DataFrame, groupCols: Seq[String], buckets: Int)(
+      ts: Seq[(String, (Column, Column) => Column)]): DataFrame = {
     val gcols = groupCols.map(col)
     val tot = full.groupBy(gcols: _*)
       .agg(sum("cnt_ref").as("nr"), sum("cnt_cur").as("nc"))
@@ -73,8 +93,10 @@ object Drift {
       (col("nr") + lit(buckets.toLong)).cast("double")
     val q = (col("cnt_cur") + lit(1L)).cast("double") /
       (col("nc") + lit(buckets.toLong)).cast("double")
-    joined.select(gcols ++ Seq(col("bucket"), col("cnt_ref"), col("cnt_cur"),
-      round(term(p, q) * lit(1e6), 0).cast("long").as("term_micro")): _*)
+    joined.select(gcols ++ Seq(col("bucket"), col("cnt_ref"), col("cnt_cur")) ++
+      ts.map { case (name, term) =>
+        round(term(p, q) * lit(1e6), 0).cast("long").as(name)
+      }: _*)
   }
 
   private def spineCounts(df: DataFrame, value: Column, isRef: Column,

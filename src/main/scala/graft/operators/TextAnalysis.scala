@@ -689,8 +689,14 @@ object TextAnalysis {
     * result is bit-equal at any parallelism. F1 uses the single-division
     * form 2·tp / (2·tp + fp + fn) — no compounding of rounded P and R.
     */
-  def classifierEval(df: DataFrame, textCol: String, label: Column,
-      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+  /** The integer-micro margin w·x (+ intercept when the table carries
+    * one) of a trained hashed-BoW model over `textCol` — the shared
+    * scoring expression behind [[classifierEval]] and
+    * [[classifierCurve]]: a pure per-row HOF fold, no shuffle, NULL text
+    * scores as the empty document (bias only).
+    */
+  private def marginMicroOf(textCol: String, weightsMicro: Seq[Long],
+      buckets: Int): Column = {
     val withBias = weightsMicro.size == buckets + 1
     require(withBias || weightsMicro.size == buckets,
       s"need $buckets or ${buckets + 1} weights, got ${weightsMicro.size}")
@@ -698,12 +704,18 @@ object TextAnalysis {
     val bucketOf: Column => Column = t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
     val bias = if (withBias) element_at(wArr, buckets + 1) else lit(0L)
-    val cells = df.withColumn("__t", coalesce(
-        filter(tokens(col(textCol)), t => t =!= ""),
-        typedLit(Seq.empty[String])))
-      .withColumn("__m", aggregate(
-        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
-        lit(0L), (acc, x) => acc + x) + bias)
+    val toks = coalesce(
+      filter(tokens(col(textCol)), t => t =!= ""),
+      typedLit(Seq.empty[String]))
+    aggregate(
+      transform(toks, t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x) + bias
+  }
+
+  def classifierEval(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+    val cells = df
+      .withColumn("__m", marginMicroOf(textCol, weightsMicro, buckets))
       .select((label === 1L).as("__y"), (col("__m") > 0L).as("__p"))
       .agg(
         // coalesce: an empty frame evaluates to an all-zero matrix, not a
@@ -719,6 +731,42 @@ object TextAnalysis {
       "CASE WHEN tp + fn = 0 THEN 0L ELSE 1000000L * tp div (tp + fn) END AS recall_micro",
       "CASE WHEN 2L * tp + fp + fn = 0 THEN 0L ELSE 2000000L * tp div (2L * tp + fp + fn) END AS f1_micro",
       "CASE WHEN tp + fp + fn + tn = 0 THEN 0L ELSE 1000000L * (tp + tn) div (tp + fp + fn + tn) END AS accuracy_micro")
+  }
+
+  /** Margin-threshold OPERATING CURVE of a trained hashed-BoW classifier
+    * — the q_ann_probe_curve pattern applied to the quality gate: the
+    * confusion matrix and exact-micro precision/recall/F1/accuracy at
+    * each margin threshold (prediction = margin > thr), the table a
+    * deployment picks its operating point from.
+    *
+    * Scale shape: ONE corpus scan — the margin rides the scan as the
+    * same no-shuffle fold as [[classifierEval]], each scored row joins
+    * the BROADCAST k-row threshold dim, and the matrix is a k-group
+    * 4-counter aggregate (map-side combinable): k·4 longs cross the
+    * exchange, never the corpus. All rates are exact integer-micro
+    * divisions, bit-equal at any parallelism.
+    */
+  def classifierCurve(df: DataFrame, textCol: String, label: Column,
+      weightsMicro: Seq[Long], thresholdsMicro: Seq[Long],
+      buckets: Int = 256): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "need at least one threshold")
+    import df.sparkSession.implicits._
+    val thr = thresholdsMicro.toDF("thr_micro")
+    df.select((label === 1L).as("__y"),
+        marginMicroOf(textCol, weightsMicro, buckets).as("__m"))
+      .crossJoin(broadcast(thr))
+      .select(col("thr_micro"), col("__y"), (col("__m") > col("thr_micro")).as("__p"))
+      .groupBy("thr_micro")
+      .agg(
+        coalesce(sum(when(col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("tn"))
+      .selectExpr("thr_micro", "tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp = 0 THEN 0L ELSE 1000000L * tp div (tp + fp) END AS precision_micro",
+        "CASE WHEN tp + fn = 0 THEN 0L ELSE 1000000L * tp div (tp + fn) END AS recall_micro",
+        "CASE WHEN 2L * tp + fp + fn = 0 THEN 0L ELSE 2000000L * tp div (2L * tp + fp + fn) END AS f1_micro",
+        "CASE WHEN tp + fp + fn + tn = 0 THEN 0L ELSE 1000000L * (tp + tn) div (tp + fp + fn + tn) END AS accuracy_micro")
   }
 
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,

@@ -50,6 +50,65 @@ object PipelineQueries {
        |          JOIN shn nb ON nb.doc_id = id_b
        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= $thr)""".stripMargin
 
+  /** The manifest KEEP-SET oracle CTEs, shared by the whole
+    * q_curation_manifest family (full / incr / delta / pack) — factored
+    * like [[FullClosureOracleSql]] so the recipe cannot silently fork
+    * across the four copies (ADVICE r17): closure losers over the exact
+    * pair set, the 13-gram bad set against the benchmark (`benchWhere`
+    * narrows the bench CTE — the delta path freezes it to the base
+    * slice), and the Gopher gate clause. Ends in `gated`; callers append
+    * their final SELECT (and q_pack_manifest its `kept` CTE).
+    */
+  /** Closure LOSERS over the exact pair set as CTEs (`losers(v)`) — the
+    * near-dup keep-set's oracle core, shared by the manifest family and
+    * the streaming ingest-vs-store check (WarehouseQueries). Needs
+    * `WITH RECURSIVE`.
+    */
+  private[queries] def closureLoserCtes: String =
+    s"""${duckPairCtes("0.7")},
+       |e AS (SELECT id_a AS a, id_b AS b FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a AS v, a AS r FROM e
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
+       |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r))""".stripMargin
+
+  /** The nightly rolled-forward cluster artifact's dir, for consumers
+    * outside this object (the streaming ingest gate reads its loser
+    * table as the stream-static side).
+    */
+  private[queries] def compactClusterArtifactDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    materializedCompactClusterDir(s, d)
+
+  private def manifestKeepCtes(benchWhere: String = ""): String = {
+    val gates = TextAnalysis.gopherGateSql("text")
+      .map(_._2).mkString("\n  AND ")
+    s"""${closureLoserCtes},
+       |toks AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |grams AS (SELECT doc_id, source,
+       |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
+       |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
+       |  FROM toks WHERE len(t) >= 13),
+       |bench AS (SELECT DISTINCT g FROM grams
+       |  WHERE source = 'src0'$benchWhere),
+       |bad AS (SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+       |gated AS (SELECT doc_id FROM documents WHERE $gates)""".stripMargin
+  }
+
+  /** The final keep-set SELECT the three manifest queries share. */
+  private val manifestKeepSelect: String =
+    """SELECT d.doc_id, d.source FROM documents d
+      |WHERE d.source <> 'src0'
+      |  AND d.doc_id IN (SELECT doc_id FROM gated)
+      |  AND d.doc_id NOT IN (SELECT v FROM losers)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY d.doc_id""".stripMargin
+
   private val bm25Terms = Seq("dup", "vector", "scan")
 
   /** Materialize the documents near-dup cluster table (MinHash-LSH
@@ -68,17 +127,6 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
-  /** The BASE-corpus maintenance artifact for the incremental query
-    * (`q_dedup_clusters_incr`): doc_id % 4 != 3 stands in for "the corpus
-    * as of the last nightly build". TWO tables are stored — `clusters/`
-    * (the resolved label table [[Dedup.updateClusters]] merges into) and
-    * `bands/` (the corpus's banded MinHash signatures,
-    * [[Dedup.bandedSignatures]] — `bands` longs per doc), so the nightly
-    * append never re-hashes the corpus: candidate generation joins the
-    * increment's bands against the stored table, and verification reads
-    * only candidate old docs. Both subdirs `_SUCCESS`-gated — a crash
-    * between the writes rebuilds both.
-    */
   /** The full-corpus near-dup cluster table as a recursive closure over
     * the exact pair set — shared by q_dedup_clusters_incr (incremental
     * merge == full recompute, the frozen-LSH law) and
@@ -96,6 +144,17 @@ object PipelineQueries {
             |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
             |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
 
+  /** The BASE-corpus maintenance artifact for the incremental query
+    * (`q_dedup_clusters_incr`): doc_id % 4 != 3 stands in for "the corpus
+    * as of the last nightly build". TWO tables are stored — `clusters/`
+    * (the resolved label table [[Dedup.updateClusters]] merges into) and
+    * `bands/` (the corpus's banded MinHash signatures,
+    * [[Dedup.bandedSignatures]] — `bands` longs per doc), so the nightly
+    * append never re-hashes the corpus: candidate generation joins the
+    * increment's bands against the stored table, and verification reads
+    * only candidate old docs. Both subdirs `_SUCCESS`-gated — a crash
+    * between the writes rebuilds both.
+    */
   private def materializedBaseClusterDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "clusterbase",
@@ -177,27 +236,102 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "manifestbase",
         Seq("kept/_SUCCESS", "benchgrams/_SUCCESS")) { dir =>
-      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
-      val bench = base.filter(col("source") === "src0")
-      bench.select(explode(
-          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
-        .distinct()
-        .write.mode("overwrite").parquet(dir + "/benchgrams")
-      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
-      val gated = base.filter(col("source") =!= "src0").filter(gate)
-      val losers = s.read
-        .parquet(materializedBaseClusterDir(s, d) + "/clusters")
-        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
-      val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
-      val contaminated = deduped
-        .select(col("doc_id"), explode(
-          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
-        .join(s.read.parquet(dir + "/benchgrams"), "g")
-        .select("doc_id").distinct()
-      deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .select("doc_id", "source")
-        .write.mode("overwrite").parquet(dir + "/kept")
+      buildBaseManifest(s, t(s, d, "documents").filter(col("doc_id") % 4 =!= 3),
+        materializedBaseClusterDir(s, d) + "/clusters", dir)
     }
+
+  /** Build the night-0 manifest artifact (frozen `benchgrams/` + the
+    * base `kept/` table) from `base` under the `clusterDir` loser table
+    * — the ONE builder behind the single-night delta
+    * ([[materializedBaseManifestDir]]) and the two-night cycle
+    * ([[materializedDelta2ManifestDir]]).
+    */
+  private def buildBaseManifest(s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame, clusterDir: String,
+      dir: String): Unit = {
+    val bench = base.filter(col("source") === "src0")
+    bench.select(explode(
+        Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(dir + "/benchgrams")
+    val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+    val gated = base.filter(col("source") =!= "src0").filter(gate)
+    val losers = s.read.parquet(clusterDir)
+      .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+    val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+    val contaminated = deduped
+      .select(col("doc_id"), explode(
+        Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+      .join(s.read.parquet(dir + "/benchgrams"), "g")
+      .select("doc_id").distinct()
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+      .write.mode("overwrite").parquet(dir + "/kept")
+  }
+
+  /** Roll a stored kept-set ONE NIGHT forward into `outDir` (the delta
+    * identity — see [[materializedDeltaManifestDir]]'s doc): stored kept
+    * minus newly-losing (the diff of the two nights' loser tables), plus
+    * the increment's survivors under gates + the FROZEN gram store +
+    * the merged loser table. Reads only id tables, the increment, and
+    * the frozen grams — never the base corpus. The SAME body serves
+    * every night, which is what lets the delta path cycle.
+    */
+  private def rollManifestDelta(s: org.apache.spark.sql.SparkSession,
+      keptDir: String, benchGramsDir: String, losersNewDir: String,
+      losersOldDir: String, incr: org.apache.spark.sql.DataFrame,
+      outDir: String): Unit = {
+    def losersOf(cd: String) = s.read.parquet(cd)
+      .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+    val newlyLosing = losersOf(losersNewDir)
+      .join(losersOf(losersOldDir), Seq("doc_id"), "left_anti")
+    val keptOld = s.read.parquet(keptDir)
+      .join(newlyLosing, Seq("doc_id"), "left_anti")
+    val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
+    val incrGated = incr.filter(col("source") =!= "src0").filter(gate)
+    val contaminated = incrGated
+      .select(col("doc_id"), explode(
+        Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+      .join(s.read.parquet(benchGramsDir), "g")
+      .select("doc_id").distinct()
+    val newKept = incrGated.select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(losersOf(losersNewDir), Seq("doc_id"), "left_anti")
+    keptOld.unionAll(newKept)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** The delta manifest CYCLED over two append nights
+    * (`q_curation_manifest_delta2`): night-0 artifacts under the
+    * three-night split (base kept-set + frozen benchgrams, bench = src0
+    * ∩ night-0), then TWO successive [[rollManifestDelta]] nights — each
+    * reading the PREVIOUS night's kept table and the per-night loser
+    * diff from the cluster cycle's rungs. Verdicts roll forward twice;
+    * the result is row-identical to the frozen-bench recipe from
+    * scratch (CurationSpec), pinning that the O(increment) nightly is
+    * sound at ANY depth, not just for one append.
+    */
+  private def materializedDelta2ManifestDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val docs = t(s, d, "documents")
+    val (clBase, clN1, clN2) = clusterCycleDirs(s, d)
+    val base = ArtifactCache.dir(s, d, "documents", "manifestbase2",
+        Seq("kept/_SUCCESS", "benchgrams/_SUCCESS")) { dir =>
+      buildBaseManifest(s, nightSlice(docs, "doc_id", 0),
+        clBase + "/clusters", dir)
+    }
+    val n1 = ArtifactCache.dir(s, d, "documents", "manifestd1",
+        Seq("_SUCCESS")) { dir =>
+      rollManifestDelta(s, base + "/kept", base + "/benchgrams",
+        clN1 + "/clusters", clBase + "/clusters",
+        nightSlice(docs, "doc_id", 1), dir)
+    }
+    ArtifactCache.dir(s, d, "documents", "manifestd2", Seq("_SUCCESS")) { dir =>
+      rollManifestDelta(s, n1, base + "/benchgrams",
+        clN2 + "/clusters", clN1 + "/clusters",
+        nightSlice(docs, "doc_id", 2), dir)
+    }
+  }
 
   /** The DELTA manifest (`q_curation_manifest_delta`) — append-night
     * maintenance whose cost is ∝ the INCREMENT, never the corpus
@@ -222,29 +356,11 @@ object PipelineQueries {
   private def materializedDeltaManifestDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "manifestdelta", Seq("_SUCCESS")) { dir =>
-      val incr = t(s, d, "documents").filter(col("doc_id") % 4 === 3)
       val baseArt = materializedBaseManifestDir(s, d)
-      def losersOf(clusterDir: String) = s.read.parquet(clusterDir)
-        .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
-      val losersFull =
-        losersOf(materializedCompactClusterDir(s, d) + "/clusters")
-      val losersBase =
-        losersOf(materializedBaseClusterDir(s, d) + "/clusters")
-      val newlyLosing = losersFull.join(losersBase, Seq("doc_id"), "left_anti")
-      val keptOld = s.read.parquet(baseArt + "/kept")
-        .join(newlyLosing, Seq("doc_id"), "left_anti")
-      val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
-      val incrGated = incr.filter(col("source") =!= "src0").filter(gate)
-      val contaminated = incrGated
-        .select(col("doc_id"), explode(
-          Decontaminate.ngramHashes(col("text"), 13)).as("g"))
-        .join(s.read.parquet(baseArt + "/benchgrams"), "g")
-        .select("doc_id").distinct()
-      val newKept = incrGated.select("doc_id", "source")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .join(losersFull, Seq("doc_id"), "left_anti")
-      keptOld.unionAll(newKept)
-        .write.mode("overwrite").parquet(dir)
+      rollManifestDelta(s, baseArt + "/kept", baseArt + "/benchgrams",
+        materializedCompactClusterDir(s, d) + "/clusters",
+        materializedBaseClusterDir(s, d) + "/clusters",
+        t(s, d, "documents").filter(col("doc_id") % 4 === 3), dir)
     }
 
   /** The incremental merge ROLLED FORWARD to storage
@@ -265,23 +381,83 @@ object PipelineQueries {
     ArtifactCache.dir(s, d, "documents", "clustercompact",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
       val docs = t(s, d, "documents")
-      val sh = Dedup.shinglesHashed(col("text"), 5)
-      val base = docs.filter(col("doc_id") % 4 =!= 3)
-      val incr = docs.filter(col("doc_id") % 4 === 3)
-      val art = materializedBaseClusterDir(s, d)
-      val newPairs = Dedup.minHashIncrementalFromBands(incr, base,
-          "doc_id", sh, s.read.parquet(art + "/bands"),
+      rollClusterArtifact(s, materializedBaseClusterDir(s, d),
+        docs.filter(col("doc_id") % 4 =!= 3),
+        docs.filter(col("doc_id") % 4 === 3), dir)
+    }
+
+  /** Roll a stored cluster artifact ONE NIGHT forward into `outDir`:
+    * increment × band-store join + increment × increment LSH → verified
+    * pairs ([[Dedup.minHashIncrementalFromBands]] — only candidate old
+    * docs are re-read from `oldDocs`), [[Dedup.updateClusters]] merge
+    * into the stored label table, band store extended by the
+    * increment's frozen-seeded signatures. The SAME body serves every
+    * night — the cluster table's generation-counter equivalent: its
+    * "next generation" is the rolled artifact dir itself — which is
+    * what lets the cycle queries chain night after night with no
+    * night-specific code.
+    */
+  private def rollClusterArtifact(s: org.apache.spark.sql.SparkSession,
+      artDir: String, oldDocs: org.apache.spark.sql.DataFrame,
+      incr: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
+    val sh = Dedup.shinglesHashed(col("text"), 5)
+    val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
+        "doc_id", sh, s.read.parquet(artDir + "/bands"),
+        threshold = 0.7, k = 126, bands = 21)
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
           threshold = 0.7, k = 126, bands = 21)
-        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-        .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
-            threshold = 0.7, k = 126, bands = 21)
-          .select(col("id_a"), col("id_b")))
-      Dedup.updateClusters(s.read.parquet(art + "/clusters"), newPairs)
+        .select(col("id_a"), col("id_b")))
+    Dedup.updateClusters(s.read.parquet(artDir + "/clusters"), newPairs)
+      .write.mode("overwrite").parquet(outDir + "/clusters")
+    s.read.parquet(artDir + "/bands")
+      .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, k = 126, bands = 21))
+      .write.mode("overwrite").parquet(outDir + "/bands")
+  }
+
+  /** The cluster-table CYCLE (`q_dedup_clusters_cycle`), the dedup twin
+    * of the IVF cycle: night-0 base build (doc_id % 4 ∈ {0, 1}), then
+    * TWO successive nightly rolls through [[rollClusterArtifact]] —
+    * night 1 merges id % 4 == 2, its output artifact becomes night 2's
+    * base, night 2 merges id % 4 == 3. Frozen MinHash seeds + the
+    * star-replay merge mean roll∘roll == one full rebuild over the
+    * whole corpus (the unchanged FullClosure oracle pins it), and each
+    * night's cost stays ∝ its increment (IncrSoak's ladder).
+    */
+  private def materializedClusterNight2Dir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    clusterCycleDirs(s, d)._3
+
+  /** The cycle's three cluster artifacts (night-0 base, night-1 roll,
+    * night-2 roll), each cached under its own tag — the delta-manifest
+    * cycle reads the per-night loser DIFFS, so it needs every rung.
+    */
+  private def clusterCycleDirs(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String, String) = {
+    val docs = t(s, d, "documents")
+    val base2 = ArtifactCache.dir(s, d, "documents", "clbase2",
+        Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
+      val base = nightSlice(docs, "doc_id", 0)
+      val sh = Dedup.shinglesHashed(col("text"), 5)
+      val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
+        threshold = 0.7, k = 126, bands = 21)
+      Dedup.resolveClusters(pairs, "id_a", "id_b")
         .write.mode("overwrite").parquet(dir + "/clusters")
-      s.read.parquet(art + "/bands")
-        .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, k = 126, bands = 21))
+      Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
         .write.mode("overwrite").parquet(dir + "/bands")
     }
+    val night1 = ArtifactCache.dir(s, d, "documents", "clnight1",
+        Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
+      rollClusterArtifact(s, base2,
+        nightSlice(docs, "doc_id", 0), nightSlice(docs, "doc_id", 1), dir)
+    }
+    val night2 = ArtifactCache.dir(s, d, "documents", "clnight2",
+        Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
+      rollClusterArtifact(s, night1,
+        docs.filter(col("doc_id") % 4 =!= 3), nightSlice(docs, "doc_id", 2), dir)
+    }
+    (base2, night1, night2)
+  }
 
   /** The full-chain IVF oracle (16-vector seed → exact-micro Lloyd step →
     * float-cast centroids → argmax cell assignment → top-4 probe → cosine
@@ -430,30 +606,172 @@ object PipelineQueries {
 
   private val IvfPqOracleSql: Option[String] = Some(ivfPqOracleSqlFor(""))
 
+  /** Build the IVF-Flat layout (trained centroids + cell-partitioned
+    * postings) from `corpus` into `dir` — the ONE builder behind the
+    * nightly build ([[materializedIvfIndexDir]]) and the model REFRESH
+    * ([[materializedIvfRefreshDir]]), so "refreshed == rebuilt from
+    * scratch" holds by construction: 16-smallest-id seeds, one
+    * exact-micro Lloyd step (q_embed_knn_ivf's training), float-cast
+    * centroids, postings PARTITIONED BY cell so a query's probe set
+    * prunes unread partitions at the listing.
+    */
+  private def buildIvfFlat(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val seed = Similarity.centroidRows(
+      corpus.filter(col("vec_id") < 16), "vec_id", "embedding")
+    val trained = Similarity.kmeansStep(corpus, "vec_id", "embedding", seed)
+      .select(col("cell"),
+        expr("transform(centroid, x -> cast(x as float))").as("centroid"))
+    trained.write.mode("overwrite").parquet(dir + "/centroids")
+    val cents = Similarity.centroidRows(
+      s.read.parquet(dir + "/centroids"), "cell", "centroid")
+    Similarity.ivfAssignCells(corpus, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+  }
+
   /** Materialize the trained IVF-Flat index over `embeddings` once per
-    * corpus version via [[ArtifactCache]]: `centroids/` = the 16-seed +
-    * one-Lloyd-step trained quantizer (the q_embed_knn_ivf training),
-    * `postings/` = the corpus assigned to cells, PARTITIONED BY cell so
-    * a query's probe set prunes unread partitions at the listing. Guard
-    * is BOTH subdirs' `_SUCCESS` markers — a crash between the two
+    * corpus version via [[ArtifactCache]] ([[buildIvfFlat]]'s layout).
+    * Guard is BOTH subdirs' `_SUCCESS` markers — a crash between the two
     * writes rebuilds both.
     */
   private def materializedIvfIndexDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "embeddings", "ivf",
         Seq("centroids/_SUCCESS", "postings/_SUCCESS")) { dir =>
-      val emb = t(s, d, "embeddings")
-      val seed = Similarity.centroidRows(
-        emb.filter(col("vec_id") < 16), "vec_id", "embedding")
-      val trained = Similarity.kmeansStep(emb, "vec_id", "embedding", seed)
-        .select(col("cell"),
-          expr("transform(centroid, x -> cast(x as float))").as("centroid"))
-      trained.write.mode("overwrite").parquet(dir + "/centroids")
-      val cents = Similarity.centroidRows(
-        s.read.parquet(dir + "/centroids"), "cell", "centroid")
-      Similarity.ivfAssignCells(emb, "vec_id", "embedding", cents)
-        .write.mode("overwrite").partitionBy("cell").parquet(dir + "/postings")
+      buildIvfFlat(s, t(s, d, "embeddings"), dir)
     }
+
+  /** Hottest-cell fill ratio (vs fair share, in micros) of a stored
+    * cell-partitioned layout — the REFRESH TRIGGER scalar: a quantizer
+    * trained on yesterday's corpus drifts as appends skew the cells, and
+    * max_cell · k / total is the standard imbalance alarm. Bounded: the
+    * per-cell histogram is ≤ k rows (k = trained cell count, from the
+    * centroid table), collected once; exact Long arithmetic so the
+    * threshold compare is engine- and parallelism-stable.
+    */
+  private def hottestCellRatioMicro(s: org.apache.spark.sql.SparkSession,
+      idxDir: String, sub: String): Long = {
+    val k = s.read.parquet(idxDir + "/centroids").count()
+    val counts = s.read.parquet(s"$idxDir/$sub")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    counts.map(n => n * k * 1000000L / total).max
+  }
+
+  /** The model-REFRESH verb (`q_ann_refresh`) — the gap a store that
+    * only appends accumulates: every nightly append is pinned under the
+    * FROZEN base-trained quantizer ([[materializedIvfIncrIndexDir]]),
+    * and recall decays as the corpus outgrows the base centroids. The
+    * decision reads the frozen store's cell histogram
+    * ([[hottestCellRatioMicro]]): if the hottest cell exceeds
+    * `spark.graft.ann.refreshFactorMicro` (micros of fair share;
+    * default 0 — the registered query FORCES the refresh so the oracle
+    * prices the full retrain path; the threshold wiring both ways is
+    * spec-pinned in SimilaritySpec) the quantizer is retrained on the
+    * CURRENT corpus and every vector re-encoded into a fresh index
+    * VERSION — its own registry artifact, so the frozen store keeps
+    * serving until the refreshed markers commit (the blue/green swap).
+    * Returns the dir to SERVE. Refreshed == built-from-scratch by
+    * construction ([[buildIvfFlat]] is the shared builder), which is
+    * why the oracle is the unrestricted full-corpus IVF chain.
+    */
+  private def materializedIvfRefreshDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val frozen = materializedIvfIncrIndexDir(s, d)
+    val factor = s.conf.getOption("spark.graft.ann.refreshFactorMicro")
+      .map(_.toLong).getOrElse(0L)
+    if (hottestCellRatioMicro(s, frozen, "postings") <= factor) frozen
+    else ArtifactCache.dir(s, d, "embeddings", "ivfrefresh",
+        Seq("centroids/_SUCCESS", "postings/_SUCCESS")) { dir =>
+      buildIvfFlat(s, t(s, d, "embeddings"), dir)
+    }
+  }
+
+  /** Night slices of the CYCLE simulation: the corpus arrives over three
+    * nights — night 0 (the base build, id % 4 ∈ {0, 1}), night 1
+    * (id % 4 == 2), night 2 (id % 4 == 3).
+    */
+  private def nightSlice(df: org.apache.spark.sql.DataFrame,
+      idCol: String, night: Int): org.apache.spark.sql.DataFrame =
+    if (night == 0) df.filter(col(idCol) % 4 < 2)
+    else df.filter(col(idCol) % 4 === (night + 1))
+
+  /** The IVF store under REPEATED appends (append → append,
+    * `q_ann_index_nights`): the quantizer is trained once on the night-0
+    * base and frozen; every night — including the base encode — lands
+    * through the SAME append stage, its generation number computed by
+    * [[ArtifactCache.nextGen]] instead of hard-coded, so this code
+    * serves night 1 on a fresh store and night N on an append-only one.
+    */
+  private def materializedIvfNightsDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def cents(dir: String) = Similarity.centroidRows(
+      s.read.parquet(dir + "/centroids"), "cell", "centroid")
+    def appendNight(night: Int)(dir: String): Unit = {
+      val g = ArtifactCache.nextGen(s, dir, "postings")
+      Similarity.ivfAssignCells(
+          nightSlice(t(s, d, "embeddings"), "vec_id", night),
+          "vec_id", "embedding", cents(dir))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(dir + s"/postings/gen=$g")
+    }
+    ArtifactCache.staged(s, d, "embeddings", "ivfnights", Seq(
+      "centroids/_SUCCESS" -> { dir =>
+        val base = nightSlice(t(s, d, "embeddings"), "vec_id", 0)
+        val seed = Similarity.centroidRows(
+          base.orderBy("vec_id").limit(16), "vec_id", "embedding")
+        Similarity.kmeansStep(base, "vec_id", "embedding", seed)
+          .select(col("cell"),
+            expr("transform(centroid, x -> cast(x as float))").as("centroid"))
+          .write.mode("overwrite").parquet(dir + "/centroids")
+      },
+      "postings/gen=0/_SUCCESS" -> appendNight(0),
+      "postings/gen=1/_SUCCESS" -> appendNight(1),
+      "postings/gen=2/_SUCCESS" -> appendNight(2)))
+  }
+
+  /** The lifecycle CYCLE closed (`q_ann_index_cycle`): night 1's
+    * generations are COMPACTED into one, and night 2 appends INTO the
+    * compacted store as the next generation ([[ArtifactCache.nextGen]]
+    * → 1 — the counter restarts naturally because compaction collapsed
+    * history to gen=0; nothing is copied out, the artifact dir itself
+    * rolls forward). This executes the claim the compact verb only
+    * implied: "tomorrow's append starts from this dir". Compact →
+    * append == append → append == full rebuild under the frozen
+    * quantizer (SimilaritySpec pins the layouts; the unchanged oracle
+    * pins the served ranks).
+    */
+  private def materializedIvfCycleDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def cents(dir: String) = Similarity.centroidRows(
+      s.read.parquet(dir + "/centroids"), "cell", "centroid")
+    ArtifactCache.staged(s, d, "embeddings", "ivfcycle", Seq(
+      "centroids/_SUCCESS" -> { dir =>
+        s.read.parquet(materializedIvfNightsDir(s, d) + "/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+      },
+      "postings/gen=0/_SUCCESS" -> { dir =>
+        // COMPACT the night-1 state: ONE scan of generations <= 1 (the
+        // gen partition column prunes night 2's files at the listing),
+        // the gen dimension dropped, one partitionBy(cell) rewrite
+        s.read.parquet(materializedIvfNightsDir(s, d) + "/postings")
+          .filter(col("gen") <= 1)
+          .select(col("c_id"), col("c_vec"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/postings/gen=0")
+      },
+      "postings/gen=1/_SUCCESS" -> { dir =>
+        // night 2 appends into the compacted store — the SAME append
+        // body as materializedIvfNightsDir's, generation from nextGen
+        val g = ArtifactCache.nextGen(s, dir, "postings")
+        Similarity.ivfAssignCells(
+            nightSlice(t(s, d, "embeddings"), "vec_id", 2),
+            "vec_id", "embedding", cents(dir))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + s"/postings/gen=$g")
+      }))
+  }
 
   /** The IVF index under the APPEND lifecycle (`q_ann_index_incr`): the
     * quantizer is trained ONCE on the base corpus (vec_id % 4 != 3, "the
@@ -529,30 +847,58 @@ object PipelineQueries {
     * probe scan reads codes, never vectors). Doubles round-trip parquet
     * exactly, so the served chain is bit-identical to the inline one.
     */
+  /** Build the IVF-PQ layout (coarse centroids + residual codebooks +
+    * cell-partitioned codes) from `corpus` into `dir` — the ONE builder
+    * behind the nightly build ([[materializedIvfPqIndexDir]]) and the
+    * compressed-index REFRESH ([[materializedIvfPqRefreshDir]]), so
+    * "refreshed == rebuilt" holds for the PQ family by construction.
+    */
+  private def buildIvfPq(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    import s.implicits._
+    val seed = Similarity.centroidRows(
+      corpus.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(corpus, "vec_id", "embedding",
+      seed, maxIters = 3, tol = 0.0)
+    val cents = trained.map(_._2.map(_.toDouble).toArray)
+    val books = Pq.trainResidualCodebooks(corpus, "vec_id", "embedding",
+      cents, m = 8, ks = 16)
+    // cell/codeword ids are POSITIONS in the trained arrays — store
+    // them explicitly so the read side reassembles the same arrays
+    cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/centroids")
+    (for { sp <- books.indices; c <- books(sp).indices }
+      yield (sp, c, books(sp)(c).toSeq)).toDF("s", "cword", "bc")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/books")
+    Pq.ivfPqEncode(corpus, "vec_id", "embedding", cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+  }
+
   private def materializedIvfPqIndexDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "embeddings", "ivfpq",
         Seq("centroids/_SUCCESS", "books/_SUCCESS", "codes/_SUCCESS")) { dir =>
-      import s.implicits._
-      val emb = t(s, d, "embeddings")
-      val seed = Similarity.centroidRows(
-        emb.filter(col("vec_id") < 8), "vec_id", "embedding")
-      val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-        seed, maxIters = 3, tol = 0.0)
-      val cents = trained.map(_._2.map(_.toDouble).toArray)
-      val books = Pq.trainResidualCodebooks(emb, "vec_id", "embedding",
-        cents, m = 8, ks = 16)
-      // cell/codeword ids are POSITIONS in the trained arrays — store
-      // them explicitly so the read side reassembles the same arrays
-      cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
-        .toDF("cell", "centroid").coalesce(1)
-        .write.mode("overwrite").parquet(dir + "/centroids")
-      (for { sp <- books.indices; c <- books(sp).indices }
-        yield (sp, c, books(sp)(c).toSeq)).toDF("s", "cword", "bc")
-        .coalesce(1).write.mode("overwrite").parquet(dir + "/books")
-      Pq.ivfPqEncode(emb, "vec_id", "embedding", cents, books)
-        .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+      buildIvfPq(s, t(s, d, "embeddings"), dir)
     }
+
+  /** [[materializedIvfRefreshDir]]'s compressed-index twin
+    * (`q_ann_refresh_pq`): the trigger reads the frozen append-only PQ
+    * store's cell histogram over the CODES layout; past the threshold,
+    * coarse quantizer AND residual codebooks retrain on the current
+    * corpus and every vector re-encodes into a fresh version.
+    */
+  private def materializedIvfPqRefreshDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val frozen = materializedIvfPqIncrIndexDir(s, d)
+    val factor = s.conf.getOption("spark.graft.ann.refreshFactorMicro")
+      .map(_.toLong).getOrElse(0L)
+    if (hottestCellRatioMicro(s, frozen, "codes") <= factor) frozen
+    else ArtifactCache.dir(s, d, "embeddings", "ivfpqrefresh",
+        Seq("centroids/_SUCCESS", "books/_SUCCESS", "codes/_SUCCESS")) { dir =>
+      buildIvfPq(s, t(s, d, "embeddings"), dir)
+    }
+  }
 
   /** The COMPRESSED index under the APPEND lifecycle
     * (`q_ann_index_incr_pq`) — q_ann_index_incr's production sibling:
@@ -733,6 +1079,63 @@ object PipelineQueries {
     */
   private val LrInitWeights: Seq[Long] =
     (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
+
+  /** Margin thresholds (micros) of the q_classifier_curve sweep — the
+    * eval cut (0) plus four cuts through the corpus's actual margin
+    * distribution (two weakly-regularized GD steps on ~±1000-micro
+    * hashed weights over ~50-token docs land margins around −60M..−7M
+    * micros; the doc-length distribution, hence the scale, is
+    * sf-independent), so the curve actually trades precision against
+    * recall instead of sitting in an all-negative corner.
+    */
+  private val CurveThresholdsMicro: Seq[Long] =
+    Seq(-60000000L, -45000000L, -30000000L, -15000000L, 0L)
+
+  /** The HELD-OUT classifier chain as CTEs, shared by
+    * q_classifier_eval_holdout and q_classifier_curve: the content-hash
+    * split (q_hash_split's md5 bucket: train < 800, valid ∈ [800, 900)),
+    * two GD steps unrolled over the TRAIN split only (cnt = its count —
+    * the same Long arithmetic as q_classifier_eval's oracle), ending in
+    * `sc(y, mm)` = the VALID split's margins under the step-2 weights.
+    */
+  private def holdoutClassifierCtes: String = {
+    def step(i: Int): String = {
+      val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
+      s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+         |  FROM tr tk LEFT JOIN (SELECT occ.doc_id, sum($wp.w) AS mm
+         |    FROM occ JOIN $wp ON $wp.b = occ.b GROUP BY occ.doc_id) s
+         |  ON s.doc_id = tk.doc_id),
+         |$r AS (SELECT doc_id, CAST(round((1.0/(1.0+exp(-CAST(mm AS DOUBLE)/1e6))
+         |    - CAST(y AS DOUBLE))*1e6, 0) AS BIGINT) AS rm FROM $m),
+         |$g AS (SELECT occ.b, CAST(sum($r.rm) AS BIGINT) AS gg
+         |  FROM occ JOIN $r ON $r.doc_id = occ.doc_id GROUP BY occ.b),
+         |$w AS (SELECT $wp.b, $wp.w - (CASE WHEN coalesce($g.gg, 0) >= 0
+         |    THEN (1000000 * coalesce($g.gg, 0)) // (1000000 * cnt.n)
+         |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
+         |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
+    }
+    s"""alld AS (SELECT doc_id, source, text,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS sb
+       |  FROM documents),
+       |toks AS (SELECT doc_id, sb,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+       |  FROM alld),
+       |tr AS (SELECT doc_id, y, t FROM toks WHERE sb < 800),
+       |va AS (SELECT doc_id, y, t FROM toks WHERE sb >= 800 AND sb < 900),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+       |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+       |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(256)) AS b)),
+       |${step(1)},
+       |${step(2)},
+       |sc AS (SELECT tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+       |  FROM va tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
+       |      FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
+       |    ON s.doc_id = tk.doc_id)""".stripMargin
+  }
 
   /** Two unrolled GD steps + scoring under the step-2 weights — the
     * classifier-lifecycle oracle, shared by q_linear_train_apply (chain
@@ -1165,6 +1568,22 @@ object PipelineQueries {
     Q("q_dedup_clusters_compact", FullClosureOracleSql,
       (s, d) => {
         val dir = materializedCompactClusterDir(s, d)
+        s.read.parquet(dir + "/clusters")
+          .select(col("v").as("doc_id"), col("cluster_rep"))
+          .orderBy("doc_id")
+      }),
+
+    // The cluster-table CYCLE — roll∘roll: two successive nightly
+    // merges, each starting from the PREVIOUS night's rolled-forward
+    // artifact (base on id%4∈{0,1}, night 1 merges id%4==2, night 2
+    // merges id%4==3 against night 1's output). Frozen MinHash seeds +
+    // monotone merges ⇒ the twice-rolled table equals the one-shot full
+    // rebuild, so the oracle is the unchanged full closure — the
+    // invariant that makes nightly maintenance sound at ANY depth, not
+    // just for the single append q_dedup_clusters_compact pinned.
+    Q("q_dedup_clusters_cycle", FullClosureOracleSql,
+      (s, d) => {
+        val dir = materializedClusterNight2Dir(s, d)
         s.read.parquet(dir + "/clusters")
           .select(col("v").as("doc_id"), col("cluster_rep"))
           .orderBy("doc_id")
@@ -1744,6 +2163,105 @@ object PipelineQueries {
           .orderBy("q_id", "rn")
       }),
 
+    // APPEND → APPEND: the store after TWO nightly appends under the
+    // frozen night-0 quantizer (generations gen=0/1/2, each landed by
+    // the same generation-counter append stage — ArtifactCache.nextGen).
+    // One read of postings/ discovers (gen, cell); cell pruning holds
+    // across all three generations. Frozen quantizer ⇒ the store equals
+    // a full rebuild trained on the night-0 base, which is exactly the
+    // oracle (training CTEs restricted to id % 4 < 2, everything else
+    // over the whole corpus).
+    Q("q_ann_index_nights", Some(ivfOracleSqlFor(" WHERE vec_id % 4 < 2")),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfNightsDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // COMPACT → APPEND — the lifecycle CYCLE closed: night 1 compacted
+    // to gen=0, night 2 appended INTO the compacted store as gen=1 (the
+    // generation counter restarts because compaction collapsed history;
+    // see materializedIvfCycleDir). Same frozen quantizer ⇒ same oracle
+    // as q_ann_index_nights: cycled == appended-twice == rebuilt, the
+    // invariant that makes nightly maintenance sound at any depth.
+    Q("q_ann_index_cycle", Some(ivfOracleSqlFor(" WHERE vec_id % 4 < 2")),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfCycleDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // The REFRESH TRIGGER readout — the cell-occupancy histogram of the
+    // FROZEN append-only store (q_ann_index_incr's postings, both
+    // generations), with each cell's corpus share and its fill ratio vs
+    // fair share as exact integer micros. This is the drift alarm a
+    // production vector store monitors after every append: the decision
+    // input q_ann_refresh acts on, oracled on its own (the SkewStats
+    // shape applied to the index layout). Bounded: ≤ k cells out of one
+    // partial-aggregable count over the postings scan.
+    Q("q_ann_refresh_trigger",
+      Some(s"""WITH ${ivfOracleCtesFor(" WHERE vec_id % 4 <> 3")},
+              |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+              |  FROM corp GROUP BY cell),
+              |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cent),
+              |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM cnt)
+              |SELECT CAST(cnt.cell AS BIGINT) AS cell, n_vecs,
+              |  CAST((1000000 * n_vecs) // t AS BIGINT) AS share_micro,
+              |  CAST((1000000 * n_vecs * kk.k) // t AS BIGINT) AS ratio_mean_micro
+              |FROM cnt, tot, kk ORDER BY cell""".stripMargin),
+      (s, d) => {
+        val idx = materializedIvfIncrIndexDir(s, d)
+        val k = s.read.parquet(idx + "/centroids").count()
+        val cnt = s.read.parquet(idx + "/postings")
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        cnt.crossJoin(broadcast(cnt.agg(sum("n_vecs").as("t"))))
+          .select(col("cell"), col("n_vecs"),
+            expr("(1000000 * n_vecs) div t").as("share_micro"),
+            expr(s"(1000000 * n_vecs * ${k}L) div t").as("ratio_mean_micro"))
+          .orderBy("cell")
+      }),
+
+    // The model-REFRESH verb — the only lifecycle edge the store was
+    // missing: build → append → compact all pin the quantizer FROZEN,
+    // but a store that only appends never retrains, and recall decays as
+    // the corpus outgrows the base-trained centroids. q_ann_refresh
+    // reads the frozen store's trigger (the q_ann_refresh_trigger
+    // histogram), retrains on the CURRENT corpus, re-encodes every
+    // vector into a fresh index version (blue/green: the frozen store
+    // serves until the new markers commit), and serves from it. The
+    // registered query forces the refresh (threshold 0) so the oracle
+    // prices the full path; refreshed == built-from-scratch by shared
+    // builder, so the oracle is the UNRESTRICTED full-corpus IVF chain —
+    // and SimilaritySpec pins recall(refreshed) >= recall(frozen).
+    Q("q_ann_refresh", IvfOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfRefreshDir(s, d)
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
     // EVALUATION of the served ANN index — recall@10 of the stored
     // IVF-Flat index's answers against exact brute-force cosine top-10,
     // the health metric a production vector store monitors after every
@@ -2013,6 +2531,100 @@ object PipelineQueries {
             col("source") === "src0", lo = 0L, hi = 1024L, buckets = 16)
           .orderBy("bucket")),
 
+    // The multi-feature drift PANEL — what the ingest monitor actually
+    // shows: per (source, feature) PSI and JS terms vs the src0
+    // reference, over THREE features (n_chars; the Gopher-style quality
+    // score in micros; the BPE-ish token estimate) in ONE corpus scan:
+    // each row explodes into its three (feature, bucket) cells riding
+    // the scan, one partial-aggregable count produces every histogram,
+    // and both metrics are per-row arithmetic over the tiny counted
+    // spine (sources × 3 × 16 rows — never the corpus again). NULL
+    // values drop per feature, like the single-feature queries.
+    Q("q_drift_panel", {
+      val qs = TextAnalysis.qualityScoreSql("text")
+      Some(s"""WITH vals AS (
+              |  SELECT source, 'n_chars' AS feature, 1024 AS hi,
+              |    CAST(n_chars AS BIGINT) AS v FROM documents
+              |  UNION ALL
+              |  SELECT source, 'quality', 1000000,
+              |    CAST(floor(($qs) * 1000000.0) AS BIGINT) FROM documents
+              |  UNION ALL
+              |  SELECT source, 'tok_est', 256,
+              |    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) FROM documents),
+              |nn AS (SELECT source, feature, hi, v FROM vals WHERE v IS NOT NULL),
+              |bkt AS (SELECT source, feature,
+              |    (LEAST(hi - 1, GREATEST(0, v)) * 16) // hi AS bucket FROM nn),
+              |refc AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS cnt_ref
+              |  FROM bkt WHERE source = 'src0' GROUP BY 1, 2),
+              |curc AS (SELECT source, feature, bucket, CAST(count(*) AS BIGINT) AS cnt_cur
+              |  FROM bkt WHERE source <> 'src0' GROUP BY 1, 2, 3),
+              |spine AS (SELECT s.source, f.feature, CAST(b.b AS BIGINT) AS bucket
+              |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s
+              |  CROSS JOIN (SELECT unnest(['n_chars', 'quality', 'tok_est']) AS feature) f
+              |  CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+              |f AS (SELECT sp.source, sp.feature, sp.bucket,
+              |    coalesce(r.cnt_ref, 0) AS cnt_ref, coalesce(c.cnt_cur, 0) AS cnt_cur
+              |  FROM spine sp
+              |  LEFT JOIN curc c ON c.source = sp.source AND c.feature = sp.feature
+              |    AND c.bucket = sp.bucket
+              |  LEFT JOIN refc r ON r.feature = sp.feature AND r.bucket = sp.bucket),
+              |tot AS (SELECT source, feature, sum(cnt_ref) AS nr, sum(cnt_cur) AS nc
+              |  FROM f GROUP BY 1, 2),
+              |pq AS (SELECT f.source, f.feature, f.bucket, f.cnt_ref, f.cnt_cur,
+              |    CAST(f.cnt_ref + 1 AS DOUBLE) / CAST(t.nr + 16 AS DOUBLE) AS p,
+              |    CAST(f.cnt_cur + 1 AS DOUBLE) / CAST(t.nc + 16 AS DOUBLE) AS q
+              |  FROM f JOIN tot t ON t.source = f.source AND t.feature = f.feature)
+              |SELECT source, feature, bucket, cnt_ref, cnt_cur,
+              |  CAST(round((p - q) * ln(p / q) * 1e6, 0) AS BIGINT) AS psi_term_micro,
+              |  CAST(round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+              |    * 0.5 * 1e6, 0) AS BIGINT) AS js_term_micro
+              |FROM pq ORDER BY source, feature, bucket""".stripMargin)
+    },
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val toks = TextAnalysis.tokens(col("text"))
+        val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
+          * lit(1e6)).cast("long")
+        val feats = array(
+          struct(lit("n_chars").as("feature"),
+            HistQuantile.bucketOf(col("n_chars"), 0L, 1024L, 16).as("bucket")),
+          struct(lit("quality").as("feature"),
+            HistQuantile.bucketOf(qMicro, 0L, 1000000L, 16).as("bucket")),
+          struct(lit("tok_est").as("feature"),
+            HistQuantile.bucketOf(
+              TextAnalysis.tokenEstimate(col("text")).cast("long"),
+              0L, 256L, 16).as("bucket")))
+        // ONE corpus scan: explode the 3 cells per row, count every
+        // (source, feature, bucket) histogram in one partial aggregate;
+        // checkpoint the tiny counted table so its two consumers (ref
+        // slice + cur slice) never re-pay the scan
+        val cnts = docs.select(col("source"), explode(feats).as("f"))
+          .select(col("source"), col("f.feature").as("feature"),
+            col("f.bucket").as("bucket"))
+          .filter(col("bucket").isNotNull)
+          .groupBy("source", "feature", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val ref = cnts.filter(col("source") === "src0")
+          .select(col("feature"), col("bucket"), col("n").as("cnt_ref"))
+        val cur = cnts.filter(col("source") =!= "src0")
+          .select(col("source"), col("feature"), col("bucket"),
+            col("n").as("cnt_cur"))
+        val spine = docs.filter(col("source") =!= "src0")
+          .select("source").distinct()
+          .crossJoin(Seq("n_chars", "quality", "tok_est").toDF("feature"))
+          .crossJoin(s.range(16).select(col("id").as("bucket")))
+        val full = spine
+          .join(cur, Seq("source", "feature", "bucket"), "left")
+          .join(ref, Seq("feature", "bucket"), "left")
+          .select(col("source"), col("feature"), col("bucket"),
+            coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+            coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+        Drift.psiJsTerms(full, Seq("source", "feature"), 16)
+          .orderBy("source", "feature", "bucket")
+      }),
+
     // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
     // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
     // every codebook Lloyd iteration depends on — made cross-engine exact
@@ -2225,6 +2837,26 @@ object PipelineQueries {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val idx = materializedIvfPqCompactIndexDir(s, d)
+        val (cents, books) = readIvfPqModel(s, idx)
+        Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), col("rn"))
+          .orderBy("q_id", "rn")
+      }),
+
+    // q_ann_refresh's COMPRESSED twin: the trigger reads the frozen
+    // append-only PQ store's cell histogram (over the codes layout —
+    // same hottest-cell ratio), and past the threshold the coarse
+    // quantizer AND the residual codebooks retrain on the current
+    // corpus, every vector re-encoding into a fresh index version. The
+    // registered query forces the refresh (threshold 0), and refreshed
+    // == rebuilt by shared builder, so the oracle is the UNRESTRICTED
+    // full-corpus IVF-PQ chain (q_embed_knn_ivfpq's text).
+    Q("q_ann_refresh_pq", IvfPqOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val idx = materializedIvfPqRefreshDir(s, d)
         val (cents, books) = readIvfPqModel(s, idx)
         Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
             emb.filter(col("vec_id") < 5),
@@ -2836,6 +3468,76 @@ object PipelineQueries {
         TextAnalysis.classifierEval(docs, "text", y, trained)
       }),
 
+    // HELD-OUT evaluation — q_classifier_eval measures on its own
+    // training data, the one number every ML practitioner distrusts;
+    // this composes the content-hash split (q_hash_split's md5 buckets:
+    // train < 800, valid in [800, 900)) so training sees ONLY the train
+    // split (n = its count) and the confusion matrix folds ONLY the
+    // valid split. Same one-scan/4-counter shape; the oracle unrolls the
+    // identical two GD steps over the train bucket and scores the valid
+    // bucket — split membership, training arithmetic, and the fold are
+    // each already-oracled pieces composed.
+    Q("q_classifier_eval_holdout",
+      Some(s"""WITH ${holdoutClassifierCtes},
+              |c AS (SELECT
+              |  CAST(coalesce(sum(CASE WHEN y = 1 AND mm > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+              |  CAST(coalesce(sum(CASE WHEN y = 0 AND mm > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+              |  CAST(coalesce(sum(CASE WHEN y = 1 AND mm <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+              |  CAST(coalesce(sum(CASE WHEN y = 0 AND mm <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+              |  FROM sc)
+              |SELECT tp, fp, fn, tn,
+              |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micro,
+              |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micro,
+              |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_micro,
+              |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
+              |FROM c""".stripMargin),
+      (s, d) => {
+        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        val y = when(col("source") === "src0", 1L).otherwise(0L)
+        val train = docs.filter(col("split") === "train")
+        val trained = TextAnalysis.logisticTrainN(train, "text", y,
+          LrInitWeights, steps = 2, lrMicro = 1000000L, n = train.count())
+        TextAnalysis.classifierEval(
+          docs.filter(col("split") === "valid"), "text", y, trained)
+      }),
+
+    // The margin-threshold OPERATING CURVE over the held-out split —
+    // the q_ann_probe_curve pattern for the quality gate: confusion
+    // counters + precision/recall/F1/accuracy at five margin thresholds
+    // (prediction = margin > thr), the table a deployment picks its
+    // gate's operating point from. One valid-split scan: margins ride
+    // the scan, each row joins the BROADCAST 5-row threshold dim, the
+    // matrix is a 5-group 4-counter aggregate. The oracle derives all
+    // five levels from ONE instantiation of the held-out chain.
+    Q("q_classifier_curve",
+      Some(s"""WITH ${holdoutClassifierCtes},
+              |lv AS (SELECT CAST(unnest([${CurveThresholdsMicro.mkString(", ")}]) AS BIGINT) AS thr_micro),
+              |c AS (SELECT lv.thr_micro,
+              |  CAST(coalesce(sum(CASE WHEN sc.y = 1 AND sc.mm > lv.thr_micro THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+              |  CAST(coalesce(sum(CASE WHEN sc.y = 0 AND sc.mm > lv.thr_micro THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+              |  CAST(coalesce(sum(CASE WHEN sc.y = 1 AND sc.mm <= lv.thr_micro THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+              |  CAST(coalesce(sum(CASE WHEN sc.y = 0 AND sc.mm <= lv.thr_micro THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+              |  FROM sc CROSS JOIN lv GROUP BY lv.thr_micro)
+              |SELECT thr_micro, tp, fp, fn, tn,
+              |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000000 * tp) // (tp + fp) END AS BIGINT) AS precision_micro,
+              |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_micro,
+              |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_micro,
+              |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
+              |FROM c ORDER BY thr_micro""".stripMargin),
+      (s, d) => {
+        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        val y = when(col("source") === "src0", 1L).otherwise(0L)
+        val train = docs.filter(col("split") === "train")
+        val trained = TextAnalysis.logisticTrainN(train, "text", y,
+          LrInitWeights, steps = 2, lrMicro = 1000000L, n = train.count())
+        TextAnalysis.classifierCurve(
+            docs.filter(col("split") === "valid"), "text", y, trained,
+            CurveThresholdsMicro)
+          .orderBy("thr_micro")
+      }),
+
     // Benchmark decontamination: drop corpus docs sharing any word 13-gram
     // with the benchmark set (src0 stands in for an eval suite) — the
     // GPT-3/PaLM decontamination rule. Spark joins on xxhash64(gram)
@@ -2874,35 +3576,9 @@ object PipelineQueries {
     // query prices what a trainer pays: one scan of the manifest. The
     // oracle composes the three stages' own oracle texts — closure
     // losers, gram-join bad set, gate clauses — over the same corpus.
-    Q("q_curation_manifest", {
-      val gates = TextAnalysis.gopherGateSql("text")
-        .map(_._2).mkString("\n  AND ")
-      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
-              |e AS (SELECT id_a AS a, id_b AS b FROM p
-              |      UNION SELECT id_b, id_a FROM p),
-              |reach AS (
-              |  SELECT a AS v, a AS r FROM e
-              |  UNION
-              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
-              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
-              |toks AS (SELECT doc_id, source,
-              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-              |  FROM documents),
-              |grams AS (SELECT doc_id, source,
-              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
-              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
-              |  FROM toks WHERE len(t) >= 13),
-              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
-              |bad AS (SELECT DISTINCT doc_id FROM grams
-              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
-              |gated AS (SELECT doc_id FROM documents WHERE $gates)
-              |SELECT d.doc_id, d.source FROM documents d
-              |WHERE d.source <> 'src0'
-              |  AND d.doc_id IN (SELECT doc_id FROM gated)
-              |  AND d.doc_id NOT IN (SELECT v FROM losers)
-              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-              |ORDER BY d.doc_id""".stripMargin)
-    },
+    Q("q_curation_manifest",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes()}
+              |$manifestKeepSelect""".stripMargin),
       (s, d) =>
         s.read.parquet(materializedManifestDir(s, d))
           .select("doc_id", "source")
@@ -2915,35 +3591,9 @@ object PipelineQueries {
     // per-doc, and incremental == full for the clusters is the
     // frozen-LSH law, so the whole pipeline now has an append story
     // with no full recompute anywhere and the oracle text is unchanged.
-    Q("q_curation_manifest_incr", {
-      val gates = TextAnalysis.gopherGateSql("text")
-        .map(_._2).mkString("\n  AND ")
-      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
-              |e AS (SELECT id_a AS a, id_b AS b FROM p
-              |      UNION SELECT id_b, id_a FROM p),
-              |reach AS (
-              |  SELECT a AS v, a AS r FROM e
-              |  UNION
-              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
-              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
-              |toks AS (SELECT doc_id, source,
-              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-              |  FROM documents),
-              |grams AS (SELECT doc_id, source,
-              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
-              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
-              |  FROM toks WHERE len(t) >= 13),
-              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
-              |bad AS (SELECT DISTINCT doc_id FROM grams
-              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
-              |gated AS (SELECT doc_id FROM documents WHERE $gates)
-              |SELECT d.doc_id, d.source FROM documents d
-              |WHERE d.source <> 'src0'
-              |  AND d.doc_id IN (SELECT doc_id FROM gated)
-              |  AND d.doc_id NOT IN (SELECT v FROM losers)
-              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-              |ORDER BY d.doc_id""".stripMargin)
-    },
+    Q("q_curation_manifest_incr",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes()}
+              |$manifestKeepSelect""".stripMargin),
       (s, d) =>
         s.read.parquet(materializedManifestIncrDir(s, d))
           .select("doc_id", "source")
@@ -2959,38 +3609,28 @@ object PipelineQueries {
     // so newly-losing = merged losers minus base losers). See
     // materializedDeltaManifestDir for the identity. The oracle is the
     // manifest recipe with the benchmark CTE frozen to the base slice.
-    Q("q_curation_manifest_delta", {
-      val gates = TextAnalysis.gopherGateSql("text")
-        .map(_._2).mkString("\n  AND ")
-      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
-              |e AS (SELECT id_a AS a, id_b AS b FROM p
-              |      UNION SELECT id_b, id_a FROM p),
-              |reach AS (
-              |  SELECT a AS v, a AS r FROM e
-              |  UNION
-              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
-              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
-              |toks AS (SELECT doc_id, source,
-              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-              |  FROM documents),
-              |grams AS (SELECT doc_id, source,
-              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
-              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
-              |  FROM toks WHERE len(t) >= 13),
-              |bench AS (SELECT DISTINCT g FROM grams
-              |  WHERE source = 'src0' AND doc_id % 4 <> 3),
-              |bad AS (SELECT DISTINCT doc_id FROM grams
-              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
-              |gated AS (SELECT doc_id FROM documents WHERE $gates)
-              |SELECT d.doc_id, d.source FROM documents d
-              |WHERE d.source <> 'src0'
-              |  AND d.doc_id IN (SELECT doc_id FROM gated)
-              |  AND d.doc_id NOT IN (SELECT v FROM losers)
-              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-              |ORDER BY d.doc_id""".stripMargin)
-    },
+    Q("q_curation_manifest_delta",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes(" AND doc_id % 4 <> 3")}
+              |$manifestKeepSelect""".stripMargin),
       (s, d) =>
         s.read.parquet(materializedDeltaManifestDir(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id")),
+
+    // The delta manifest COMPOSED over two append nights — verdicts
+    // rolled forward TWICE (night 1 from the night-0 artifact, night 2
+    // from night 1's output), each night touching only its increment,
+    // the frozen gram store, and the per-night loser diff from the
+    // cluster cycle's rungs. The oracle is the frozen-bench recipe from
+    // scratch (benchmark = src0 ∩ the night-0 base), unchanged in form
+    // from q_curation_manifest_delta — only the freeze slice moves —
+    // pinning delta ∘ delta == full at the CORRECTNESS gate, not just
+    // in a spec.
+    Q("q_curation_manifest_delta2",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes(" AND doc_id % 4 < 2")}
+              |$manifestKeepSelect""".stripMargin),
+      (s, d) =>
+        s.read.parquet(materializedDelta2ManifestDir(s, d))
           .select("doc_id", "source")
           .orderBy("doc_id")),
 
@@ -3003,28 +3643,8 @@ object PipelineQueries {
     // loaded merges, and the per-source running-sum shard assignment.
     // The oracle composes the manifest keep-set CTEs with q_pack_bpe's
     // windowed cumsum restricted to kept docs.
-    Q("q_pack_manifest", {
-      val gates = TextAnalysis.gopherGateSql("text")
-        .map(_._2).mkString("\n  AND ")
-      Some(s"""WITH RECURSIVE ${duckPairCtes("0.7")},
-              |e AS (SELECT id_a AS a, id_b AS b FROM p
-              |      UNION SELECT id_b, id_a FROM p),
-              |reach AS (
-              |  SELECT a AS v, a AS r FROM e
-              |  UNION
-              |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.v),
-              |losers AS (SELECT v FROM reach GROUP BY v HAVING v <> min(r)),
-              |toks AS (SELECT doc_id, source,
-              |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-              |  FROM documents),
-              |grams AS (SELECT doc_id, source,
-              |    unnest([array_to_string(list_slice(t, i, i+12), ' ')
-              |            FOR i IN range(1, greatest(len(t)-11, 1))]) AS g
-              |  FROM toks WHERE len(t) >= 13),
-              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
-              |bad AS (SELECT DISTINCT doc_id FROM grams
-              |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
-              |gated AS (SELECT doc_id FROM documents WHERE $gates),
+    Q("q_pack_manifest",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes()},
               |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
               |  WHERE d.source <> 'src0'
               |    AND d.doc_id IN (SELECT doc_id FROM gated)
@@ -3037,8 +3657,7 @@ object PipelineQueries {
               |  CAST(sum(n_toks) OVER w - n_toks AS BIGINT) AS start_off,
               |  CAST((sum(n_toks) OVER w - n_toks) // 512 AS BIGINT) AS shard
               |FROM dd WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-              |ORDER BY doc_id""".stripMargin)
-    },
+              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val manifest = s.read.parquet(materializedManifestDir(s, d))
           .select("doc_id")
@@ -3267,8 +3886,10 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_bpe"),
             sum("nc").as("n_chars"))
           .select(col("source"), col("n_docs"), col("n_bpe"), col("n_chars"),
-            (col("n_chars") * 1000000L / col("n_bpe")).cast("long")
-              .as("chars_per_tok_micro"))
+            // integral `div`, matching the oracle's exact BIGINT `//` —
+            // Long `/` detours through DOUBLE and can drift by 1 micro
+            // once 1e6·Σchars crosses 2^53 (ADVICE r17)
+            expr("(n_chars * 1000000) div n_bpe").as("chars_per_tok_micro"))
           .orderBy("source")
       }),
 

@@ -932,6 +932,46 @@ object WarehouseQueries {
         s.table(sink).select(col("keep_id")).orderBy("keep_id")
       }),
 
+    // The streaming ingest CONSULTING THE STORED BATCH ARTIFACT — the
+    // edge q_stream_curation leaves open: that pipeline gates + dedups
+    // against its own stream state only, but a production ingest also
+    // drops arrivals that the NIGHTLY near-dup job already condemned.
+    // Arrivals flow gate → stream-static LEFT ANTI join against the
+    // rolled-forward loser table (the q_dedup_clusters_compact artifact,
+    // read once per micro-batch planning, broadcast — the 100 TB shape:
+    // the loser table is a tiny id list next to the stream) → the
+    // keepFirst ingest gate. This closes batch-artifact → streaming-
+    // consumer: the nightly writes, the stream reads. Oracle = the batch
+    // equivalent: gates ∧ NOT IN closure losers, then first-wins by
+    // content digest.
+    Q("q_stream_curation_vs_store", {
+      val gate = graft.operators.TextAnalysis.gopherGateSql("text")
+        .map(_._2).mkString("\n  AND ")
+      Some(s"""WITH RECURSIVE ${PipelineQueries.closureLoserCtes},
+              |ok AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE ($gate)
+              |    AND doc_id NOT IN (SELECT v FROM losers))
+              |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id
+              |FROM ok GROUP BY sha256(text) ORDER BY keep_id""".stripMargin)
+    },
+      (s, d) => {
+        val sink = "q_stream_curation_vs_store_sink"
+        // the nightly artifact must exist before the stream starts — the
+        // production ordering (ingest consumes what the batch job wrote)
+        val losers = s.read
+          .parquet(PipelineQueries.compactClusterArtifactDir(s, d) + "/clusters")
+          .filter(col("v") =!= col("cluster_rep")).select(col("v").as("doc_id"))
+        graft.streaming.StateScope.withStateConf(s) {
+          val ok = graft.Tables.tableStream(s, d, "documents")
+            .filter(graft.operators.TextAnalysis.gopherGate(col("text")))
+            .join(losers, Seq("doc_id"), "left_anti")
+          graft.streaming.StateScope.drainSingleBatch(
+            graft.streaming.StreamingDedup.keepFirst(ok, "doc_id", "text"), sink)
+        }
+        s.table(sink).select(col("keep_id")).orderBy("keep_id")
+      }),
+
     // Streaming histogram-quantile monitor (the streaming twin of
     // q_hist_quantile, on events): the equi-width bucket table as stream
     // state — every value lands in its clamped integer bucket batch-side

@@ -117,12 +117,21 @@ class BpeSpec extends SparkTestBase {
   }
 
   test("q_bpe_eval == per-source compression recomputed from the stored-table encode") {
+    // clear stale merge-table caches first (other sf dirs share the
+    // prefix in the same tmpdir): the recomputation below reads the one
+    // cache dir left standing, so it must be THIS corpus's (ADVICE r17)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    tmp.listFiles().filter(_.getName.startsWith("graft_bpemerges_cache_"))
+      .foreach { c =>
+        val pth = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+        pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(pth, true): Unit
+      }
     val got = SparkEntry.queries("q_bpe_eval")(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // recompute per-source (n_docs, Σtokens, Σchars) from the stored
     // merge table's encode — the same model q_bpe_encode_from_table reads
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val caches = tmp.listFiles().filter(_.getName.startsWith("graft_bpemerges_cache_"))
     assert(caches.nonEmpty, "no stored merge table found")
     val merges = spark.read.parquet(caches.head.getAbsolutePath)

@@ -128,4 +128,103 @@ class ConcurrencySpec extends SparkTestBase {
       }
     } finally pool.shutdown()
   }
+
+  // ---- cross-JVM registry lease (ArtifactCache._build.lease) ----------
+
+  private def withScratchRegistry[A](body: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    spark.conf.set("spark.graft.artifacts.root", root)
+    try body(root)
+    finally {
+      spark.conf.unset("spark.graft.artifacts.root")
+      spark.conf.unset("spark.graft.artifacts.leaseMs")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("registry lease: a second JVM's live lease blocks the build; its release unblocks it") {
+    withScratchRegistry { root =>
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def build(dir: String): Unit = {
+        builds.incrementAndGet()
+        assert(new java.io.File(dir, "_SUCCESS").createNewFile())
+      }
+      // cold build lands under the configured root, builds once
+      val d = graft.queries.ArtifactCache.dir(
+        spark, sf, "documents", "leasetest", Seq("_SUCCESS"))(build)
+      assert(d.startsWith(root), s"artifact dir $d escaped the registry root $root")
+      assert(builds.get() == 1)
+      // warm serve: no rebuild, no lease I/O
+      graft.queries.ArtifactCache.dir(
+        spark, sf, "documents", "leasetest", Seq("_SUCCESS"))(build)
+      assert(builds.get() == 1)
+      // cold again, but a FOREIGN (other-JVM) builder holds a fresh lease
+      assert(new java.io.File(d, "_SUCCESS").delete())
+      val lease = new java.io.File(d, "_build.lease")
+      java.nio.file.Files.write(lease.toPath,
+        "foreign-jvm-uuid".getBytes("UTF-8"))
+      val pool = Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val f = Future(graft.queries.ArtifactCache.dir(
+          spark, sf, "documents", "leasetest", Seq("_SUCCESS"))(build))
+        Thread.sleep(1000)
+        assert(!f.isCompleted,
+          "builder must wait while another JVM's live lease is held")
+        assert(builds.get() == 1)
+        // the foreign builder exits without committing — lease released
+        assert(lease.delete())
+        Await.result(f, 1.minute)
+        assert(builds.get() == 2, "lease release must hand the build over")
+        assert(!lease.exists(), "winner must release its own lease")
+      } finally pool.shutdown()
+    }
+  }
+
+  test("nextGen: cold store -> 0; only COMMITTED generations count; gaps resume past the max") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gen").toFile
+    try {
+      val dir = root.getAbsolutePath
+      def gen() = graft.queries.ArtifactCache.nextGen(spark, dir, "postings")
+      assert(gen() == 0, "a cold store must start at generation 0")
+      assert(new java.io.File(dir, "postings/gen=0").mkdirs())
+      // a generation dir without _SUCCESS is a crashed write, not history
+      assert(gen() == 0, "an uncommitted generation must be overwritten, not skipped")
+      assert(new java.io.File(dir, "postings/gen=0/_SUCCESS").createNewFile())
+      assert(gen() == 1)
+      assert(new java.io.File(dir, "postings/gen=3").mkdirs())
+      assert(new java.io.File(dir, "postings/gen=3/_SUCCESS").createNewFile())
+      assert(gen() == 4, "the counter must resume past the highest committed gen")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("registry lease: a crashed builder's stale lease is taken over after the TTL") {
+    withScratchRegistry { _ =>
+      spark.conf.set("spark.graft.artifacts.leaseMs", "400")
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def build(dir: String): Unit = {
+        builds.incrementAndGet()
+        assert(new java.io.File(dir, "_SUCCESS").createNewFile())
+      }
+      // learn the dir, then reset to the crashed-builder state: no
+      // marker (the crash preceded the commit), a lease left behind
+      val d = graft.queries.ArtifactCache.dir(
+        spark, sf, "documents", "leasesteal", Seq("_SUCCESS"))(build)
+      assert(builds.get() == 1)
+      assert(new java.io.File(d, "_SUCCESS").delete())
+      val lease = new java.io.File(d, "_build.lease")
+      java.nio.file.Files.write(lease.toPath,
+        "crashed-jvm-uuid".getBytes("UTF-8"))
+      assert(lease.setLastModified(System.currentTimeMillis() - 60000L))
+      graft.queries.ArtifactCache.dir(
+        spark, sf, "documents", "leasesteal", Seq("_SUCCESS"))(build)
+      assert(builds.get() == 2, "stale lease must be stolen, not waited on")
+      assert(new java.io.File(d, "_SUCCESS").exists())
+      assert(!lease.exists())
+    }
+  }
 }

@@ -96,6 +96,34 @@ class CurationSpec extends SparkTestBase {
     assert(lb.subsetOf(lf), "a base loser became a rep after the merge")
   }
 
+  test("q_curation_manifest_delta2: verdicts rolled forward TWICE == the frozen-bench recipe from scratch") {
+    val docs = Tables.t(spark, sf, "documents")
+    val delta2 = SparkEntry.queries("q_curation_manifest_delta2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // from-scratch recompute, benchmark frozen at the NIGHT-0 slice
+    // (doc_id % 4 < 2): gates over everything, full-corpus near-dup
+    // losers, decontam vs the frozen bench — no rolled verdict reused
+    val gate = graft.operators.TextAnalysis.gopherGates(col("text"))
+      .map(_._2).reduce(_ && _)
+    val gated = docs.filter(col("source") =!= "src0").filter(gate)
+    val dedupKept = SparkEntry.queries("q_dedup_apply")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val frozenBench = docs.filter(col("source") === "src0")
+      .filter(col("doc_id") % 4 < 2)
+    val cleanKept = graft.operators.Decontaminate
+      .decontaminate(gated, frozenBench, "doc_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(dedupKept).intersect(cleanKept)
+    assert(delta2.map(_._1) == expect,
+      "delta-of-delta manifest diverges from the from-scratch frozen-bench recipe")
+    // the composition is honest: night 2's input artifact (night 1's
+    // kept table) differs from the output unless night 2 changed nothing
+    val n1Caches = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_manifestd1_cache_"))
+    assert(n1Caches.nonEmpty, "night-1 kept artifact missing")
+  }
+
   test("q_pack_manifest: exactly the manifest docs, per-source prefix-sum offsets, shard = off / 512") {
     val packed = SparkEntry.queries("q_pack_manifest")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),

@@ -526,6 +526,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cluster cycle: roll o roll == one full rebuild; the night-2 band store covers the corpus") {
+    // clear the cycle's three artifact tags (other sf dirs share prefixes)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    tmp.listFiles().filter(f =>
+        f.getName.startsWith("graft_clbase2_cache_") ||
+        f.getName.startsWith("graft_clnight1_cache_") ||
+        f.getName.startsWith("graft_clnight2_cache_"))
+      .foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    val cycled = SparkEntry.queries("q_dedup_clusters_cycle")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val full = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cycled == full,
+      "two successive nightly rolls drifted from the one-shot full rebuild")
+    // night 2's band store == re-banding the whole corpus: the property
+    // that lets night 3 read THIS dir as its base — the cycle is closed
+    // at every depth, not just once
+    val caches = tmp.listFiles()
+      .filter(_.getName.startsWith("graft_clnight2_cache_"))
+    assert(caches.length == 1)
+    val docs = Tables.t(spark, sf, "documents")
+    val sh = graft.operators.Dedup.shinglesHashed(col("text"), 5)
+    val reband = graft.operators.Dedup
+      .bandedSignatures(docs, "doc_id", sh, k = 126, bands = 21)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = spark.read.parquet(caches.head.getAbsolutePath + "/bands")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == reband,
+      "night-2 band store diverges from re-banding the corpus")
+  }
+
   test("cluster resolution of an empty pair set is empty (no duplicates found)") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -111,4 +111,41 @@ class DriftSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(fromRef == live, "from-ref drift diverged from the live recompute")
   }
+
+  test("q_drift_panel: every (source, feature) slice == the single-feature operator run on that slice alone") {
+    val docs = Tables.t(spark, sf, "documents")
+    val panel = SparkEntry.queries("q_drift_panel")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val sources = docs.filter(col("source") =!= "src0")
+      .select("source").distinct().collect().map(_.getString(0))
+    assert(panel.size == sources.length * 3 * 16, "panel spine incomplete")
+    // per (source, feature): restrict the corpus to src0 + that source
+    // and run the single-metric operators — the panel row must match
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val featVals = Seq(
+      ("n_chars", col("n_chars"), 1024L),
+      ("quality", floor(graft.operators.TextAnalysis
+        .qualityScoreRaw(col("text"), toks) * lit(1e6)).cast("long"), 1000000L),
+      ("tok_est", graft.operators.TextAnalysis.tokenEstimate(col("text"))
+        .cast("long"), 256L))
+    for (src <- sources; (fname, fval, hi) <- featVals) {
+      val slice = docs.filter(col("source") === "src0" || col("source") === src)
+      val psi = graft.operators.Drift.psi(slice, fval,
+          col("source") === "src0", lo = 0L, hi = hi, buckets = 16)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val js = graft.operators.Drift.js(slice, fval,
+          col("source") === "src0", lo = 0L, hi = hi, buckets = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (0L until 16L).foreach { b =>
+        val (cr, cc, pm, jm) = panel((src, fname, b))
+        val (ecr, ecc, epm) = psi(b)
+        assert((cr, cc, pm) == ((ecr, ecc, epm)),
+          s"panel PSI row ($src, $fname, $b) drifted from the single-feature run")
+        assert(jm == js(b),
+          s"panel JS row ($src, $fname, $b) drifted from the single-feature run")
+      }
+    }
+  }
 }

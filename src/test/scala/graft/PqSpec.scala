@@ -310,4 +310,24 @@ class PqSpec extends SparkTestBase {
     assert(new java.io.File(idx, "codes/gen=1/_SUCCESS").exists(),
       "append stage did not re-run")
   }
+
+  test("PQ model refresh: threshold wiring both ways; refreshed == the full-corpus compressed build") {
+    val factorKey = "spark.graft.ann.refreshFactorMicro"
+    val frozen = SparkEntry.queries("q_ann_index_incr_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val rebuilt = SparkEntry.queries("q_ann_from_index_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    try {
+      spark.conf.set(factorKey, Long.MaxValue.toString)
+      val kept = SparkEntry.queries("q_ann_refresh_pq")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(kept == frozen,
+        "an un-triggered PQ refresh must serve the frozen store unchanged")
+      spark.conf.unset(factorKey)
+      val refreshed = SparkEntry.queries("q_ann_refresh_pq")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(refreshed == rebuilt,
+        "refreshed PQ index drifted from the built-from-scratch index")
+    } finally spark.conf.unset(factorKey)
+  }
 }

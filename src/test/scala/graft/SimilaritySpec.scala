@@ -372,4 +372,84 @@ class SimilaritySpec extends SparkTestBase {
     assert(marker.lastModified() == before,
       "compact index was rewritten on a cache hit")
   }
+
+  test("lifecycle cycle: compact->append == append->append; the generation counter restarts after compaction") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    // clear stale cycle/nights caches (other sf dirs share the prefixes)
+    tmp.listFiles().filter(f =>
+        f.getName.startsWith("graft_ivfnights_cache_") ||
+        f.getName.startsWith("graft_ivfcycle_cache_"))
+      .foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(c.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+      }
+    val nights = SparkEntry.queries("q_ann_index_nights")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val cycle = SparkEntry.queries("q_ann_index_cycle")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(cycle == nights,
+      "compact->append drifted from append->append under the frozen quantizer")
+    def cacheOf(prefix: String): java.io.File = {
+      val cs = tmp.listFiles().filter(_.getName.startsWith(prefix))
+      assert(cs.length == 1, s"expected one $prefix dir, got ${cs.length}")
+      cs.head
+    }
+    def gensOf(idx: java.io.File): Seq[String] =
+      Option(new java.io.File(idx, "postings").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+        .map(_.getName).sorted.toSeq
+    // append->append accumulated three generations; the cycle store holds
+    // the compacted night-1 state (gen=0) plus night 2's append (gen=1):
+    // compaction collapsed history, so the counter handed out 1 again
+    assert(gensOf(cacheOf("graft_ivfnights_cache_")) ==
+      Seq("gen=0", "gen=1", "gen=2"))
+    assert(gensOf(cacheOf("graft_ivfcycle_cache_")) == Seq("gen=0", "gen=1"))
+    // row-set law: the two stores hold the SAME postings
+    def rowsOf(idx: java.io.File) =
+      spark.read.parquet(idx.getAbsolutePath + "/postings")
+        .select(col("c_id"), col("cell").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rowsOf(cacheOf("graft_ivfcycle_cache_")) ==
+      rowsOf(cacheOf("graft_ivfnights_cache_")),
+      "cycled store lost or duplicated postings vs the append-only store")
+  }
+
+  test("model refresh: threshold wiring both ways; recall(refreshed) >= recall(frozen) on the grown corpus") {
+    val factorKey = "spark.graft.ann.refreshFactorMicro"
+    val frozen = SparkEntry.queries("q_ann_index_incr")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val rebuilt = SparkEntry.queries("q_ann_from_index")(spark, sf)
+      .collect().map(_.toString).toSeq
+    try {
+      // trigger below threshold -> the frozen store keeps serving
+      spark.conf.set(factorKey, Long.MaxValue.toString)
+      val kept = SparkEntry.queries("q_ann_refresh")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(kept == frozen,
+        "an un-triggered refresh must serve the frozen store unchanged")
+      // trigger fired (default 0) -> retrained == the full-corpus build
+      spark.conf.unset(factorKey)
+      val refreshed = SparkEntry.queries("q_ann_refresh")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(refreshed == rebuilt,
+        "refreshed index drifted from the built-from-scratch index")
+    } finally spark.conf.unset(factorKey)
+    // recall law (the reason the verb exists): against exact brute-force
+    // top-10, the current-corpus-trained index is at least as good as
+    // the base-frozen one
+    def recallOf(rows: Seq[String]): Int = {
+      val approx = rows.map { r =>
+        val c = r.stripPrefix("[").stripSuffix("]").split(",")
+        (c(0).toLong, c(1).toLong)
+      }.toSet
+      val exact = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & exact).size
+    }
+    assert(recallOf(rebuilt) >= recallOf(frozen),
+      "refresh must not lose recall vs the frozen store on the grown corpus")
+  }
 }

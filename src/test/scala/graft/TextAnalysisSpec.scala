@@ -724,4 +724,45 @@ class TextAnalysisSpec extends SparkTestBase {
         s"model ${m.getParent} was retrained on a cache hit")
     }
   }
+
+  test("held-out eval: valid-split matrix sizes to the valid split; weights differ from full-corpus training") {
+    val docs = Tables.t(spark, sf, "documents")
+    val got = SparkEntry.queries("q_classifier_eval_holdout")(spark, sf)
+      .collect().head
+    val (tp, fp, fn, tn) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    // the matrix partitions exactly the VALID split, never the corpus —
+    // membership recomputed through the same oracled md5 bucket
+    val validN = graft.operators.Mixture.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .filter(org.apache.spark.sql.functions.col("split") === "valid").count()
+    assert(tp + fp + fn + tn == validN,
+      s"holdout matrix covers ${tp + fp + fn + tn} docs, valid split has $validN")
+    assert(validN < docs.count(), "valid split must be a strict subset")
+  }
+
+  test("q_classifier_curve: tp+fn constant (the positives), tp/fp non-increasing in the threshold; thr=0 row == the holdout eval") {
+    val rows = SparkEntry.queries("q_classifier_curve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.length == 5)
+    // raising the threshold only removes predicted positives
+    rows.sliding(2).foreach {
+      case Array((_, tp1, fp1, _, _), (_, tp2, fp2, _, _)) =>
+        assert(tp2 <= tp1, "tp must be non-increasing in the threshold")
+        assert(fp2 <= fp1, "fp must be non-increasing in the threshold")
+      case _ =>
+    }
+    // row totals: tp+fn and fp+tn are threshold-independent partitions
+    val posTotals = rows.map { case (_, tp, _, fn, _) => tp + fn }.distinct
+    val negTotals = rows.map { case (_, _, fp, _, tn) => fp + tn }.distinct
+    assert(posTotals.length == 1 && negTotals.length == 1)
+    // the thr=0 row IS the held-out eval's matrix
+    val at0 = rows.find(_._1 == 0L).get
+    val ev = SparkEntry.queries("q_classifier_eval_holdout")(spark, sf)
+      .collect().head
+    assert((at0._2, at0._3, at0._4, at0._5) ==
+      ((ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3))),
+      "curve at the eval cut drifted from q_classifier_eval_holdout")
+  }
 }
