@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions.col
   *
   * Usage: runMain graft.IncrSoak <dir> <den...>
   *   e.g. IncrSoak /tmp/graft_sf1 16 8 4   (increments of 1/16, 1/8, 1/4)
+  * or `IncrSoak <dir> nights` — the cluster CYCLE ladder: two
+  * successive nightly rolls on the 3-night split (id%4 ∈ {0,1} base,
+  * ==2, ==3), each from the previous night's OUTPUT artifact; per-night
+  * cost tracks the increment, roll∘roll == the full rebuild.
   */
 object IncrSoak {
   def main(args: Array[String]): Unit = {

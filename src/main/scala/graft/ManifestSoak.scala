@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ManifestSoak <dir> <den...>
   *   e.g. ManifestSoak /tmp/graft_sf10m 64 16 4
+  * or `ManifestSoak <dir> nights` — the delta CYCLE ladder: two
+  * successive delta nights on the 3-night split (id%4 ∈ {0,1} base,
+  * ==2, ==3), per-night cost flat, delta∘delta == the from-scratch
+  * frozen-bench recipe.
   */
 object ManifestSoak {
   def main(args: Array[String]): Unit = {
