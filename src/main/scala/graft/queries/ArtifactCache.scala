@@ -20,7 +20,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * per-dir monitor (cheaper than file polling; ConcurrencySpec pins the
   * 2-way cold race).
   *
-  * Lease protocol (`_build.lease`, content = a fresh UUID):
+  * Lease protocol (a `<dir>.lease` SIBLING file — outside the artifact
+  * dir, because single-table artifacts overwrite their ROOT dir and a
+  * lease stored inside would be deleted mid-build, silently reopening
+  * the double-build window; content = a fresh UUID):
   *   1. markers all present → serve, no lease needed (markers are
   *      written LAST, so their presence proves a completed build).
   *   2. else try to create the lease atomically (create-if-absent on
@@ -98,9 +101,11 @@ private[graft] object ArtifactCache {
     */
   private def withLease(fs: FileSystem, dir: String, ttlMs: Long)(
       body: => Unit): Unit = {
-    val lease = new Path(s"$dir/_build.lease")
+    // SIBLING of the artifact dir: a root-overwriting build deletes the
+    // dir itself, and a lease inside it would vanish mid-build
+    val lease = new Path(s"$dir.lease")
     val token = java.util.UUID.randomUUID().toString
-    fs.mkdirs(new Path(dir))
+    fs.mkdirs(new Path(dir).getParent)
     var held = false
     while (!held) {
       val acquired =

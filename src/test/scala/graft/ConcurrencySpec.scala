@@ -129,7 +129,7 @@ class ConcurrencySpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
-  // ---- cross-JVM registry lease (ArtifactCache._build.lease) ----------
+  // ---- cross-JVM registry lease (ArtifactCache, <dir>.lease) ----------
 
   private def withScratchRegistry[A](body: String => A): A = {
     val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
@@ -148,6 +148,7 @@ class ConcurrencySpec extends SparkTestBase {
       val builds = new java.util.concurrent.atomic.AtomicInteger(0)
       def build(dir: String): Unit = {
         builds.incrementAndGet()
+        new java.io.File(dir).mkdirs()
         assert(new java.io.File(dir, "_SUCCESS").createNewFile())
       }
       // cold build lands under the configured root, builds once
@@ -161,7 +162,7 @@ class ConcurrencySpec extends SparkTestBase {
       assert(builds.get() == 1)
       // cold again, but a FOREIGN (other-JVM) builder holds a fresh lease
       assert(new java.io.File(d, "_SUCCESS").delete())
-      val lease = new java.io.File(d, "_build.lease")
+      val lease = new java.io.File(d + ".lease")
       java.nio.file.Files.write(lease.toPath,
         "foreign-jvm-uuid".getBytes("UTF-8"))
       val pool = Executors.newFixedThreadPool(1)
@@ -208,6 +209,7 @@ class ConcurrencySpec extends SparkTestBase {
       val builds = new java.util.concurrent.atomic.AtomicInteger(0)
       def build(dir: String): Unit = {
         builds.incrementAndGet()
+        new java.io.File(dir).mkdirs()
         assert(new java.io.File(dir, "_SUCCESS").createNewFile())
       }
       // learn the dir, then reset to the crashed-builder state: no
@@ -216,7 +218,7 @@ class ConcurrencySpec extends SparkTestBase {
         spark, sf, "documents", "leasesteal", Seq("_SUCCESS"))(build)
       assert(builds.get() == 1)
       assert(new java.io.File(d, "_SUCCESS").delete())
-      val lease = new java.io.File(d, "_build.lease")
+      val lease = new java.io.File(d + ".lease")
       java.nio.file.Files.write(lease.toPath,
         "crashed-jvm-uuid".getBytes("UTF-8"))
       assert(lease.setLastModified(System.currentTimeMillis() - 60000L))
