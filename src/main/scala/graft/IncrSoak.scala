@@ -79,36 +79,31 @@ object IncrSoak {
       def slice(n: Int) =
         if (n == 0) docs.filter(col("doc_id") % 4 < 2)
         else docs.filter(col("doc_id") % 4 === (n + 1))
-      def roll(artDir: String, oldDocs: org.apache.spark.sql.DataFrame,
-          incr: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
-        val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
-            "doc_id", sh, spark.read.parquet(artDir + "/bands"),
-            threshold = 0.7, k = 126, bands = 21)
-          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
-              threshold = 0.7, k = 126, bands = 21)
-            .select(col("id_a"), col("id_b")))
-        Dedup.updateClusters(spark.read.parquet(artDir + "/clusters"), newPairs)
-          .write.mode("overwrite").parquet(outDir + "/clusters")
-        spark.read.parquet(artDir + "/bands")
-          .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, 126, 21))
-          .write.mode("overwrite").parquet(outDir + "/bands")
+      // warm the INCREMENTAL shapes too (build + roll on 1/64 slices):
+      // without this, night 1 pays all the FromBands/updateClusters/
+      // parquet-write codegen and the flat-nights comparison is biased
+      locally {
+        val w = java.nio.file.Files.createTempDirectory("nightsoak-w").toString
+        Dedup.buildClusterArtifact(docs.filter(col("doc_id") % 64 === 0),
+          "doc_id", sh, w + "/b", threshold = 0.7, k = 126, bands = 21)
+        Dedup.rollClusterArtifact(w + "/b",
+          docs.filter(col("doc_id") % 64 === 0),
+          docs.filter(col("doc_id") % 64 === 1),
+          "doc_id", sh, w + "/r", threshold = 0.7, k = 126, bands = 21)
+        spark.catalog.clearCache()
       }
+      // night-0 artifact: timed separately (base= — the amortized build
+      // every later append reads), OUTSIDE the per-night ladder
       val d0 = java.nio.file.Files.createTempDirectory("nightsoak-0").toString
-      val (_, tBase) = time {
-        val base = slice(0)
-        val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
-          threshold = 0.7, k = 126, bands = 21)
-        Dedup.resolveClusters(pairs, "id_a", "id_b")
-          .write.mode("overwrite").parquet(d0 + "/clusters")
-        Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
-          .write.mode("overwrite").parquet(d0 + "/bands")
-      }
+      val (_, tBase) = time(Dedup.buildClusterArtifact(slice(0),
+        "doc_id", sh, d0, threshold = 0.7, k = 126, bands = 21))
       val d1 = java.nio.file.Files.createTempDirectory("nightsoak-1").toString
-      val (_, t1) = time(roll(d0, slice(0), slice(1), d1))
+      val (_, t1) = time(Dedup.rollClusterArtifact(d0, slice(0), slice(1),
+        "doc_id", sh, d1, threshold = 0.7, k = 126, bands = 21))
       val d2 = java.nio.file.Files.createTempDirectory("nightsoak-2").toString
-      val (_, t2) = time(roll(d1,
-        docs.filter(col("doc_id") % 4 =!= 3), slice(2), d2))
+      val (_, t2) = time(Dedup.rollClusterArtifact(d1,
+        docs.filter(col("doc_id") % 4 =!= 3), slice(2),
+        "doc_id", sh, d2, threshold = 0.7, k = 126, bands = 21))
       val night2 = spark.read.parquet(d2 + "/clusters")
       val diff = night2.except(full).count() + full.except(night2).count()
       require(diff == 0, s"nights: roll-of-roll != full recompute ($diff rows)")

@@ -82,32 +82,31 @@ object ManifestSoak {
         else docs.filter(col("doc_id") % 4 === (n + 1))
       val art = java.nio.file.Files
         .createTempDirectory("manifestsoak-nights").toString
-      def buildClusters(df: DataFrame, dir: String): Unit = {
-        Dedup.resolveClusters(Dedup.minHashPairsHashed(df, "doc_id", sh,
-            threshold = 0.7, k = 126, bands = 21), "id_a", "id_b")
-          .write.mode("overwrite").parquet(dir + "/clusters")
-        Dedup.bandedSignatures(df, "doc_id", sh, k = 126, bands = 21)
-          .write.mode("overwrite").parquet(dir + "/bands")
+      // warm the delta-night shapes on 1/64 slices (cluster build+roll,
+      // gram join, anti-joins) so night 1 doesn't pay the codegen bill
+      locally {
+        Dedup.buildClusterArtifact(docs.filter(col("doc_id") % 64 === 0),
+          "doc_id", sh, art + "/w/b", threshold = 0.7, k = 126, bands = 21)
+        Dedup.rollClusterArtifact(art + "/w/b",
+          docs.filter(col("doc_id") % 64 === 0),
+          docs.filter(col("doc_id") % 64 === 1),
+          "doc_id", sh, art + "/w/r", threshold = 0.7, k = 126, bands = 21)
+        val wg = docs.filter(col("doc_id") % 64 === 0)
+          .filter(col("source") === "src0")
+          .select(explode(Decontaminate.ngramHashes(col("text"), 13)).as("g"))
+          .distinct()
+        decontamVs(docs.filter(col("doc_id") % 64 === 1)
+            .filter(col("source") =!= "src0").filter(gate), wg)
+          .select("doc_id", "source")
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
       }
-      def rollClusters(fromDir: String, oldDocs: DataFrame, incr: DataFrame,
-          toDir: String): Unit = {
-        val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
-            "doc_id", sh, spark.read.parquet(fromDir + "/bands"),
-            threshold = 0.7, k = 126, bands = 21)
-          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-          .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
-              threshold = 0.7, k = 126, bands = 21)
-            .select(col("id_a"), col("id_b")))
-        Dedup.updateClusters(spark.read.parquet(fromDir + "/clusters"), newPairs)
-          .write.mode("overwrite").parquet(toDir + "/clusters")
-        spark.read.parquet(fromDir + "/bands")
-          .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, 126, 21))
-          .write.mode("overwrite").parquet(toDir + "/bands")
-      }
-      // night-0 artifacts, untimed: what every append amortizes
+      // night-0 artifacts: timed separately (base= — the amortized
+      // build every append reads), OUTSIDE the per-night ladder
       val (_, tBase) = time {
         val base = slice(0)
-        buildClusters(base, art + "/c0")
+        Dedup.buildClusterArtifact(base, "doc_id", sh, art + "/c0",
+          threshold = 0.7, k = 126, bands = 21)
         base.filter(col("source") === "src0")
           .select(explode(Decontaminate.ngramHashes(col("text"), 13)).as("g"))
           .distinct().write.mode("overwrite").parquet(art + "/benchgrams")
@@ -124,7 +123,8 @@ object ManifestSoak {
       // the SAME body both nights (only the dirs and the slice move)
       def deltaNight(n: Int, oldDocs: DataFrame): Unit = {
         val incr = slice(n)
-        rollClusters(art + s"/c${n - 1}", oldDocs, incr, art + s"/c$n")
+        Dedup.rollClusterArtifact(art + s"/c${n - 1}", oldDocs, incr,
+          "doc_id", sh, art + s"/c$n", threshold = 0.7, k = 126, bands = 21)
         val newlyLosing =
           losersOf(spark.read.parquet(art + s"/c$n/clusters"))
             .join(losersOf(spark.read.parquet(art + s"/c${n - 1}/clusters")),

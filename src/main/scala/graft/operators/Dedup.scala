@@ -877,4 +877,51 @@ object Dedup {
         count(lit(1)).as("n_segs"))
       .select(col("__id").as(idCol), col("clean_text"), col("n_segs"))
   }
+
+  /** Build the nightly cluster ARTIFACT for `docs` into `dir`: the
+    * resolved label table (`clusters/` — [[resolveClusters]] over the
+    * exact LSH pair set) plus the banded-signature store (`bands/` —
+    * [[bandedSignatures]]), the two tables every later append reads.
+    * This is night 0 of the maintenance protocol; ONE definition shared
+    * by the registered queries and the soak harnesses so the recipe
+    * cannot silently fork across them.
+    */
+  def buildClusterArtifact(docs: DataFrame, idCol: String,
+      hashedCol: Column, dir: String, threshold: Double = 0.7,
+      k: Int = 126, bands: Int = 21): Unit = {
+    val pairs = minHashPairsHashed(docs, idCol, hashedCol, threshold, k, bands)
+    resolveClusters(pairs, "id_a", "id_b")
+      .write.mode("overwrite").parquet(dir + "/clusters")
+    bandedSignatures(docs, idCol, hashedCol, k, bands)
+      .write.mode("overwrite").parquet(dir + "/bands")
+  }
+
+  /** Roll a stored cluster artifact ONE NIGHT forward into `outDir` —
+    * the production nightly append, end to end: increment x band-store
+    * join + increment x increment LSH -> verified pairs
+    * ([[minHashIncrementalFromBands]] — only candidate old docs are
+    * re-read from `oldDocs`), [[updateClusters]] merge into the stored
+    * label table, band store extended by the increment's frozen-seeded
+    * signatures. The output dir is the NEXT night's `artDir` — the
+    * cluster table's generation counter is the rolled dir itself — so
+    * the same body serves every night at any depth (roll∘roll == one
+    * full rebuild; DedupSpec + the q_dedup_clusters_cycle oracle pin
+    * it). ONE definition shared by the registered queries and the soak
+    * harnesses.
+    */
+  def rollClusterArtifact(artDir: String, oldDocs: DataFrame,
+      incr: DataFrame, idCol: String, hashedCol: Column, outDir: String,
+      threshold: Double = 0.7, k: Int = 126, bands: Int = 21): Unit = {
+    val spark = incr.sparkSession
+    val newPairs = minHashIncrementalFromBands(incr, oldDocs, idCol,
+        hashedCol, spark.read.parquet(artDir + "/bands"), threshold, k, bands)
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      .unionAll(minHashPairsHashed(incr, idCol, hashedCol, threshold, k, bands)
+        .select(col("id_a"), col("id_b")))
+    updateClusters(spark.read.parquet(artDir + "/clusters"), newPairs)
+      .write.mode("overwrite").parquet(outDir + "/clusters")
+    spark.read.parquet(artDir + "/bands")
+      .unionAll(bandedSignatures(incr, idCol, hashedCol, k, bands))
+      .write.mode("overwrite").parquet(outDir + "/bands")
+  }
 }

@@ -745,6 +745,12 @@ object TextAnalysis {
     * 4-counter aggregate (map-side combinable): k·4 longs cross the
     * exchange, never the corpus. All rates are exact integer-micro
     * divisions, bit-equal at any parallelism.
+    *
+    * Empty-input contract differs from [[classifierEval]]: the grouped
+    * aggregate of an empty frame has NO groups, so the curve of an
+    * empty split is an EMPTY table (no threshold rows) — not one
+    * all-zero row per threshold. Callers indexing by threshold must
+    * treat a missing row as "no data", not "all negative".
     */
   def classifierCurve(df: DataFrame, textCol: String, label: Column,
       weightsMicro: Seq[Long], thresholdsMicro: Seq[Long],
@@ -757,11 +763,13 @@ object TextAnalysis {
       .crossJoin(broadcast(thr))
       .select(col("thr_micro"), col("__y"), (col("__m") > col("thr_micro")).as("__p"))
       .groupBy("thr_micro")
+      // no coalesce needed (unlike classifierEval's global agg): a
+      // grouped sum is never NULL within an existing group
       .agg(
-        coalesce(sum(when(col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("tp"),
-        coalesce(sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)), lit(0L)).as("fp"),
-        coalesce(sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("fn"),
-        coalesce(sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)), lit(0L)).as("tn"))
+        sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"))
       .selectExpr("thr_micro", "tp", "fp", "fn", "tn",
         "CASE WHEN tp + fp = 0 THEN 0L ELSE 1000000L * tp div (tp + fp) END AS precision_micro",
         "CASE WHEN tp + fn = 0 THEN 0L ELSE 1000000L * tp div (tp + fn) END AS recall_micro",

@@ -16,7 +16,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * warehouse path in production, `java.io.tmpdir` by default for the
   * test rig), and builds are serialized across JVMs by a lease file
   * (below), so two drivers sharing the registry can neither double-build
-  * nor serve a partial artifact. In-JVM racers additionally share a
+  * nor serve a partial artifact — on stores with an atomic
+  * create-if-absent (the local scheme via NIO O_EXCL, HDFS-likes
+  * natively); elsewhere the race window narrows to the one create call.
+  * In-JVM racers additionally share a
   * per-dir monitor (cheaper than file polling; ConcurrencySpec pins the
   * 2-way cold race).
   *
@@ -26,17 +29,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the double-build window; content = a fresh UUID):
   *   1. markers all present → serve, no lease needed (markers are
   *      written LAST, so their presence proves a completed build).
-  *   2. else try to create the lease atomically (create-if-absent on
-  *      the registry's FileSystem); the winner re-checks markers (the
-  *      previous holder may have finished while we raced), builds, and
-  *      deletes ONLY a lease still carrying its own UUID.
+  *   2. else try to create the lease atomically — O_EXCL via NIO on the
+  *      local scheme (Hadoop's LocalFileSystem create-if-absent is
+  *      exists-then-create, NOT atomic), the FileSystem's
+  *      create(overwrite = false) elsewhere (atomic on HDFS-likes; on
+  *      stores without an atomic create the window narrows to that
+  *      call). The winner re-checks markers (the previous holder may
+  *      have finished while we raced), builds, and deletes ONLY a lease
+  *      still carrying its own UUID.
   *   3. losers poll: markers appearing → serve; lease vanishing →
   *      re-contend; lease older than `spark.graft.artifacts.leaseMs`
-  *      (default 10 min) → presumed crashed builder, delete and
-  *      re-contend. The TTL must exceed the slowest build: takeover of
-  *      a LIVE builder would re-introduce the interleaved-overwrite
-  *      hazard the lease exists to prevent; a crashed builder's partial
-  *      writes are safely overwritten because no marker was committed.
+  *      (default 10 min) → presumed crashed builder. The steal is
+  *      SINGLE-WINNER: the stealer RENAMES the stale lease to a unique
+  *      tombstone (rename-if-source-exists is atomic where create is) —
+  *      of two racing stealers exactly one rename succeeds, the loser
+  *      re-contends against the winner's fresh lease, so a stealer can
+  *      never delete another stealer's new lease. The TTL must exceed
+  *      the slowest build: takeover of a LIVE builder would re-introduce
+  *      the interleaved-overwrite hazard the lease exists to prevent; a
+  *      crashed builder's partial writes are safely overwritten because
+  *      no marker was committed.
   */
 private[graft] object ArtifactCache {
 
@@ -106,19 +118,25 @@ private[graft] object ArtifactCache {
     val lease = new Path(s"$dir.lease")
     val token = java.util.UUID.randomUUID().toString
     fs.mkdirs(new Path(dir).getParent)
-    var held = false
-    while (!held) {
-      val acquired =
-        try {
-          // create-if-absent: atomic on HDFS; best-effort on the local
-          // FS (exists-then-create), which the in-JVM lock already
-          // covers — the cross-JVM race window there is the create call
+    // O_EXCL create on the local scheme — Hadoop's LocalFileSystem
+    // create(overwrite=false) is exists-then-create and NOT atomic, but
+    // java.nio's createFile is, and tmpdir is the default registry root
+    def tryCreate(): Boolean =
+      try {
+        if (fs.getScheme == "file") {
+          val nio = java.nio.file.Paths.get(lease.toUri.getPath)
+          java.nio.file.Files.createFile(nio)
+          java.nio.file.Files.write(nio, token.getBytes("UTF-8"))
+        } else {
           val out = fs.create(lease, false)
           out.write(token.getBytes("UTF-8"))
           out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (acquired) held = true
+        }
+        true
+      } catch { case _: java.io.IOException => false }
+    var held = false
+    while (!held) {
+      if (tryCreate()) held = true
       else {
         val st =
           try Some(fs.getFileStatus(lease))
@@ -126,9 +144,12 @@ private[graft] object ArtifactCache {
         st match {
           case Some(fst)
               if System.currentTimeMillis() - fst.getModificationTime > ttlMs =>
-            // presumed crashed builder — steal (delete) and re-contend;
-            // only one stealer's subsequent create succeeds
-            fs.delete(lease, false): Unit
+            // presumed crashed builder — SINGLE-WINNER steal: rename the
+            // stale lease to a unique tombstone (exactly one of two
+            // racing stealers' renames succeeds; the loser re-contends
+            // against the winner's fresh lease and can never delete it)
+            val tomb = new Path(s"$dir.lease.$token.stale")
+            if (fs.rename(lease, tomb)) fs.delete(tomb, false): Unit
           case Some(_) => Thread.sleep(200)
           case None    => // vanished between create and stat — re-contend
         }

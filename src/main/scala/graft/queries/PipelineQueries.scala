@@ -159,14 +159,10 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "clusterbase",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
-      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
-      val sh = Dedup.shinglesHashed(col("text"), 5)
-      val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
+      Dedup.buildClusterArtifact(
+        t(s, d, "documents").filter(col("doc_id") % 4 =!= 3),
+        "doc_id", Dedup.shinglesHashed(col("text"), 5), dir,
         threshold = 0.7, k = 126, bands = 21)
-      Dedup.resolveClusters(pairs, "id_a", "id_b")
-        .write.mode("overwrite").parquet(dir + "/clusters")
-      Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
-        .write.mode("overwrite").parquet(dir + "/bands")
     }
 
   /** The CURATION MANIFEST (`q_curation_manifest`): the whole data
@@ -381,39 +377,12 @@ object PipelineQueries {
     ArtifactCache.dir(s, d, "documents", "clustercompact",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
       val docs = t(s, d, "documents")
-      rollClusterArtifact(s, materializedBaseClusterDir(s, d),
+      Dedup.rollClusterArtifact(materializedBaseClusterDir(s, d),
         docs.filter(col("doc_id") % 4 =!= 3),
-        docs.filter(col("doc_id") % 4 === 3), dir)
-    }
-
-  /** Roll a stored cluster artifact ONE NIGHT forward into `outDir`:
-    * increment × band-store join + increment × increment LSH → verified
-    * pairs ([[Dedup.minHashIncrementalFromBands]] — only candidate old
-    * docs are re-read from `oldDocs`), [[Dedup.updateClusters]] merge
-    * into the stored label table, band store extended by the
-    * increment's frozen-seeded signatures. The SAME body serves every
-    * night — the cluster table's generation-counter equivalent: its
-    * "next generation" is the rolled artifact dir itself — which is
-    * what lets the cycle queries chain night after night with no
-    * night-specific code.
-    */
-  private def rollClusterArtifact(s: org.apache.spark.sql.SparkSession,
-      artDir: String, oldDocs: org.apache.spark.sql.DataFrame,
-      incr: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
-    val sh = Dedup.shinglesHashed(col("text"), 5)
-    val newPairs = Dedup.minHashIncrementalFromBands(incr, oldDocs,
-        "doc_id", sh, s.read.parquet(artDir + "/bands"),
+        docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", Dedup.shinglesHashed(col("text"), 5), dir,
         threshold = 0.7, k = 126, bands = 21)
-      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
-      .unionAll(Dedup.minHashPairsHashed(incr, "doc_id", sh,
-          threshold = 0.7, k = 126, bands = 21)
-        .select(col("id_a"), col("id_b")))
-    Dedup.updateClusters(s.read.parquet(artDir + "/clusters"), newPairs)
-      .write.mode("overwrite").parquet(outDir + "/clusters")
-    s.read.parquet(artDir + "/bands")
-      .unionAll(Dedup.bandedSignatures(incr, "doc_id", sh, k = 126, bands = 21))
-      .write.mode("overwrite").parquet(outDir + "/bands")
-  }
+    }
 
   /** The cluster-table CYCLE (`q_dedup_clusters_cycle`), the dedup twin
     * of the IVF cycle: night-0 base build (doc_id % 4 ∈ {0, 1}), then
@@ -435,26 +404,23 @@ object PipelineQueries {
   private def clusterCycleDirs(
       s: org.apache.spark.sql.SparkSession, d: String): (String, String, String) = {
     val docs = t(s, d, "documents")
+    val sh = Dedup.shinglesHashed(col("text"), 5)
     val base2 = ArtifactCache.dir(s, d, "documents", "clbase2",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
-      val base = nightSlice(docs, "doc_id", 0)
-      val sh = Dedup.shinglesHashed(col("text"), 5)
-      val pairs = Dedup.minHashPairsHashed(base, "doc_id", sh,
-        threshold = 0.7, k = 126, bands = 21)
-      Dedup.resolveClusters(pairs, "id_a", "id_b")
-        .write.mode("overwrite").parquet(dir + "/clusters")
-      Dedup.bandedSignatures(base, "doc_id", sh, k = 126, bands = 21)
-        .write.mode("overwrite").parquet(dir + "/bands")
+      Dedup.buildClusterArtifact(nightSlice(docs, "doc_id", 0),
+        "doc_id", sh, dir, threshold = 0.7, k = 126, bands = 21)
     }
     val night1 = ArtifactCache.dir(s, d, "documents", "clnight1",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
-      rollClusterArtifact(s, base2,
-        nightSlice(docs, "doc_id", 0), nightSlice(docs, "doc_id", 1), dir)
+      Dedup.rollClusterArtifact(base2,
+        nightSlice(docs, "doc_id", 0), nightSlice(docs, "doc_id", 1),
+        "doc_id", sh, dir, threshold = 0.7, k = 126, bands = 21)
     }
     val night2 = ArtifactCache.dir(s, d, "documents", "clnight2",
         Seq("clusters/_SUCCESS", "bands/_SUCCESS")) { dir =>
-      rollClusterArtifact(s, night1,
-        docs.filter(col("doc_id") % 4 =!= 3), nightSlice(docs, "doc_id", 2), dir)
+      Dedup.rollClusterArtifact(night1,
+        docs.filter(col("doc_id") % 4 =!= 3), nightSlice(docs, "doc_id", 2),
+        "doc_id", sh, dir, threshold = 0.7, k = 126, bands = 21)
     }
     (base2, night1, night2)
   }
