@@ -76,9 +76,9 @@ object IncrSoak {
     if (nightsMode) {
       clusterAll()
       val (full, tFull) = time(clusterAll())
+      // the SAME night slices the registered cycle queries use
       def slice(n: Int) =
-        if (n == 0) docs.filter(col("doc_id") % 4 < 2)
-        else docs.filter(col("doc_id") % 4 === (n + 1))
+        graft.queries.PipelineQueries.nightSlice(docs, "doc_id", n)
       // warm the INCREMENTAL shapes too (build + roll on 1/64 slices):
       // without this, night 1 pays all the FromBands/updateClusters/
       // parquet-write codegen and the flat-nights comparison is biased

@@ -77,9 +77,9 @@ object ManifestSoak {
     // across nights, and delta∘delta stays row-identical to the
     // frozen-bench recipe from scratch.
     if (args.lift(1).contains("nights")) {
+      // the SAME night slices the registered cycle queries use
       def slice(n: Int) =
-        if (n == 0) docs.filter(col("doc_id") % 4 < 2)
-        else docs.filter(col("doc_id") % 4 === (n + 1))
+        graft.queries.PipelineQueries.nightSlice(docs, "doc_id", n)
       val art = java.nio.file.Files
         .createTempDirectory("manifestsoak-nights").toString
       // warm the delta-night shapes on 1/64 slices (cluster build+roll,
@@ -120,24 +120,17 @@ object ManifestSoak {
       }
       val benchGrams = spark.read.parquet(art + "/benchgrams")
       // one delta night: cluster roll + verdict roll, all to storage —
-      // the SAME body both nights (only the dirs and the slice move)
+      // the SAME bodies the registered queries run (Dedup.rollCluster-
+      // Artifact + PipelineQueries.rollManifestDelta), so this ladder
+      // cannot silently benchmark a forked recipe
       def deltaNight(n: Int, oldDocs: DataFrame): Unit = {
         val incr = slice(n)
         Dedup.rollClusterArtifact(art + s"/c${n - 1}", oldDocs, incr,
           "doc_id", sh, art + s"/c$n", threshold = 0.7, k = 126, bands = 21)
-        val newlyLosing =
-          losersOf(spark.read.parquet(art + s"/c$n/clusters"))
-            .join(losersOf(spark.read.parquet(art + s"/c${n - 1}/clusters")),
-              Seq("doc_id"), "left_anti")
-        val keptOld = spark.read.parquet(art + s"/kept${n - 1}")
-          .join(newlyLosing, Seq("doc_id"), "left_anti")
-        val incrGated = incr.filter(col("source") =!= "src0").filter(gate)
-        val newKept = decontamVs(incrGated, benchGrams)
-          .select("doc_id", "source")
-          .join(losersOf(spark.read.parquet(art + s"/c$n/clusters")),
-            Seq("doc_id"), "left_anti")
-        keptOld.unionAll(newKept)
-          .write.mode("overwrite").parquet(art + s"/kept$n")
+        graft.queries.PipelineQueries.rollManifestDelta(spark,
+          art + s"/kept${n - 1}", art + "/benchgrams",
+          art + s"/c$n/clusters", art + s"/c${n - 1}/clusters",
+          incr, art + s"/kept$n")
       }
       val (_, t1) = time(deltaNight(1, slice(0)))
       val (_, t2) = time(deltaNight(2, docs.filter(col("doc_id") % 4 =!= 3)))

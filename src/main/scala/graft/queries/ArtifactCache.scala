@@ -101,7 +101,7 @@ private[graft] object ArtifactCache {
     def ready() = markers.forall(m => cacheFs.exists(new Path(s"$d/$m")))
     val lock = locks.computeIfAbsent(d, _ => new Object)
     lock.synchronized {
-      if (!ready()) withLease(cacheFs, d, leaseTtlMs(s)) {
+      if (!ready()) withLease(cacheFs, d, leaseTtlMs(s), () => ready()) {
         if (!ready()) build(d)
       }
     }
@@ -110,32 +110,49 @@ private[graft] object ArtifactCache {
 
   /** Run `body` holding `dir`'s cross-JVM build lease (see the protocol
     * in the object doc). Must be called under the in-JVM per-dir lock.
+    * `done()` is the markers-present probe: a waiter that observes the
+    * artifact complete returns WITHOUT contending (protocol step 3's
+    * "markers appearing → serve"), so a builder that committed its
+    * markers but died before releasing its lease delays nobody.
     */
-  private def withLease(fs: FileSystem, dir: String, ttlMs: Long)(
-      body: => Unit): Unit = {
+  private def withLease(fs: FileSystem, dir: String, ttlMs: Long,
+      done: () => Boolean)(body: => Unit): Unit = {
     // SIBLING of the artifact dir: a root-overwriting build deletes the
     // dir itself, and a lease inside it would vanish mid-build
     val lease = new Path(s"$dir.lease")
     val token = java.util.UUID.randomUUID().toString
     fs.mkdirs(new Path(dir).getParent)
-    // O_EXCL create on the local scheme — Hadoop's LocalFileSystem
-    // create(overwrite=false) is exists-then-create and NOT atomic, but
-    // java.nio's createFile is, and tmpdir is the default registry root
+    // Atomic create-if-absent WITH content. Local scheme: Hadoop's
+    // LocalFileSystem create(overwrite=false) is exists-then-create, so
+    // go through NIO — the token is written to a private tmp file and
+    // HARD-LINKED into place (link(2) fails if the target exists and is
+    // atomic), so no interleaving can observe a tokenless half-created
+    // lease. Elsewhere: the FileSystem's create(overwrite=false)
+    // (atomic on HDFS-likes; on stores without an atomic create the
+    // race window narrows to that one call).
     def tryCreate(): Boolean =
-      try {
-        if (fs.getScheme == "file") {
-          val nio = java.nio.file.Paths.get(lease.toUri.getPath)
-          java.nio.file.Files.createFile(nio)
-          java.nio.file.Files.write(nio, token.getBytes("UTF-8"))
-        } else {
+      if (fs.getScheme == "file") {
+        val nio = java.nio.file.Paths.get(lease.toUri.getPath)
+        val tmp = nio.resolveSibling(s"${nio.getFileName}.$token.tmp")
+        try {
+          java.nio.file.Files.write(tmp, token.getBytes("UTF-8"))
+          java.nio.file.Files.createLink(nio, tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      } else {
+        try {
           val out = fs.create(lease, false)
           out.write(token.getBytes("UTF-8"))
           out.close()
-        }
-        true
-      } catch { case _: java.io.IOException => false }
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                       _: java.io.FileNotFoundException => false }
+      }
     var held = false
     while (!held) {
+      if (done()) return // complete while we waited — serve, don't build
       if (tryCreate()) held = true
       else {
         val st =
@@ -151,24 +168,64 @@ private[graft] object ArtifactCache {
             val tomb = new Path(s"$dir.lease.$token.stale")
             if (fs.rename(lease, tomb)) fs.delete(tomb, false): Unit
           case Some(_) => Thread.sleep(200)
-          case None    => // vanished between create and stat — re-contend
+          case None    =>
+            // lease absent yet create failed: either we lost the race
+            // by a hair (retry wins next round) or the root is not
+            // writable — pace the loop so a persistent IO failure can't
+            // busy-spin, and surface the real error instead of hanging
+            Thread.sleep(50)
+            if (!fs.exists(lease)) {
+              val probe = fs.create(lease, false) // throws the real cause
+              probe.write(token.getBytes("UTF-8"))
+              probe.close()
+              held = true
+            }
         }
       }
     }
+    // heartbeat: a LIVE builder must never look stale — without it, a
+    // build outlasting the TTL gets stolen and the overwrite hazard
+    // reopens. Touch the lease every ttl/4 from a daemon thread.
+    val beat = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, s"graft-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    val period = math.max(ttlMs / 4, 100L)
+    beat.scheduleAtFixedRate(() => {
+      try fs.setTimes(lease, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => } // stolen/unwritable: release sorts it out
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      // delete only OUR lease: a staler may have taken over if this
-      // build outlived the TTL, and their lease must survive our exit
-      val ours =
-        try {
-          val in = fs.open(lease)
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          in.close()
-          n > 0 && new String(buf, 0, n, "UTF-8") == token
-        } catch { case _: java.io.IOException => false }
-      if (ours) fs.delete(lease, false): Unit
+      beat.shutdownNow(): Unit
+      release(fs, dir, lease, token)
     }
+  }
+
+  /** Release ONLY our own lease, safely against a concurrent steal: the
+    * lease is atomically RENAMED to a private tombstone first, then
+    * inspected — if the content is ours the tombstone is deleted; if a
+    * stealer replaced the lease while we were finishing (possible only
+    * past the TTL, i.e. heartbeat failure or extreme clock skew), the
+    * grabbed lease is THEIRS and is renamed straight back. Read-then-
+    * delete without the rename could delete a stealer's fresh lease.
+    */
+  private def release(fs: FileSystem, dir: String, lease: Path,
+      token: String): Unit = {
+    val tomb = new Path(s"$dir.lease.$token.release")
+    try {
+      if (fs.rename(lease, tomb)) {
+        val in = fs.open(tomb)
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        in.close()
+        if (n > 0 && new String(buf, 0, n, "UTF-8") == token)
+          fs.delete(tomb, false): Unit
+        else
+          fs.rename(tomb, lease): Unit // grabbed a stealer's lease — restore
+      }
+    } catch { case _: java.io.IOException => } // lease already gone
   }
 
   /** Staged build — the append-lifecycle extension of [[dir]]: each

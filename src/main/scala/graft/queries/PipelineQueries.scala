@@ -50,15 +50,6 @@ object PipelineQueries {
        |          JOIN shn nb ON nb.doc_id = id_b
        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= $thr)""".stripMargin
 
-  /** The manifest KEEP-SET oracle CTEs, shared by the whole
-    * q_curation_manifest family (full / incr / delta / pack) — factored
-    * like [[FullClosureOracleSql]] so the recipe cannot silently fork
-    * across the four copies (ADVICE r17): closure losers over the exact
-    * pair set, the 13-gram bad set against the benchmark (`benchWhere`
-    * narrows the bench CTE — the delta path freezes it to the base
-    * slice), and the Gopher gate clause. Ends in `gated`; callers append
-    * their final SELECT (and q_pack_manifest its `kept` CTE).
-    */
   /** Closure LOSERS over the exact pair set as CTEs (`losers(v)`) — the
     * near-dup keep-set's oracle core, shared by the manifest family and
     * the streaming ingest-vs-store check (WarehouseQueries). Needs
@@ -82,6 +73,15 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     materializedCompactClusterDir(s, d)
 
+  /** The manifest KEEP-SET oracle CTEs, shared by the whole
+    * q_curation_manifest family (full / incr / delta / delta2 / pack) —
+    * factored like [[FullClosureOracleSql]] so the recipe cannot
+    * silently fork across the copies (ADVICE r17): [[closureLoserCtes]]
+    * + the 13-gram bad set against the benchmark (`benchWhere` narrows
+    * the bench CTE — the delta paths freeze it to their base slice) +
+    * the Gopher gate clause. Ends in `gated`; callers append their
+    * final SELECT (and q_pack_manifest its `kept` CTE).
+    */
   private def manifestKeepCtes(benchWhere: String = ""): String = {
     val gates = TextAnalysis.gopherGateSql("text")
       .map(_._2).mkString("\n  AND ")
@@ -273,7 +273,7 @@ object PipelineQueries {
     * the frozen grams — never the base corpus. The SAME body serves
     * every night, which is what lets the delta path cycle.
     */
-  private def rollManifestDelta(s: org.apache.spark.sql.SparkSession,
+  private[graft] def rollManifestDelta(s: org.apache.spark.sql.SparkSession,
       keptDir: String, benchGramsDir: String, losersNewDir: String,
       losersOldDir: String, incr: org.apache.spark.sql.DataFrame,
       outDir: String): Unit = {
@@ -658,7 +658,7 @@ object PipelineQueries {
     * nights — night 0 (the base build, id % 4 ∈ {0, 1}), night 1
     * (id % 4 == 2), night 2 (id % 4 == 3).
     */
-  private def nightSlice(df: org.apache.spark.sql.DataFrame,
+  private[graft] def nightSlice(df: org.apache.spark.sql.DataFrame,
       idCol: String, night: Int): org.apache.spark.sql.DataFrame =
     if (night == 0) df.filter(col(idCol) % 4 < 2)
     else df.filter(col(idCol) % 4 === (night + 1))
@@ -2192,9 +2192,12 @@ object PipelineQueries {
       (s, d) => {
         val idx = materializedIvfIncrIndexDir(s, d)
         val k = s.read.parquet(idx + "/centroids").count()
+        // checkpoint the <=k-row histogram: its two consumers (rows +
+        // the total) must not re-pay the postings scan (review r18)
         val cnt = s.read.parquet(idx + "/postings")
           .groupBy(col("cell").cast("long").as("cell"))
           .agg(count(lit(1)).as("n_vecs"))
+          .localCheckpoint(true)
         cnt.crossJoin(broadcast(cnt.agg(sum("n_vecs").as("t"))))
           .select(col("cell"), col("n_vecs"),
             expr("(1000000 * n_vecs) div t").as("share_micro"),
