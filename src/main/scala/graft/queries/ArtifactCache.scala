@@ -151,6 +151,7 @@ private[graft] object ArtifactCache {
                        _: java.io.FileNotFoundException => false }
       }
     var held = false
+    var noneStreak = 0
     while (!held) {
       if (done()) return // complete while we waited — serve, don't build
       if (tryCreate()) held = true
@@ -165,21 +166,25 @@ private[graft] object ArtifactCache {
             // stale lease to a unique tombstone (exactly one of two
             // racing stealers' renames succeeds; the loser re-contends
             // against the winner's fresh lease and can never delete it)
+            noneStreak = 0
             val tomb = new Path(s"$dir.lease.$token.stale")
             if (fs.rename(lease, tomb)) fs.delete(tomb, false): Unit
-          case Some(_) => Thread.sleep(200)
-          case None    =>
-            // lease absent yet create failed: either we lost the race
-            // by a hair (retry wins next round) or the root is not
-            // writable — pace the loop so a persistent IO failure can't
-            // busy-spin, and surface the real error instead of hanging
+          case Some(_) =>
+            noneStreak = 0
+            Thread.sleep(200)
+          case None =>
+            // lease absent yet create failed: normally we lost the race
+            // by a hair and the next atomic tryCreate wins. Pace the
+            // loop, and after a bounded streak surface the pathology
+            // (an un-writable root whose failures the FS maps onto the
+            // benign exceptions) instead of spinning forever — real
+            // permission errors already propagate from tryCreate.
+            noneStreak += 1
+            if (noneStreak >= 20) throw new IllegalStateException(
+              s"cannot create build lease $lease after $noneStreak " +
+                "attempts with no holder visible — is the registry root " +
+                "writable?")
             Thread.sleep(50)
-            if (!fs.exists(lease)) {
-              val probe = fs.create(lease, false) // throws the real cause
-              probe.write(token.getBytes("UTF-8"))
-              probe.close()
-              held = true
-            }
         }
       }
     }
