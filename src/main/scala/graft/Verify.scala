@@ -19,6 +19,12 @@ object Verify {
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pin the refresh-trigger thresholds to their registered-oracle
+    // defaults: the q_*_refresh oracles price the forced-retrain path,
+    // and a session that happens to carry a non-default threshold would
+    // serve the frozen store and report a FALSE mismatch (ADVICE r18).
+    spark.conf.set("spark.graft.ann.refreshFactorMicro", "0")
+    spark.conf.set("spark.graft.bpe.refreshCptMicro", Long.MaxValue.toString)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

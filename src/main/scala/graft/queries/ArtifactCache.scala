@@ -190,7 +190,15 @@ private[graft] object ArtifactCache {
     }
     // heartbeat: a LIVE builder must never look stale — without it, a
     // build outlasting the TTL gets stolen and the overwrite hazard
-    // reopens. Touch the lease every ttl/4 from a daemon thread.
+    // reopens. Touch the lease every ttl/4 from a daemon thread. The
+    // primary touch is setTimes; stores where setTimes is unsupported or
+    // a silent no-op (object stores) fall back to REWRITING the lease
+    // (create-overwrite with the same token) — the rewrite resets the
+    // mtime, which is the heartbeat effect, and keeps the content OUR
+    // token so release's inspection still recognizes it. The task
+    // swallows NonFatal, never just IOException: one RuntimeException
+    // from a FileSystem would otherwise cancel the executor's schedule
+    // permanently and the live build would look stale (ADVICE r18).
     val beat = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
       val t = new Thread(r, s"graft-lease-heartbeat")
       t.setDaemon(true)
@@ -198,8 +206,28 @@ private[graft] object ArtifactCache {
     })
     val period = math.max(ttlMs / 4, 100L)
     beat.scheduleAtFixedRate(() => {
-      try fs.setTimes(lease, System.currentTimeMillis(), -1)
-      catch { case _: java.io.IOException => } // stolen/unwritable: release sorts it out
+      try {
+        val before = System.currentTimeMillis()
+        try fs.setTimes(lease, before, -1)
+        catch { case scala.util.control.NonFatal(_) => }
+        // verify the touch took — getFileStatus on a fresh Path dodges
+        // any cached status; a no-op setTimes leaves mtime behind
+        val mt =
+          try fs.getFileStatus(new Path(lease.toString)).getModificationTime
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+        if (mt < before - period) {
+          // rewrite fallback: only reached when setTimes cannot advance
+          // the mtime. create(overwrite) can in principle resurrect a
+          // lease a stealer renamed away a moment earlier — but a steal
+          // only happens past the TTL, i.e. after ≥4 consecutive failed
+          // beats, so the window requires the very pathology the beat
+          // prevents; the residual race is strictly narrower than
+          // running TTL-expired with no heartbeat at all.
+          val out = fs.create(lease, true)
+          out.write(token.getBytes("UTF-8"))
+          out.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => } // stolen/unwritable: release sorts it out
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
@@ -213,8 +241,18 @@ private[graft] object ArtifactCache {
     * inspected — if the content is ours the tombstone is deleted; if a
     * stealer replaced the lease while we were finishing (possible only
     * past the TTL, i.e. heartbeat failure or extreme clock skew), the
-    * grabbed lease is THEIRS and is renamed straight back. Read-then-
-    * delete without the rename could delete a stealer's fresh lease.
+    * grabbed lease is THEIRS and must be put back. Read-then-delete
+    * without the rename could delete a stealer's fresh lease.
+    *
+    * The restore itself is CREATE-IF-ABSENT, not a blind rename-back:
+    * on the local scheme rename OVERWRITES an existing destination, so
+    * if a third waiter created a fresh lease in the window between our
+    * grab and the restore, an unconditional rename would silently
+    * clobber it — two builders each believing they hold (ADVICE r18).
+    * Link-if-absent (the same primitive tryCreate uses) fails in that
+    * case and the tombstone is dropped: the stolen-then-superseded
+    * lease was already dead the moment our grab removed it, and the
+    * third waiter's fresh lease is the single live one.
     */
   private def release(fs: FileSystem, dir: String, lease: Path,
       token: String): Unit = {
@@ -227,8 +265,21 @@ private[graft] object ArtifactCache {
         in.close()
         if (n > 0 && new String(buf, 0, n, "UTF-8") == token)
           fs.delete(tomb, false): Unit
-        else
-          fs.rename(tomb, lease): Unit // grabbed a stealer's lease — restore
+        else {
+          // grabbed a stealer's lease — restore, but never over a newer one
+          val restored =
+            if (fs.getScheme == "file") {
+              try {
+                java.nio.file.Files.createLink(
+                  java.nio.file.Paths.get(lease.toUri.getPath),
+                  java.nio.file.Paths.get(tomb.toUri.getPath))
+                true
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => false
+              }
+            } else !fs.exists(lease) && fs.rename(tomb, lease)
+          if (restored || fs.exists(tomb)) fs.delete(tomb, false): Unit
+        }
       }
     } catch { case _: java.io.IOException => } // lease already gone
   }
@@ -252,6 +303,104 @@ private[graft] object ArtifactCache {
       }
     }
 
+  // ---- versioned-registry surface: CURRENT pointer + retention --------
+  //
+  // The blue/green lifecycle (REFRESH) leaves versions side by side
+  // (`v0/`, `v1/`, … under one artifact dir); production consumers must
+  // not re-derive "which one" from the trigger — the registry publishes
+  // an atomic CURRENT pointer, and a retention verb deletes only the
+  // versions the pointer does not reference. Laws (ConcurrencySpec):
+  // readers see the old or the new pointer value, never a partial write;
+  // GC never deletes the pointed version; both compose with the build
+  // lease (pointer flips happen inside lease-held build stages, GC takes
+  // the same lease).
+
+  /** Atomically publish `version` as `dir`'s CURRENT pointer (`
+    * <dir>/current`, content = the version subdir name). Write-tmp +
+    * atomic rename-over: NIO ATOMIC_MOVE on the local scheme (POSIX
+    * rename(2) replaces the destination atomically); elsewhere
+    * delete + rename — non-atomic, but the window narrows to the one
+    * rename call and a reader that catches it retries via
+    * [[readCurrent]]'s None. MUST be called with the dir's build lease
+    * held (build stages are; see [[staged]]) so flips serialize with GC.
+    */
+  def publishCurrent(s: SparkSession, dir: String, version: String): Unit = {
+    val cur = new Path(s"$dir/current")
+    val fs = cur.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/current.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(version.getBytes("UTF-8"))
+    out.close()
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(cur.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else {
+      if (fs.exists(cur)) fs.delete(cur, false): Unit
+      if (!fs.rename(tmp, cur))
+        throw new java.io.IOException(s"cannot publish pointer $cur")
+    }
+  }
+
+  /** The CURRENT pointer's value, None on a cold registry (or inside the
+    * non-local publish fallback's one-call window — retry).
+    */
+  def readCurrent(s: SparkSession, dir: String): Option[String] = {
+    val cur = new Path(s"$dir/current")
+    val fs = cur.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(cur)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      in.close()
+      Some(new String(buf.toByteArray, "UTF-8").trim).filter(_.nonEmpty)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** RETENTION verb: delete every `v<N>/` version under `dir` the
+    * CURRENT pointer does not reference; returns the retired names.
+    * Takes the dir's build lease (and the in-JVM per-dir monitor), so it
+    * can never race a builder mid-write or a pointer flip — a version
+    * being built is protected by the same lease that guards its stages.
+    * No pointer → nothing is deleted (a cold registry has nothing
+    * retired out from under its first build).
+    */
+  def retireUnreferenced(s: SparkSession, dir: String): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    var retired: Seq[String] = Seq.empty
+    val lock = locks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      withLease(fs, dir, leaseTtlMs(s), () => false) {
+        retired = retireLocked(s, fs, dir)
+      }
+    }
+    retired
+  }
+
+  /** GC body — caller MUST hold `dir`'s build lease (a registered gc
+    * STAGE already does; the standalone verb is [[retireUnreferenced]]).
+    */
+  private[queries] def retireLocked(s: SparkSession, fs: FileSystem,
+      dir: String): Seq[String] =
+    readCurrent(s, dir) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val vName = "v(\\d+)".r
+        if (!fs.exists(new Path(dir))) Seq.empty
+        else fs.listStatus(new Path(dir)).toSeq
+          .filter(st => st.isDirectory && (st.getPath.getName match {
+            case vName(_) => true
+            case _ => false
+          }))
+          .map(_.getPath.getName)
+          .filterNot(_ == cur)
+          .sorted
+          .map { v => fs.delete(new Path(s"$dir/$v"), true); v }
+    }
+
   /** The append-night GENERATION COUNTER: the next free generation under
     * `dir/sub` (hive layout `sub/gen=N`, committed = `_SUCCESS` present)
     * — 1 + the highest committed generation, 0 on a cold store. Nightly
@@ -265,10 +414,17 @@ private[graft] object ArtifactCache {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
+      // strict gen=\d+ match: a stray sibling (a temp/backup dir named
+      // e.g. `gen=0.bak`) must be ignored, not explode every subsequent
+      // append with a NumberFormatException (ADVICE r18)
+      val genName = "gen=(\\d+)".r
       val gens = fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.getName.stripPrefix("gen=").toInt)
+        .filter(st => st.isDirectory)
+        .flatMap(st => st.getPath.getName match {
+          case genName(n) if fs.exists(new Path(st.getPath, "_SUCCESS")) =>
+            Some(n.toInt)
+          case _ => None
+        })
       if (gens.isEmpty) 0 else gens.max + 1
     }
   }

@@ -622,7 +622,11 @@ object PipelineQueries {
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
     val total = counts.sum
-    counts.map(n => n * k * 1000000L / total).max
+    // empty store → 0 (nothing to rebalance, never div-by-zero/empty
+    // max); BigInt keeps n·k·1e6 exact past Long at extreme cell counts
+    // without changing the rounding of the in-range values (ADVICE r18)
+    if (counts.isEmpty || total == 0L) 0L
+    else counts.map(n => (BigInt(n) * k * 1000000 / total).toLong).max
   }
 
   /** The model-REFRESH verb (`q_ann_refresh`) — the gap a store that
@@ -652,6 +656,63 @@ object PipelineQueries {
         Seq("centroids/_SUCCESS", "postings/_SUCCESS")) { dir =>
       buildIvfFlat(s, t(s, d, "embeddings"), dir)
     }
+  }
+
+  /** The VERSIONED registry artifact (`q_ann_serve_current`,
+    * `q_ann_registry_versions`) — the production story
+    * [[materializedIvfRefreshDir]] stops short of: refresh leaves frozen
+    * and refreshed stores side by side with every consumer re-deriving
+    * the choice from the trigger; a registry publishes an atomic CURRENT
+    * pointer and retires unreferenced versions. Layout under one
+    * artifact dir: `v0/` = the frozen append-only store's snapshot
+    * (centroids + postings copied from [[materializedIvfIncrIndexDir]] —
+    * pure I/O, no re-assignment, same content by the compact-verb
+    * argument), `v1/` = the full-corpus rebuild ([[buildIvfFlat]], the
+    * shared builder), `current` = the pointer, flipped by atomic rename
+    * AFTER v1's markers commit (blue/green: a reader mid-refresh serves
+    * v0 whole or v1 whole, never a mix), `markers/` = stage markers
+    * OUTSIDE the version dirs so retiring a version cannot un-mark the
+    * lifecycle and trigger a spurious rebuild. The gc stage runs
+    * [[ArtifactCache.retireLocked]] under the already-held build lease;
+    * terminal state (default trigger: forced refresh) = v1 only,
+    * pointer → v1.
+    */
+  private def materializedIvfRegistryDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def touch(dir: String, marker: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$marker")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+    ArtifactCache.staged(s, d, "embeddings", "ivfreg", Seq(
+      "markers/v0.done" -> { dir =>
+        val incr = materializedIvfIncrIndexDir(s, d)
+        s.read.parquet(incr + "/centroids").coalesce(1)
+          .write.mode("overwrite").parquet(dir + "/v0/centroids")
+        s.read.parquet(incr + "/postings")
+          .select(col("c_id"), col("c_vec"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/v0/postings")
+        ArtifactCache.publishCurrent(s, dir, "v0")
+        touch(dir, "markers/v0.done")
+      },
+      "markers/refresh.done" -> { dir =>
+        val cur = ArtifactCache.readCurrent(s, dir).getOrElse("v0")
+        val factor = s.conf.getOption("spark.graft.ann.refreshFactorMicro")
+          .map(_.toLong).getOrElse(0L)
+        if (hottestCellRatioMicro(s, s"$dir/$cur", "postings") > factor) {
+          buildIvfFlat(s, t(s, d, "embeddings"), dir + "/v1")
+          ArtifactCache.publishCurrent(s, dir, "v1")
+        }
+        touch(dir, "markers/refresh.done")
+      },
+      "markers/gc.done" -> { dir =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ArtifactCache.retireLocked(s, fs, dir): Unit
+        touch(dir, "markers/gc.done")
+      }))
   }
 
   /** Night slices of the CYCLE simulation: the corpus arrives over three
@@ -2229,6 +2290,67 @@ object PipelineQueries {
             nProbe = 4)
           .select("q_id", "c_id", "rn")
           .orderBy("q_id", "rn")
+      }),
+
+    // SERVE THROUGH THE POINTER — the registry's production read path:
+    // the consumer never re-derives the blue/green choice from the
+    // trigger; it reads the atomic CURRENT pointer and queries that
+    // version whole (materializedIvfRegistryDir: v0 = frozen snapshot,
+    // v1 = forced refresh, pointer flipped AFTER v1's markers commit,
+    // then the gc stage retires v0 under the same lease). Pointer → v1,
+    // so the oracle is the unrestricted full-corpus IVF chain — the
+    // registered row also PROVES the gc never touched the pointed
+    // version, because the serve runs after it. ConcurrencySpec pins
+    // the pointer/GC laws; SimilaritySpec pins serve-current ==
+    // q_ann_refresh row-for-row.
+    Q("q_ann_serve_current", IvfOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val reg = materializedIvfRegistryDir(s, d)
+        val cur = ArtifactCache.readCurrent(s, reg).getOrElse(
+          throw new IllegalStateException(s"registry $reg has no current pointer"))
+        val idx = s"$reg/$cur"
+        Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // The registry INVENTORY after the full lifecycle (build v0 →
+    // refresh to v1 → pointer flip → GC): exactly one version must
+    // remain, it must be the pointed one, and it must hold the WHOLE
+    // current corpus. The readout lists the surviving v<N> dirs and
+    // counts their postings — a bounded registry scan (≤ #versions
+    // driver rows; each count is one pruned parquet count) — so a
+    // leaked unretired version or a GC'd current version both break the
+    // hash, making the retention contract itself oracle-checked.
+    Q("q_ann_registry_versions",
+      Some("""SELECT 'v1' AS version, CAST(1 AS BIGINT) AS is_current,
+             |  CAST(count(*) AS BIGINT) AS n_vecs
+             |FROM embeddings ORDER BY version""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val reg = materializedIvfRegistryDir(s, d)
+        val cur = ArtifactCache.readCurrent(s, reg).getOrElse("")
+        val fs = new org.apache.hadoop.fs.Path(reg)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val vName = "v(\\d+)".r
+        val versions = fs.listStatus(new org.apache.hadoop.fs.Path(reg))
+          .toSeq
+          .filter(st => st.isDirectory && (st.getPath.getName match {
+            case vName(_) => true
+            case _ => false
+          }))
+          .map(_.getPath.getName).sorted
+        versions.map { v =>
+          (v, if (v == cur) 1L else 0L,
+            s.read.parquet(s"$reg/$v/postings").count())
+        }.toDF("version", "is_current", "n_vecs")
+          .orderBy("version")
       }),
 
     // EVALUATION of the served ANN index — recall@10 of the stored

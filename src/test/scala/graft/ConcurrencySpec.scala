@@ -183,6 +183,104 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  // ---- versioned registry: CURRENT pointer + retention laws -----------
+
+  test("registry pointer: concurrent flips are atomic — readers see old or new, never partial") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ptr").toString
+    try {
+      graft.queries.ArtifactCache.publishCurrent(spark, root, "v0")
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val writer = new Thread(() => {
+        var i = 0
+        while (!stop.get()) {
+          graft.queries.ArtifactCache.publishCurrent(
+            spark, root, if (i % 2 == 0) "v1" else "v0")
+          i += 1
+        }
+      })
+      val readers = (1 to 3).map(_ => new Thread(() => {
+        while (!stop.get()) {
+          graft.queries.ArtifactCache.readCurrent(spark, root) match {
+            case Some("v0") | Some("v1") => ()
+            case other => bad.compareAndSet(null, other.toString): Unit
+          }
+        }
+      }))
+      (writer +: readers).foreach(_.start())
+      Thread.sleep(1500)
+      stop.set(true)
+      (writer +: readers).foreach(_.join(10000))
+      assert(bad.get() == null,
+        s"reader observed a non-atomic pointer state: ${bad.get()}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("registry GC: retires only unreferenced versions, never the pointed one; no pointer -> no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    spark.conf.set("spark.graft.artifacts.root",
+      java.nio.file.Files.createTempDirectory("graft-gc-lease").toString)
+    try {
+      def mkv(v: String): Unit = {
+        val f = new java.io.File(root, s"$v/postings")
+        assert(f.mkdirs())
+        assert(new java.io.File(f, "part-0").createNewFile())
+      }
+      mkv("v0"); mkv("v1"); mkv("v2")
+      // a non-version sibling must never be considered for deletion
+      assert(new java.io.File(root, "markers").mkdirs())
+      // no pointer yet: GC must be a no-op (cold registry mid-first-build)
+      assert(graft.queries.ArtifactCache.retireUnreferenced(spark, root).isEmpty)
+      assert(new java.io.File(root, "v0").exists())
+      graft.queries.ArtifactCache.publishCurrent(spark, root, "v1")
+      val retired = graft.queries.ArtifactCache.retireUnreferenced(spark, root)
+      assert(retired == Seq("v0", "v2"), s"retired $retired")
+      assert(!new java.io.File(root, "v0").exists())
+      assert(new java.io.File(root, "v1/postings/part-0").exists(),
+        "GC deleted the pointed version")
+      assert(!new java.io.File(root, "v2").exists())
+      assert(new java.io.File(root, "markers").exists(),
+        "GC touched a non-version sibling")
+      assert(graft.queries.ArtifactCache.readCurrent(spark, root).contains("v1"))
+      // idempotent: a second pass retires nothing
+      assert(graft.queries.ArtifactCache.retireUnreferenced(spark, root).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.root")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("registry GC: composes with the build lease — a live foreign lease blocks retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gcl").toString
+    try {
+      assert(new java.io.File(root, "v0").mkdirs())
+      assert(new java.io.File(root, "v1").mkdirs())
+      graft.queries.ArtifactCache.publishCurrent(spark, root, "v1")
+      // a foreign (other-JVM) builder holds a fresh lease on the registry
+      val lease = new java.io.File(root + ".lease")
+      java.nio.file.Files.write(lease.toPath, "foreign-jvm".getBytes("UTF-8"))
+      val pool = Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val f = Future(graft.queries.ArtifactCache.retireUnreferenced(spark, root))
+        Thread.sleep(1000)
+        assert(!f.isCompleted, "GC must wait while a builder's lease is live")
+        assert(new java.io.File(root, "v0").exists())
+        assert(lease.delete())
+        assert(Await.result(f, 1.minute) == Seq("v0"))
+        assert(!new java.io.File(root, "v0").exists())
+        assert(!lease.exists(), "GC must release the lease it took")
+      } finally pool.shutdown()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
   test("nextGen: cold store -> 0; only COMMITTED generations count; gaps resume past the max") {
     val root = java.nio.file.Files.createTempDirectory("graft-gen").toFile
     try {
@@ -197,9 +295,66 @@ class ConcurrencySpec extends SparkTestBase {
       assert(new java.io.File(dir, "postings/gen=3").mkdirs())
       assert(new java.io.File(dir, "postings/gen=3/_SUCCESS").createNewFile())
       assert(gen() == 4, "the counter must resume past the highest committed gen")
+      // a stray non-numeric sibling (temp/backup dir) must be ignored,
+      // not break every subsequent append (ADVICE r18)
+      assert(new java.io.File(dir, "postings/gen=0.bak").mkdirs())
+      assert(new java.io.File(dir, "postings/gen=0.bak/_SUCCESS").createNewFile())
+      assert(gen() == 4, "a non-numeric gen= sibling must not poison the counter")
     } finally {
       val p = new org.apache.hadoop.fs.Path(root.getAbsolutePath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
+    }
+  }
+
+  test("registry lease: heartbeat survives a setTimes-less store (object-store simulation)") {
+    // S3A and friends no-op or throw on setTimes; without a fallback a
+    // LIVE build outlasting the TTL looks stale and gets stolen — the
+    // exact interleaved-overwrite hazard the heartbeat exists to prevent
+    // (VERDICT r18 "What's wrong #1"). The heartbeat must (a) swallow the
+    // RuntimeException without killing its own schedule and (b) fall back
+    // to rewriting the lease so the mtime still advances.
+    val root = java.nio.file.Files.createTempDirectory("graft-nst").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftnst.impl", classOf[NoSetTimesFileSystem].getName)
+    spark.conf.set("spark.graft.artifacts.root", s"graftnst://$root")
+    spark.conf.set("spark.graft.artifacts.leaseMs", "400")
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxLagMs = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var leaseLocal: java.io.File = null
+      def build(dir: String): Unit = {
+        builds.incrementAndGet()
+        val local = new java.io.File(new java.net.URI(dir).getPath)
+        leaseLocal = new java.io.File(local.getParentFile,
+          local.getName + ".lease")
+        // outlast the 400 ms TTL by 3x while sampling the lease's
+        // observed staleness — the property under test is that a LIVE
+        // build NEVER crosses the TTL horizon a stealer watches
+        val deadline = System.currentTimeMillis() + 1200
+        while (System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          if (leaseLocal.exists()) {
+            val lag = System.currentTimeMillis() - leaseLocal.lastModified()
+            maxLagMs.accumulateAndGet(lag, Math.max(_, _))
+          }
+        }
+        local.mkdirs()
+        assert(new java.io.File(local, "_SUCCESS").createNewFile())
+      }
+      graft.queries.ArtifactCache.dir(
+        spark, sf, "documents", "nstbeat", Seq("_SUCCESS"))(build)
+      assert(builds.get() == 1)
+      assert(maxLagMs.get() < 400,
+        s"live lease looked stale for a stealer: max observed lag " +
+          s"${maxLagMs.get()} ms >= TTL 400 ms — heartbeat fallback dead")
+      assert(leaseLocal != null && !leaseLocal.exists(),
+        "builder must still release its lease on the setTimes-less store")
+    } finally {
+      spark.conf.unset("spark.graft.artifacts.root")
+      spark.conf.unset("spark.graft.artifacts.leaseMs")
+      conf.unset("fs.graftnst.impl")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(conf).delete(p, true): Unit
     }
   }
 

@@ -452,4 +452,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(recallOf(rebuilt) >= recallOf(frozen),
       "refresh must not lose recall vs the frozen store on the grown corpus")
   }
+
+  test("versioned registry: pointer serves the refreshed version, GC retires the frozen one; threshold both ways") {
+    val factorKey = "spark.graft.ann.refreshFactorMicro"
+    def coldRegistry(): Unit =
+      new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+        .filter(_.getName.startsWith("graft_ivfreg_cache_"))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true): Unit
+        }
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val nVecs = emb.count()
+    try {
+      // default trigger (forced refresh): the pointer must serve exactly
+      // what the trigger-derived refresh verb serves, and the inventory
+      // must show ONE surviving version — the pointed, full-corpus v1
+      coldRegistry()
+      assert(rows("q_ann_serve_current") == rows("q_ann_refresh"),
+        "pointer-served rows diverged from the refresh verb")
+      assert(rows("q_ann_registry_versions") == Seq(s"[v1,1,$nVecs]"),
+        "terminal registry state must be exactly {v1 = current, whole corpus}")
+      // un-triggered lifecycle on a COLD registry: the pointer stays on
+      // the frozen snapshot, the serve equals the frozen store's answer,
+      // and GC retires nothing (v0 is the pointed version)
+      coldRegistry()
+      spark.conf.set(factorKey, Long.MaxValue.toString)
+      assert(rows("q_ann_serve_current") == rows("q_ann_index_incr"),
+        "an un-triggered registry must serve the frozen snapshot")
+      assert(rows("q_ann_registry_versions") == Seq(s"[v0,1,$nVecs]"),
+        "un-triggered registry must keep (only) the pointed frozen v0")
+    } finally {
+      spark.conf.unset(factorKey)
+      // drop the threshold-shaped registry so later default-conf runs
+      // (Verify, bench) rebuild the canonical terminal state
+      coldRegistry()
+    }
+  }
 }
