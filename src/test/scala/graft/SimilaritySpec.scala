@@ -453,6 +453,42 @@ class SimilaritySpec extends SparkTestBase {
       "refresh must not lose recall vs the frozen store on the grown corpus")
   }
 
+  test("recall-aware refresh: a balanced-occupancy store still refreshes when sampled recall decays") {
+    // The drift mode occupancy misses: cells stay balanced while the
+    // base-trained centroids are uniformly wrong. Mute the skew signal
+    // entirely (factor = MaxValue) and drive the decision from the
+    // sampled recall-proxy alone — the refresh must fire when the floor
+    // sits above the frozen store's measured recall, and must NOT fire
+    // when it sits at/below it (either-signal wiring, VERDICT r18 #5).
+    val factorKey = "spark.graft.ann.refreshFactorMicro"
+    val recallKey = "spark.graft.ann.refreshRecallMicro"
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val frozen = rows("q_ann_index_incr")
+    val rebuilt = rows("q_ann_from_index")
+    // the frozen store's aggregate sampled recall, from the registered
+    // readout (Σ hits · 1e6 / (10 · |sample|)) — the same number
+    // sampledRecallMicro hands the decision
+    val perQ = SparkEntry.queries("q_ann_refresh_recall")(spark, sf)
+      .collect().map(_.getLong(1))
+    val frozenRecall = perQ.sum * 1000000L / (10L * perQ.length)
+    try {
+      spark.conf.set(factorKey, Long.MaxValue.toString)
+      // floor at the measured recall: not below it -> frozen serves
+      spark.conf.set(recallKey, frozenRecall.toString)
+      assert(rows("q_ann_refresh") == frozen,
+        "recall at the floor must not trigger a refresh")
+      // floor one micro above: recall < floor -> retrain fires and the
+      // served rows are the full-corpus rebuild
+      spark.conf.set(recallKey, (frozenRecall + 1).toString)
+      assert(rows("q_ann_refresh") == rebuilt,
+        "recall decay below the floor must force the retrain even with occupancy muted")
+    } finally {
+      spark.conf.unset(factorKey)
+      spark.conf.unset(recallKey)
+    }
+  }
+
   test("versioned registry: pointer serves the refreshed version, GC retires the frozen one; threshold both ways") {
     val factorKey = "spark.graft.ann.refreshFactorMicro"
     def coldRegistry(): Unit =
