@@ -1179,6 +1179,139 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(dir)
     }
 
+  // ---- DATA-DEPENDENT tokenizer oracle (q_bpe_refresh family) ---------
+  //
+  // q_bpe_train's oracle can unroll the literal BpeMerges prefix chain
+  // because both engines apply the SAME literal; a REFRESH retrains at
+  // runtime, so its oracle must re-derive the learned trajectory FROM
+  // DATA and then apply merges that are row values, not literals. SQL
+  // cannot fold a data-dependent merge list into a replace chain — but
+  // each round is exactly 16 ranked rows, so the chain unrolls as 16
+  // nested `replace` calls whose search/replacement arguments are
+  // uncorrelated SCALAR SUBQUERIES against the round's MATERIALIZED CTE
+  // (materialization matters: without it DuckDB re-evaluates the whole
+  // training chain per subquery). ' ~ ~ ' placeholders keep a short
+  // round harmless ('~' cannot appear in the spaced form). Validated
+  // byte-identical to the literal chain at sf0.01 (where the full-corpus
+  // trajectory IS BpeMerges) and priced at ~1-2 s at sf0.1.
+
+  /** Word histogram of the spaced form over `documents$docWhere` —
+    * [[bpeHistSql]] parameterized by corpus slice and MATERIALIZED. */
+  private def duckBpeHistCte(name: String, docWhere: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT ' ' || trim(w0) || ' ' AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split($bpeBaseSql, '|')) AS w0 FROM documents$docWhere)
+       |  WHERE trim(w0) <> '' GROUP BY 1)""".stripMargin
+
+  /** One training round DERIVED FROM DATA: top-16 weighted pair counts
+    * of histogram CTE `h`, ranked by the trainer's total order. */
+  private def duckBpeRoundCte(h: String, name: String): String =
+    s"""$name AS MATERIALIZED (SELECT x, y, row_number() OVER (ORDER BY c DESC, x, y) AS i FROM (
+       |  SELECT pr[1] AS x, pr[2] AS y, sum(cnt) AS c
+       |  FROM (SELECT cnt, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr
+       |        FROM (SELECT cnt, string_split(trim(word), ' ') AS l FROM $h))
+       |  WHERE pr[1] <> '' AND pr[2] <> ''
+       |  GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 16))""".stripMargin
+
+  /** Apply round table `tbl`'s 16 DATA-VALUED merges to `e`, in rank
+    * order — nested replaces with scalar-subquery arguments. */
+  private def duckBpeApplyRound(e: String, tbl: String): String =
+    (1 to 16).foldLeft(e) { (acc, i) =>
+      s"replace($acc, coalesce((SELECT ' ' || x || ' ' || y || ' ' FROM $tbl WHERE i = $i), ' ~ ~ '), " +
+        s"coalesce((SELECT ' ' || x || y || ' ' FROM $tbl WHERE i = $i), ' ~~ '))"
+    }
+
+  /** The full 3-round trained-from-data chain as CTEs (`${p}r1..r3` =
+    * the learned rounds), training slice = `documents$docWhere`. */
+  private def duckBpeTrainedCtes(p: String, docWhere: String): String =
+    Seq(
+      duckBpeHistCte(s"${p}hist", docWhere),
+      duckBpeRoundCte(s"${p}hist", s"${p}r1"),
+      s"${p}h1 AS MATERIALIZED (SELECT ${duckBpeApplyRound("word", s"${p}r1")} AS word, cnt FROM ${p}hist)",
+      duckBpeRoundCte(s"${p}h1", s"${p}r2"),
+      s"${p}h2 AS MATERIALIZED (SELECT ${duckBpeApplyRound("word", s"${p}r2")} AS word, cnt FROM ${p}h1)",
+      duckBpeRoundCte(s"${p}h2", s"${p}r3")
+    ).mkString(",\n")
+
+  /** The spaced form with all 48 learned merges of the `p`-prefixed
+    * trained chain applied in training order. */
+  private def duckBpeTrainedApplySql(p: String): String =
+    duckBpeApplyRound(duckBpeApplyRound(duckBpeApplyRound(
+      bpeBaseSql, s"${p}r1"), s"${p}r2"), s"${p}r3")
+
+  /** Load a stored (ord, x, y) merge table — 48 rows, the bounded
+    * model-table contract. */
+  private def loadMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    s.read.parquet(dir).orderBy("ord").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  private def storeMerges(s: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit = {
+    import s.implicits._
+    merges.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("ord", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The FROZEN tokenizer of the refresh story — merges trained on the
+    * "corpus as of the tokenizer build" (doc_id % 4 != 3, the same
+    * as-of slice the ANN stores freeze on) via the one-scan histogram
+    * trainer, stored as a registry artifact. Appends encode fine under
+    * it until the corpus drifts — which is exactly what
+    * [[materializedBpeRefreshDir]] watches.
+    */
+  private def materializedBpeBaseDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "bpebase", Seq("_SUCCESS")) { dir =>
+      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      storeMerges(s, Bpe.trainMergesHist(base, col("text"), 16, 3), dir)
+    }
+
+  /** Corpus-wide compression (chars-per-token, exact integer micros) of
+    * the CURRENT corpus under a stored merge table — the tokenizer
+    * refresh TRIGGER scalar (q_bpe_eval's metric collapsed to one
+    * number): merges frozen on yesterday's corpus lose compression as
+    * the corpus drifts out of their domain. One scan; the token count
+    * rides it as the codegen'd replace chain.
+    */
+  private def bpeCompressionMicro(s: org.apache.spark.sql.SparkSession,
+      d: String, modelDir: String): Long = {
+    val merges = loadMerges(s, modelDir)
+    val agg = t(s, d, "documents")
+      .select(length(col("text")).cast("long").as("nc"),
+        Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
+      .agg(sum("nc").as("nc"), sum("nt").as("nt"))
+      .collect()(0) // one scalar row — the decision input
+    if (agg.getLong(1) == 0L) Long.MaxValue
+    else agg.getLong(0) * 1000000L / agg.getLong(1)
+  }
+
+  /** The tokenizer model-REFRESH verb (`q_bpe_refresh`) — the last
+    * artifact family without a refresh edge: frozen merges encode any
+    * APPEND, but a drifted corpus compresses worse and worse under
+    * them. The decision reads the current corpus's compression under
+    * the FROZEN base-trained table ([[bpeCompressionMicro]]): below
+    * `spark.graft.bpe.refreshCptMicro` (default Long.MaxValue — the
+    * registered query FORCES the retrain so the oracle prices the full
+    * path; wiring both ways is spec-pinned in BpeSpec) the merges
+    * retrain on the CURRENT corpus via the one-scan histogram trainer
+    * into a fresh registry version; the frozen table keeps serving
+    * until the new artifact's marker commits. Returns the model dir to
+    * SERVE.
+    */
+  private def materializedBpeRefreshDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val frozen = materializedBpeBaseDir(s, d)
+    val threshold = s.conf.getOption("spark.graft.bpe.refreshCptMicro")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    if (bpeCompressionMicro(s, d, frozen) >= threshold) frozen
+    else ArtifactCache.dir(s, d, "documents", "bperefresh", Seq("_SUCCESS")) { dir =>
+      storeMerges(s,
+        Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3), dir)
+    }
+  }
+
   /** DuckDB pair-count-top-16 for one training round, over the working
     * form with the first `nApplied` merges applied — the SQL twin of
     * `Bpe.pairCounts(..., BpeMerges.take(nApplied)).limit(16)`.
@@ -4123,6 +4256,72 @@ object PipelineQueries {
             // once 1e6·Σchars crosses 2^53 (ADVICE r17)
             expr("(n_chars * 1000000) div n_bpe").as("chars_per_tok_micro"))
           .orderBy("source")
+      }),
+
+    // The tokenizer refresh TRIGGER readout — q_bpe_eval's per-source
+    // compression, but under the FROZEN base-slice-trained merge table
+    // (materializedBpeBaseDir): the monitoring row a tokenizer owner
+    // watches per mixture source, and the decision input q_bpe_refresh
+    // acts on. The oracle derives the base-trained trajectory FROM DATA
+    // (duckBpeTrainedCtes over the base slice — the scalar-subquery
+    // unroll, see the block comment above) and prices the same one-scan
+    // compression readout, so a drifted trainer on EITHER side breaks
+    // the hash.
+    Q("q_bpe_refresh_trigger",
+      Some(s"""WITH ${duckBpeTrainedCtes("b", " WHERE doc_id % 4 <> 3")},
+              |a AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nc,
+              |    ${duckBpeTrainedApplySql("b")} AS ap FROM documents),
+              |tk AS (SELECT source, nc,
+              |    CAST(len(list_filter(string_split(trim(ap), ' '),
+              |      t -> t <> '|' AND t <> '')) AS BIGINT) AS nt FROM a)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_bpe,
+              |  CAST(sum(nc) AS BIGINT) AS n_chars,
+              |  CAST((1000000 * CAST(sum(nc) AS BIGINT)) // CAST(sum(nt) AS BIGINT) AS BIGINT) AS chars_per_tok_micro
+              |FROM tk GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val merges = loadMerges(s, materializedBpeBaseDir(s, d))
+        t(s, d, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("nc"),
+            Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_bpe"),
+            sum("nc").as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_bpe"), col("n_chars"),
+            expr("(n_chars * 1000000) div n_bpe").as("chars_per_tok_micro"))
+          .orderBy("source")
+      }),
+
+    // The tokenizer model-REFRESH verb — the last artifact row without a
+    // refresh edge (SURVEY §2.3.2: "frozen merges encode any increment"
+    // is true for APPEND, false under drift). The decision reads the
+    // current corpus's compression under the frozen base-trained table;
+    // past the threshold (default: forced, so the oracle prices the full
+    // retrain) the merges RETRAIN on the current corpus via the one-scan
+    // histogram trainer into a fresh registry version, and the serve
+    // re-encodes under the new table. The oracle is fully data-dependent:
+    // it re-derives the retrained 3-round trajectory in SQL and applies
+    // the 48 learned merges through scalar subqueries — the first
+    // runtime-trained model with a cross-engine-verified serve. BpeSpec
+    // pins threshold wiring both ways and that the refreshed table never
+    // compresses the corpus worse than the frozen one.
+    Q("q_bpe_refresh",
+      Some(s"""WITH ${duckBpeTrainedCtes("", "")},
+              |a AS (SELECT doc_id, ${duckBpeTrainedApplySql("")} AS ap FROM documents),
+              |tk AS (SELECT doc_id, list_filter(string_split(trim(ap), ' '),
+              |  t -> t <> '|' AND t <> '') AS toks FROM a)
+              |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+              |  array_to_string(toks[1:12], ',') AS head
+              |FROM tk WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val merges = loadMerges(s, materializedBpeRefreshDir(s, d))
+        val toks = Bpe.encode(col("text"), merges)
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe"),
+            array_join(slice(toks, 1, 12), ",").as("head"))
+          .orderBy("doc_id")
       }),
 
     // Packing with SUBWORD-real budgets: q_pack's window-cumsum shape,

@@ -170,4 +170,62 @@ class BpeSpec extends SparkTestBase {
         s"merge table ${m.getParent} was rewritten on a cache hit")
     }
   }
+
+  test("tokenizer refresh: threshold wiring both ways; retrained merges never compress worse") {
+    val cptKey = "spark.graft.bpe.refreshCptMicro"
+    def encodeUnder(merges: Seq[(String, String)]): Seq[String] = {
+      val toks = Bpe.encode(col("text"), merges)
+      docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
+          array_join(slice(toks, 1, 12), ",").as("head"))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    // the two model generations, recomputed from first principles: the
+    // frozen base-slice trainer and the current-corpus retrain
+    val frozenM = Bpe.trainMergesHist(
+      docs.filter(col("doc_id") % 4 =!= 3), col("text"), 16, 3)
+    val retrainedM = Bpe.trainMergesHist(docs, col("text"), 16, 3)
+    try {
+      // compression at/above threshold (0 never beats any corpus) ->
+      // the FROZEN table keeps serving
+      spark.conf.set(cptKey, "0")
+      assert(SparkEntry.queries("q_bpe_refresh")(spark, sf)
+          .collect().map(_.toString).toSeq == encodeUnder(frozenM),
+        "an un-triggered tokenizer refresh must serve the frozen merges")
+      // default (forced): the served encode is the current-corpus retrain
+      spark.conf.unset(cptKey)
+      assert(SparkEntry.queries("q_bpe_refresh")(spark, sf)
+          .collect().map(_.toString).toSeq == encodeUnder(retrainedM),
+        "a triggered refresh must serve the retrained merge table")
+    } finally spark.conf.unset(cptKey)
+    // The law that justifies the verb — retraining on the corpus being
+    // encoded doesn't compress it worse than a frozen table — is NOT a
+    // theorem for greedy BPE (each round maximizes immediate pair
+    // counts, not final token count), and this fixture PROVES it: at
+    // sf0.001 (500 docs) the full-corpus retrain lands at 80264 tokens
+    // vs the base-slice table's 78420 — tie-break noise in a tiny
+    // histogram cascades through later rounds. That is exactly why the
+    // verb is TRIGGER-GATED (retrain only on measured compression
+    // decay) instead of unconditional. At the training sf (sf0.01,
+    // 5000 docs — the same sf the q_bpe_train trajectory is pinned at)
+    // the signal dominates the noise and the law holds against BOTH
+    // frozen shapes: the as-of base slice and a single-domain table
+    // facing a mixed corpus (the real drift scenario).
+    val docs001 = Tables.t(spark, "/root/testdata/sf0.01", "documents").cache()
+    try {
+      def nBpe001(merges: Seq[(String, String)]): Long =
+        docs001.select(Bpe.tokenCount(col("text"), merges).cast("long").as("n"))
+          .agg(sum("n")).collect()(0).getLong(0)
+      val base001 = Bpe.trainMergesHist(
+        docs001.filter(col("doc_id") % 4 =!= 3), col("text"), 16, 3)
+      val src0Only = Bpe.trainMergesHist(
+        docs001.filter(col("source") === "src0"), col("text"), 16, 3)
+      val retrained001 = Bpe.trainMergesHist(docs001, col("text"), 16, 3)
+      val n = nBpe001(retrained001)
+      assert(n <= nBpe001(base001),
+        "retrain compressed worse than the as-of frozen table at the training sf")
+      assert(n <= nBpe001(src0Only),
+        "retrain compressed worse than a single-domain frozen table on the mixed corpus")
+    } finally docs001.unpersist()
+  }
 }

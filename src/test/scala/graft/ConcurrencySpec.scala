@@ -183,6 +183,99 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  // ---- TRUE second-JVM lease integration (LeaseContender) -------------
+
+  private def spawnContender(mode: String, root: String, tag: String,
+      leaseMs: String): Process = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(
+      s"${sys.props("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.LeaseContender", mode, root, sf, tag, leaseMs)
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(java.io.File.createTempFile("contender", ".log"))
+      .start()
+  }
+
+  private def waitFor(cond: => Boolean, ms: Long, what: String): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("second JVM (real process): its live build blocks us, one build total, both serve") {
+    withScratchRegistry { root =>
+      val log = new java.io.File(root, "builders.log")
+      val child = spawnContender("build", root, "jvm2", "600000")
+      try {
+        // the child's build appends its log line FIRST, so once the line
+        // exists the child holds the lease and is mid-build (4 s left)
+        waitFor(log.exists(), 120000, "the second JVM to start building")
+        val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+        val d = graft.queries.ArtifactCache.dir(
+          spark, sf, "documents", "jvm2", Seq("_SUCCESS")) { dir =>
+          builds.incrementAndGet()
+          new java.io.File(dir).mkdirs()
+          new java.io.File(dir, "_SUCCESS").createNewFile(): Unit
+        }
+        // we must have WAITED on the foreign lease and served its artifact
+        assert(builds.get() == 0,
+          "test JVM rebuilt an artifact a live second JVM was building")
+        assert(new java.io.File(d, "_SUCCESS").exists())
+        assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+          && child.exitValue() == 0, "second JVM did not exit cleanly")
+        val lines = java.nio.file.Files.readAllLines(log.toPath)
+        assert(lines.size == 1 && lines.get(0).startsWith("build:"),
+          s"expected exactly one cross-JVM build, got $lines")
+        assert(!new java.io.File(d + ".lease").exists(),
+          "the winning JVM must have released its lease")
+      } finally child.destroyForcibly(): Unit
+    }
+  }
+
+  test("second JVM (real process): crash-killed mid-build -> survivor steals after TTL and completes") {
+    withScratchRegistry { root =>
+      spark.conf.set("spark.graft.artifacts.leaseMs", "3000")
+      val child = spawnContender("crash", root, "jvmcrash", "3000")
+      try {
+        waitFor(new java.io.File(root, "started").exists(), 120000,
+          "the second JVM to acquire the lease")
+        child.destroyForcibly()
+        assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        // the dead builder left no marker and a lease whose heartbeat
+        // stopped; we must take over once it crosses the 3 s TTL
+        val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+        val d = graft.queries.ArtifactCache.dir(
+          spark, sf, "documents", "jvmcrash", Seq("_SUCCESS")) { dir =>
+          builds.incrementAndGet()
+          new java.io.File(dir).mkdirs()
+          new java.io.File(dir, "_SUCCESS").createNewFile(): Unit
+        }
+        assert(builds.get() == 1, "survivor must steal and build")
+        assert(new java.io.File(d, "_SUCCESS").exists(),
+          "the artifact must be complete after the takeover")
+        val lines = java.nio.file.Files.readAllLines(
+          new java.io.File(root, "builders.log").toPath)
+        assert(lines.size == 1 && lines.get(0).startsWith("crash:"),
+          s"expected only the crashed builder's log line, got $lines")
+        assert(!new java.io.File(d + ".lease").exists())
+      } finally child.destroyForcibly(): Unit
+    }
+  }
+
   // ---- versioned registry: CURRENT pointer + retention laws -----------
 
   test("registry pointer: concurrent flips are atomic — readers see old or new, never partial") {
