@@ -25,6 +25,8 @@ object Verify {
     // serve the frozen store and report a FALSE mismatch (ADVICE r18).
     spark.conf.set("spark.graft.ann.refreshFactorMicro", "0")
     spark.conf.set("spark.graft.bpe.refreshCptMicro", Long.MaxValue.toString)
+    spark.conf.set("spark.graft.bpe.refreshPsiMicro", "-1")
+    spark.conf.set("spark.graft.lr.refreshPsiMicro", "-1")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

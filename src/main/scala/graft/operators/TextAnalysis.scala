@@ -497,7 +497,8 @@ object TextAnalysis {
     * hashedLinearScore contract.
     */
   def linearMargins(df: DataFrame, idCol: String, textCol: String,
-      weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
+      weightsMicro: Seq[Long], buckets: Int = 256,
+      keepCols: Seq[String] = Nil): DataFrame = {
     require(weightsMicro.size == buckets,
       s"need $buckets weights, got ${weightsMicro.size}")
     val wArr = typedLit(weightsMicro)
@@ -509,11 +510,11 @@ object TextAnalysis {
     df.withColumn("__t", coalesce(
         filter(tokens(col(textCol)), t => t =!= ""),
         typedLit(Seq.empty[String])))
-      .select(col(idCol),
+      .select(col(idCol) +: keepCols.map(col) :+
         aggregate(transform(col("__t"),
             t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
-          lit(0L), (acc, x) => acc + x).as("score_micro"),
-        size(col("__t")).cast("long").as("n_toks"))
+          lit(0L), (acc, x) => acc + x).as("score_micro") :+
+        size(col("__t")).cast("long").as("n_toks"): _*)
   }
 
   /** One logistic-regression gradient step over the hashed bag-of-words

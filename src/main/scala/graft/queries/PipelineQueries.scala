@@ -1306,11 +1306,137 @@ object PipelineQueries {
     val threshold = s.conf.getOption("spark.graft.bpe.refreshCptMicro")
       .map(_.toLong).getOrElse(Long.MaxValue)
     if (bpeCompressionMicro(s, d, frozen) >= threshold) frozen
-    else ArtifactCache.dir(s, d, "documents", "bperefresh", Seq("_SUCCESS")) { dir =>
+    else materializedBpeRetrainDir(s, d)
+  }
+
+  /** The retrained merge table — the fresh registry version a fired
+    * tokenizer refresh serves (shared by the compression-triggered
+    * [[materializedBpeRefreshDir]] and the drift-gated
+    * q_bpe_refresh_gated: both decisions land the SAME artifact, so the
+    * registry never holds two "current corpus" tokenizer versions).
+    */
+  private def materializedBpeRetrainDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "bperefresh", Seq("_SUCCESS")) { dir =>
       storeMerges(s,
         Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3), dir)
     }
+
+  /** The drift-panel term table (q_drift_panel's computation, unordered):
+    * per (mixture source, feature, bucket), the exact-integer PSI and JS
+    * divergence term micros of the current slice vs the frozen src0
+    * reference. ONE corpus scan computes all three feature histograms
+    * (the per-row cells explode and one partial aggregate counts them);
+    * everything after runs on the sources × 3 × 16 spine, never the
+    * corpus again. Shared by the panel readout query and the gated
+    * refresh verbs ([[panelPsiBySource]]) so monitoring and triggering
+    * can never drift apart.
+    */
+  private def driftPanelTerms(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val toks = TextAnalysis.tokens(col("text"))
+    val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
+      * lit(1e6)).cast("long")
+    val feats = array(
+      struct(lit("n_chars").as("feature"),
+        HistQuantile.bucketOf(col("n_chars"), 0L, 1024L, 16).as("bucket")),
+      struct(lit("quality").as("feature"),
+        HistQuantile.bucketOf(qMicro, 0L, 1000000L, 16).as("bucket")),
+      struct(lit("tok_est").as("feature"),
+        HistQuantile.bucketOf(
+          TextAnalysis.tokenEstimate(col("text")).cast("long"),
+          0L, 256L, 16).as("bucket")))
+    // ONE corpus scan: explode the 3 cells per row, count every
+    // (source, feature, bucket) histogram in one partial aggregate;
+    // checkpoint the tiny counted table so its two consumers (ref
+    // slice + cur slice) never re-pay the scan
+    val cnts = docs.select(col("source"), explode(feats).as("f"))
+      .select(col("source"), col("f.feature").as("feature"),
+        col("f.bucket").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("source", "feature", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ref = cnts.filter(col("source") === "src0")
+      .select(col("feature"), col("bucket"), col("n").as("cnt_ref"))
+    val cur = cnts.filter(col("source") =!= "src0")
+      .select(col("source"), col("feature"), col("bucket"),
+        col("n").as("cnt_cur"))
+    val spine = docs.filter(col("source") =!= "src0")
+      .select("source").distinct()
+      .crossJoin(Seq("n_chars", "quality", "tok_est").toDF("feature"))
+      .crossJoin(s.range(16).select(col("id").as("bucket")))
+    val full = spine
+      .join(cur, Seq("source", "feature", "bucket"), "left")
+      .join(ref, Seq("feature", "bucket"), "left")
+      .select(col("source"), col("feature"), col("bucket"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+    Drift.psiJsTerms(full, Seq("source", "feature"), 16)
   }
+
+  /** The drift panel collapsed to the per-source PSI of ONE feature —
+    * the trigger input the gated model-refresh verbs act on (the
+    * monitoring → action edge: the SAME term table q_drift_panel
+    * publishes, summed over its 16 buckets).
+    */
+  private def panelPsiBySource(s: org.apache.spark.sql.SparkSession,
+      d: String, feature: String): org.apache.spark.sql.DataFrame =
+    driftPanelTerms(s, d).filter(col("feature") === feature)
+      .groupBy("source").agg(sum("psi_term_micro").as("psi_micro"))
+
+  /** True iff `feature`'s panel PSI exceeds the `confKey` threshold for
+    * ANY mixture source. The decision read is bounded by contract: one
+    * aggregate row over the ≤ n_sources PSI table. Default threshold is
+    * -1 (PSI sums are ≥ 0, so the registered queries always fire and
+    * their oracles price the retrained serve); Long.MaxValue pins the
+    * gate off without paying the panel scan (the spec's frozen leg).
+    */
+  private def panelTrips(s: org.apache.spark.sql.SparkSession, d: String,
+      feature: String, confKey: String): Boolean = {
+    val thr = s.conf.getOption(confKey).map(_.toLong).getOrElse(-1L)
+    if (thr == Long.MaxValue) false
+    else {
+      val worst = panelPsiBySource(s, d, feature)
+        .agg(max("psi_micro")).collect() // one row — the decision input
+      worst.nonEmpty && !worst(0).isNullAt(0) && worst(0).getLong(0) > thr
+    }
+  }
+
+  /** DuckDB twin of [[panelPsiBySource]]: CTE block ending in
+    * `psis(source, psi_micro)` — q_drift_panel's per-term arithmetic
+    * (+1/+16 smoothed p/q, per-bucket micro-rounded PSI terms) for one
+    * feature, summed per mixture source. `vExpr`/`hi` are the panel's
+    * feature value expression and histogram upper bound.
+    */
+  private def panelPsiCtes(vExpr: String, hi: Long): String =
+    s"""pvals AS (SELECT source, CAST($vExpr AS BIGINT) AS v FROM documents),
+       |pnn AS (SELECT source, v FROM pvals WHERE v IS NOT NULL),
+       |pbkt AS (SELECT source,
+       |    (LEAST($hi - 1, GREATEST(0, v)) * 16) // $hi AS bucket FROM pnn),
+       |prefc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_ref
+       |  FROM pbkt WHERE source = 'src0' GROUP BY 1),
+       |pcurc AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt_cur
+       |  FROM pbkt WHERE source <> 'src0' GROUP BY 1, 2),
+       |pspine AS (SELECT s.source, CAST(b.b AS BIGINT) AS bucket
+       |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s
+       |  CROSS JOIN (SELECT unnest(range(16)) AS b) b),
+       |pf AS (SELECT sp.source, sp.bucket, coalesce(r.cnt_ref, 0) AS cnt_ref,
+       |    coalesce(c.cnt_cur, 0) AS cnt_cur
+       |  FROM pspine sp
+       |  LEFT JOIN pcurc c ON c.source = sp.source AND c.bucket = sp.bucket
+       |  LEFT JOIN prefc r ON r.bucket = sp.bucket),
+       |ptot AS (SELECT source, sum(cnt_ref) AS nr, sum(cnt_cur) AS nc
+       |  FROM pf GROUP BY 1),
+       |ppq AS (SELECT f.source, f.bucket,
+       |    CAST(f.cnt_ref + 1 AS DOUBLE) / CAST(t.nr + 16 AS DOUBLE) AS p,
+       |    CAST(f.cnt_cur + 1 AS DOUBLE) / CAST(t.nc + 16 AS DOUBLE) AS q
+       |  FROM pf f JOIN ptot t ON t.source = f.source),
+       |psis AS (SELECT source,
+       |    CAST(sum(CAST(round((p - q) * ln(p / q) * 1e6, 0) AS BIGINT)) AS BIGINT) AS psi_micro
+       |  FROM ppq GROUP BY source)""".stripMargin
 
   /** DuckDB pair-count-top-16 for one training round, over the working
     * form with the first `nApplied` merges applied — the SQL twin of
@@ -1398,7 +1524,7 @@ object PipelineQueries {
     * sign CASE — DuckDB's // floors); doc count n is derived in-query so
     * one SQL text holds at every sf.
     */
-  private lazy val LrTrainApplyOracleSql: Option[String] = {
+  private lazy val lrTrainApplyCtes: String = {
     def step(i: Int): String = {
       val (wp, m, r, g, w) = (s"w${i - 1}", s"m$i", s"r$i", s"g$i", s"w$i")
       s"""$m AS (SELECT tk.doc_id, tk.y, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
@@ -1414,18 +1540,22 @@ object PipelineQueries {
          |    ELSE -((-(1000000 * coalesce($g.gg, 0))) // (1000000 * cnt.n)) END) AS w
          |  FROM $wp LEFT JOIN $g ON $g.b = $wp.b CROSS JOIN cnt)""".stripMargin
     }
-    Some(s"""WITH toks AS (SELECT doc_id,
-            |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
-            |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
-            |  FROM documents),
-            |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-            |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
-            |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-            |w0 AS (SELECT CAST(b AS BIGINT) AS b,
-            |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
-            |  FROM (SELECT unnest(range(256)) AS b)),
-            |${step(1)},
-            |${step(2)}
+    s"""toks AS (SELECT doc_id, source,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |occ AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |w0 AS (SELECT CAST(b AS BIGINT) AS b,
+       |    CAST(b * 2654435761 % 1997 - 998 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(256)) AS b)),
+       |${step(1)},
+       |${step(2)}""".stripMargin
+  }
+
+  private lazy val LrTrainApplyOracleSql: Option[String] =
+    Some(s"""WITH $lrTrainApplyCtes
             |SELECT tk.doc_id,
             |  CAST(coalesce(s.mm, 0) AS BIGINT) AS score_micro,
             |  CAST(len(tk.t) AS BIGINT) AS n_toks
@@ -1433,7 +1563,6 @@ object PipelineQueries {
             |    FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
             |  ON s.doc_id = tk.doc_id
             |ORDER BY tk.doc_id""".stripMargin)
-  }
 
   /** The stored classifier model (`q_linear_apply_from_model`) — the
     * registry artifact the ANN/dedup/BPE families already have: the
@@ -1450,6 +1579,25 @@ object PipelineQueries {
       val trained = TextAnalysis.logisticTrainN(docs, "text",
         when(col("source") === "src0", 1L).otherwise(0L),
         LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
+      trained.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+        .toDF("bucket", "w_micro").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The FROZEN classifier model — trained on the base slice only
+    * (doc_id % 4 ≠ 3, the as-of slice every frozen artifact in the
+    * registry shares). This is the model a drifted corpus outgrows;
+    * q_classifier_refresh serves it only when the drift gate does NOT
+    * trip (the spec's frozen leg).
+    */
+  private def materializedLrBaseModelDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ArtifactCache.dir(s, d, "documents", "lrbase", Seq("_SUCCESS")) { dir =>
+      import s.implicits._
+      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      val trained = TextAnalysis.logisticTrainN(base, "text",
+        when(col("source") === "src0", 1L).otherwise(0L),
+        LrInitWeights, steps = 2, lrMicro = 1000000L, n = base.count())
       trained.zipWithIndex.map { case (w, b) => (b.toLong, w) }
         .toDF("bucket", "w_micro").coalesce(1)
         .write.mode("overwrite").parquet(dir)
@@ -2945,50 +3093,8 @@ object PipelineQueries {
               |    * 0.5 * 1e6, 0) AS BIGINT) AS js_term_micro
               |FROM pq ORDER BY source, feature, bucket""".stripMargin)
     },
-      (s, d) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-        val toks = TextAnalysis.tokens(col("text"))
-        val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
-          * lit(1e6)).cast("long")
-        val feats = array(
-          struct(lit("n_chars").as("feature"),
-            HistQuantile.bucketOf(col("n_chars"), 0L, 1024L, 16).as("bucket")),
-          struct(lit("quality").as("feature"),
-            HistQuantile.bucketOf(qMicro, 0L, 1000000L, 16).as("bucket")),
-          struct(lit("tok_est").as("feature"),
-            HistQuantile.bucketOf(
-              TextAnalysis.tokenEstimate(col("text")).cast("long"),
-              0L, 256L, 16).as("bucket")))
-        // ONE corpus scan: explode the 3 cells per row, count every
-        // (source, feature, bucket) histogram in one partial aggregate;
-        // checkpoint the tiny counted table so its two consumers (ref
-        // slice + cur slice) never re-pay the scan
-        val cnts = docs.select(col("source"), explode(feats).as("f"))
-          .select(col("source"), col("f.feature").as("feature"),
-            col("f.bucket").as("bucket"))
-          .filter(col("bucket").isNotNull)
-          .groupBy("source", "feature", "bucket")
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        val ref = cnts.filter(col("source") === "src0")
-          .select(col("feature"), col("bucket"), col("n").as("cnt_ref"))
-        val cur = cnts.filter(col("source") =!= "src0")
-          .select(col("source"), col("feature"), col("bucket"),
-            col("n").as("cnt_cur"))
-        val spine = docs.filter(col("source") =!= "src0")
-          .select("source").distinct()
-          .crossJoin(Seq("n_chars", "quality", "tok_est").toDF("feature"))
-          .crossJoin(s.range(16).select(col("id").as("bucket")))
-        val full = spine
-          .join(cur, Seq("source", "feature", "bucket"), "left")
-          .join(ref, Seq("feature", "bucket"), "left")
-          .select(col("source"), col("feature"), col("bucket"),
-            coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
-            coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
-        Drift.psiJsTerms(full, Seq("source", "feature"), 16)
-          .orderBy("source", "feature", "bucket")
-      }),
+      (s, d) =>
+        driftPanelTerms(s, d).orderBy("source", "feature", "bucket")),
 
     // The ORACLED core of the PQ path (the q_ivf_assign pattern): per-
     // subspace nearest-codeword ASSIGNMENT — the step every PQ encode and
@@ -3769,6 +3875,58 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // The classifier model-REFRESH verb, gated by the DRIFT PANEL — the
+    // monitoring → action edge closed for the quality model: the frozen
+    // classifier is base-slice-trained (materializedLrBaseModelDir);
+    // the decision reads q_drift_panel's own term table collapsed to
+    // the per-source PSI of the 'quality' feature (panelPsiBySource —
+    // the same 16 bucket terms the panel publishes, so the monitor and
+    // the trigger cannot drift apart). Past the threshold
+    // (spark.graft.lr.refreshPsiMicro, default -1: PSI ≥ 0, so the
+    // registered query always fires and the oracle prices the retrained
+    // serve) the model RETRAINS on the current corpus into the shared
+    // registry version (the q_linear_apply_from_model artifact — exact
+    // Long training makes retrained == the two-step chain). Output is
+    // the trigger readout JOINED with the served scores per source:
+    // the oracle composes the panel-PSI CTEs with the unrestricted
+    // train→apply chain, so a drift on EITHER side breaks the hash.
+    // TextAnalysisSpec pins the threshold wiring both ways.
+    Q("q_classifier_refresh", {
+      val qs = TextAnalysis.qualityScoreSql("text")
+      Some(s"""WITH ${panelPsiCtes(s"floor(($qs) * 1000000.0)", 1000000L)},
+              |$lrTrainApplyCtes,
+              |rsc AS (SELECT tk.source, CAST(coalesce(s.mm, 0) AS BIGINT) AS mm
+              |  FROM toks tk LEFT JOIN (SELECT occ.doc_id, sum(w2.w) AS mm
+              |      FROM occ JOIN w2 ON w2.b = occ.b GROUP BY occ.doc_id) s
+              |    ON s.doc_id = tk.doc_id),
+              |rcomp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(mm) AS BIGINT) AS score_sum_micro
+              |  FROM rsc GROUP BY source)
+              |SELECT c.source, p.psi_micro, c.n_docs, c.score_sum_micro
+              |FROM rcomp c JOIN psis p USING (source)
+              |ORDER BY c.source""".stripMargin)
+    },
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val psi = panelPsiBySource(s, d, "quality")
+        val modelDir =
+          if (panelTrips(s, d, "quality", "spark.graft.lr.refreshPsiMicro"))
+            materializedLrModelDir(s, d) // retrain on the current corpus
+          else materializedLrBaseModelDir(s, d) // frozen keeps serving
+        val weights = s.read.parquet(modelDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).map(_._2).toSeq
+        val comp = TextAnalysis.linearMargins(docs, "doc_id", "text",
+            weights, keepCols = Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("score_micro").as("score_sum_micro"))
+        comp.join(psi, Seq("source"))
+          .select(col("source"), col("psi_micro"), col("n_docs"),
+            col("score_sum_micro"))
+          .orderBy("source")
+      }),
+
     // EVALUATION of the trained classifier — the verb that closes the
     // train → apply → EVALUATE loop (q_linear_train_apply scores; this
     // measures): confusion matrix + precision/recall/F1/accuracy of the
@@ -3998,6 +4156,65 @@ object PipelineQueries {
         s.read.parquet(materializedDelta2ManifestDir(s, d))
           .select("doc_id", "source")
           .orderBy("doc_id")),
+
+    // The NIGHTLY CAPSTONE — one registered query that executes the whole
+    // append night for one slice (the id % 4 == 3 increment every verb
+    // family uses) and serves all three artifacts it lands: the cluster
+    // table rolled forward (build → merge → compact), the IVF index with
+    // the night's generation appended under the frozen base quantizer,
+    // and the delta manifest (verdicts rolled forward, O(increment)).
+    // This is the entry a pipeline operator actually runs at 02:00 —
+    // everything it composes is an already-oracled verb; the capstone
+    // pins their COMPOSITION at the correctness gate by serving the
+    // three readouts as one tagged union (artifact, k, v): clusters as
+    // (doc_id, rep), the ANN top-10 as (q_id·100+rn, c_id), the manifest
+    // as (doc_id, source). The oracle is the three existing texts —
+    // full-corpus closure, base-trained IVF chain, frozen-bench manifest
+    // recipe — UNION'd under the same tags (the closure and manifest
+    // share one reach/losers CTE spine; the IVF chain nests as a
+    // WITH-subquery so its CTE names stay scoped).
+    Q("q_nightly_roll",
+      Some(s"""WITH RECURSIVE ${manifestKeepCtes(" AND doc_id % 4 <> 3")},
+              |clu AS (SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS rep
+              |  FROM reach GROUP BY v),
+              |ann AS (SELECT q_id, c_id, rn FROM
+              |  (${ivfOracleSqlFor(" WHERE vec_id % 4 <> 3")}))
+              |SELECT 'clusters' AS artifact, CAST(doc_id AS BIGINT) AS k,
+              |  CAST(rep AS VARCHAR) AS v FROM clu
+              |UNION ALL
+              |SELECT 'ann' AS artifact, CAST(q_id * 100 + rn AS BIGINT) AS k,
+              |  CAST(c_id AS VARCHAR) AS v FROM ann
+              |UNION ALL
+              |SELECT 'manifest' AS artifact, CAST(d.doc_id AS BIGINT) AS k,
+              |  d.source AS v FROM documents d
+              |WHERE d.source <> 'src0'
+              |  AND d.doc_id IN (SELECT doc_id FROM gated)
+              |  AND d.doc_id NOT IN (SELECT v FROM losers)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+              |ORDER BY artifact, k""".stripMargin),
+      (s, d) => {
+        val clusters = s.read
+          .parquet(materializedCompactClusterDir(s, d) + "/clusters")
+          .select(lit("clusters").as("artifact"),
+            col("v").cast("long").as("k"),
+            col("cluster_rep").cast("string").as("v"))
+        val idx = materializedIvfIncrIndexDir(s, d)
+        val ann = Similarity.ivfKnnFromIndex(
+            s.read.parquet(idx + "/postings"),
+            t(s, d, "embeddings").filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10,
+            s.read.parquet(idx + "/centroids"), "cell", "centroid",
+            nProbe = 4)
+          .select(lit("ann").as("artifact"),
+            (col("q_id") * 100 + col("rn")).cast("long").as("k"),
+            col("c_id").cast("string").as("v"))
+        val manifest = s.read.parquet(materializedDeltaManifestDir(s, d))
+          .select(lit("manifest").as("artifact"),
+            col("doc_id").cast("long").as("k"),
+            col("source").as("v"))
+        clusters.unionAll(ann).unionAll(manifest)
+          .orderBy("artifact", "k")
+      }),
 
     // The END of the pipeline: manifest-kept documents packed into
     // 512-token training shards under the STORED tokenizer — what the
@@ -4322,6 +4539,58 @@ object PipelineQueries {
             size(toks).cast("long").as("n_bpe"),
             array_join(slice(toks, 1, 12), ",").as("head"))
           .orderBy("doc_id")
+      }),
+
+    // The tokenizer refresh gated by the DRIFT PANEL — q_bpe_refresh's
+    // decision input swapped from the compression scalar to the
+    // monitoring surface: per-source PSI of the panel's 'tok_est'
+    // feature (token-count distribution — exactly what a drifted corpus
+    // shifts under a frozen tokenizer), read from the SAME term table
+    // q_drift_panel publishes. Past spark.graft.bpe.refreshPsiMicro
+    // (default -1 = fire, so the oracle prices the retrained serve) the
+    // merges retrain on the current corpus into the SAME registry
+    // version the compression-triggered refresh lands
+    // (materializedBpeRetrainDir — one "current" tokenizer, two
+    // triggers). Output composes trigger + serve: per mixture source,
+    // the panel PSI joined with the corpus compression readout under
+    // the SERVED merge table; the oracle re-derives both sides (panel
+    // CTEs + the data-dependent retrained-trainer unroll), so drift in
+    // the panel arithmetic, the trainer, OR the encode breaks the hash.
+    // BpeSpec pins the threshold wiring both ways.
+    Q("q_bpe_refresh_gated",
+      Some(s"""WITH ${panelPsiCtes("len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))", 256L)},
+              |${duckBpeTrainedCtes("g", "")},
+              |ga AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+              |    ${duckBpeTrainedApplySql("g")} AS ap FROM documents),
+              |gtk AS (SELECT source, nc,
+              |    CAST(len(list_filter(string_split(trim(ap), ' '),
+              |      t -> t <> '|' AND t <> '')) AS BIGINT) AS nt FROM ga),
+              |gcomp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(nt) AS BIGINT) AS n_bpe,
+              |    CAST(sum(nc) AS BIGINT) AS n_chars
+              |  FROM gtk GROUP BY source)
+              |SELECT c.source, p.psi_micro, c.n_docs, c.n_bpe,
+              |  CAST((1000000 * c.n_chars) // c.n_bpe AS BIGINT) AS chars_per_tok_micro
+              |FROM gcomp c JOIN psis p USING (source)
+              |ORDER BY c.source""".stripMargin),
+      (s, d) => {
+        val psi = panelPsiBySource(s, d, "tok_est")
+        val servedDir =
+          if (panelTrips(s, d, "tok_est", "spark.graft.bpe.refreshPsiMicro"))
+            materializedBpeRetrainDir(s, d) // fresh version, current corpus
+          else materializedBpeBaseDir(s, d) // frozen keeps serving
+        val merges = loadMerges(s, servedDir)
+        val comp = t(s, d, "documents")
+          .select(col("source"), length(col("text")).cast("long").as("nc"),
+            Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_bpe"),
+            sum("nc").as("n_chars"))
+        comp.join(psi, Seq("source"))
+          .select(col("source"), col("psi_micro"), col("n_docs"),
+            col("n_bpe"),
+            expr("(n_chars * 1000000) div n_bpe").as("chars_per_tok_micro"))
+          .orderBy("source")
       }),
 
     // Packing with SUBWORD-real budgets: q_pack's window-cumsum shape,

@@ -171,6 +171,48 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("drift-gated tokenizer refresh: the panel PSI gates both ways; the trigger column IS the panel readout") {
+    val psiKey = "spark.graft.bpe.refreshPsiMicro"
+    // the two model generations, recomputed from first principles
+    val frozenM = Bpe.trainMergesHist(
+      docs.filter(col("doc_id") % 4 =!= 3), col("text"), 16, 3)
+    val retrainedM = Bpe.trainMergesHist(docs, col("text"), 16, 3)
+    def nBpeUnder(merges: Seq[(String, String)]): Map[String, Long] =
+      docs.select(col("source"),
+          Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("nt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def servedNBpe(): Map[String, Long] =
+      SparkEntry.queries("q_bpe_refresh_gated")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    try {
+      // gate pinned OFF -> the frozen base-slice table keeps serving
+      spark.conf.set(psiKey, Long.MaxValue.toString)
+      val frozen = servedNBpe()
+      assert(frozen.nonEmpty)
+      frozen.foreach { case (src, n) =>
+        assert(n == nBpeUnder(frozenM)(src),
+          s"un-tripped drift gate must serve the frozen merges ($src)")
+      }
+      // default (-1, PSI >= 0 always trips) -> the retrained table serves
+      spark.conf.unset(psiKey)
+      servedNBpe().foreach { case (src, n) =>
+        assert(n == nBpeUnder(retrainedM)(src),
+          s"tripped drift gate must serve the retrained merges ($src)")
+      }
+    } finally spark.conf.unset(psiKey)
+    // monitoring -> action edge: the query's trigger column equals
+    // q_drift_panel's tok_est terms summed per source, bit-for-bit
+    val panel = SparkEntry.queries("q_drift_panel")(spark, sf)
+      .filter(col("feature") === "tok_est")
+      .groupBy("source").agg(sum("psi_term_micro").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_bpe_refresh_gated")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == panel,
+      "q_bpe_refresh_gated's psi_micro drifted from the q_drift_panel readout")
+  }
+
   test("tokenizer refresh: threshold wiring both ways; retrained merges never compress worse") {
     val cptKey = "spark.graft.bpe.refreshCptMicro"
     def encodeUnder(merges: Seq[(String, String)]): Seq[String] = {

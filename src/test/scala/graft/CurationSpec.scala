@@ -143,4 +143,26 @@ class CurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_nightly_roll serves the three component artifacts verbatim") {
+    // the capstone is a COMPOSITION, not a new computation: each tagged
+    // section must equal its standalone oracled verb row-for-row
+    val rows = SparkEntry.queries("q_nightly_roll")(spark, sf).collect()
+    val byTag = rows.groupBy(_.getString(0))
+    assert(byTag.keySet == Set("clusters", "ann", "manifest"),
+      s"unexpected artifact tags: ${byTag.keySet}")
+    val clu = SparkEntry.queries("q_dedup_clusters_compact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toString)).toSet
+    assert(byTag("clusters").map(r => (r.getLong(1), r.getString(2))).toSet == clu,
+      "clusters section drifted from q_dedup_clusters_compact")
+    val ann = SparkEntry.queries("q_ann_index_incr")(spark, sf)
+      .collect().map(r => (r.getLong(0) * 100 + r.getLong(2),
+        r.getLong(1).toString)).toSet
+    assert(byTag("ann").map(r => (r.getLong(1), r.getString(2))).toSet == ann,
+      "ann section drifted from q_ann_index_incr")
+    val man = SparkEntry.queries("q_curation_manifest_delta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byTag("manifest").map(r => (r.getLong(1), r.getString(2))).toSet == man,
+      "manifest section drifted from q_curation_manifest_delta")
+  }
 }

@@ -725,6 +725,52 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("drift-gated classifier refresh: panel PSI gates both ways; the trigger column IS the panel readout") {
+    val psiKey = "spark.graft.lr.refreshPsiMicro"
+    val docs = Tables.t(spark, sf, "documents")
+    val y = when(col("source") === "src0", 1L).otherwise(0L)
+    val init = (0 until 256).map(b => Math.floorMod(b * 2654435761L, 1997L) - 998L)
+    // the two model generations from first principles: frozen =
+    // base-slice-trained, refreshed = current-corpus retrain
+    val base = docs.filter(col("doc_id") % 4 =!= 3)
+    val frozenW = TextAnalysis.logisticTrainN(base, "text", y, init,
+      steps = 2, lrMicro = 1000000L, n = base.count())
+    val retrainedW = TextAnalysis.logisticTrainN(docs, "text", y, init,
+      steps = 2, lrMicro = 1000000L, n = docs.count())
+    def sumsUnder(w: Seq[Long]): Map[String, Long] =
+      TextAnalysis.linearMargins(docs, "doc_id", "text", w,
+          keepCols = Seq("source"))
+        .groupBy("source").agg(sum("score_micro").as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def served(): Map[String, Long] =
+      SparkEntry.queries("q_classifier_refresh")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    try {
+      spark.conf.set(psiKey, Long.MaxValue.toString)
+      val frozen = served()
+      assert(frozen.nonEmpty)
+      frozen.foreach { case (src, s) =>
+        assert(s == sumsUnder(frozenW)(src),
+          s"un-tripped drift gate must serve the frozen base model ($src)")
+      }
+      spark.conf.unset(psiKey) // default -1: PSI >= 0 always trips
+      served().foreach { case (src, s) =>
+        assert(s == sumsUnder(retrainedW)(src),
+          s"tripped drift gate must serve the retrained model ($src)")
+      }
+    } finally spark.conf.unset(psiKey)
+    // monitoring -> action edge: the trigger column equals
+    // q_drift_panel's quality terms summed per source, bit-for-bit
+    val panel = SparkEntry.queries("q_drift_panel")(spark, sf)
+      .filter(col("feature") === "quality")
+      .groupBy("source").agg(sum("psi_term_micro").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_classifier_refresh")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == panel,
+      "q_classifier_refresh's psi_micro drifted from the q_drift_panel readout")
+  }
+
   test("held-out eval: valid-split matrix sizes to the valid split; weights differ from full-corpus training") {
     val docs = Tables.t(spark, sf, "documents")
     val got = SparkEntry.queries("q_classifier_eval_holdout")(spark, sf)
