@@ -554,7 +554,8 @@ object Dedup {
     // materialize the (possibly expensive — e.g. LSH) pair source ONCE:
     // the two union branches below would otherwise each recompute it
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist(lvl)
-    if (p.count() == 0) {
+    val nPairs = p.count()
+    if (nPairs == 0) {
       // no near-duplicates: nothing to cluster (the sum-based fixpoint
       // detector can't see an empty frame converge — NULL sums compare
       // unequal forever); return a standalone empty frame so p can be
@@ -567,6 +568,58 @@ object Dedup {
         org.apache.spark.sql.types.StructField("cluster_rep", dt)))
       return sess.createDataFrame(
         sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // Size the algorithm to the MEASURED graph, not the session default.
+    // The incremental-append path hands this loop a graph ∝ the night's
+    // increment — thousands of edges, not the corpus — and each fixpoint
+    // round is a full Spark job whose cost at that size is pure driver
+    // round-trips. Gate on the already-paid p.count(): a ≤ 2^18
+    // integral-id pair set (≤ ~4 MB) solves in the DRIVER — one bounded
+    // collect + union-find, replacing ~(diameter+2) jobs with one (the
+    // sf1 IncrProbe: update 1.40 s → 0.65 s). The bound is enforced and
+    // stated here; larger graphs and non-integral ids fall through to
+    // the distributed O(diameter) loop unchanged (a mid-size
+    // single-partition variant was tried and REGRESSES ~2× at ~10^6
+    // edges — one task per round loses more parallelism than it saves
+    // in scheduling).
+    val dt0 = p.schema("src").dataType
+    val integral = dt0 match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (nPairs <= (1L << 18) && integral) {
+      val rows = p.collect() // bounded: ≤ 2^18 id pairs, gated above
+      p.unpersist(blocking = false)
+      // union-find, min root wins — linking the larger root under the
+      // smaller keeps every root == the component's smallest id, which
+      // is exactly the distributed loop's min-label fixpoint
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.getAs[Number](0).longValue()
+        val b = r.getAs[Number](1).longValue()
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(v => out += ((v, find(v))))
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      return out.toSeq.toDF("v", "cluster_rep")
+        .select(col("v").cast(dt0).as("v"),
+          col("cluster_rep").cast(dt0).as("cluster_rep"))
     }
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
@@ -648,19 +701,47 @@ object Dedup {
     // representatives of every stored cluster containing a new-edge
     // endpoint (endpoints with no stored row — appended docs, or old
     // docs never before paired — enter the CC via the new edges alone)
-    val touchedReps = existing.join(endpoints, Seq("v"))
-      .select(col("cluster_rep")).distinct()
-    val touched = existing.join(touchedReps, Seq("cluster_rep"))
+    val repOf = existing.join(endpoints, Seq("v"))
       .select(col("v"), col("cluster_rep"))
-    // star edges: every stored cluster has >= 2 members (resolveClusters
-    // emits only paired docs), so each touched member incl. the rep
-    // itself appears in at least one star edge
-    val stars = touched.filter(col("v") =!= col("cluster_rep"))
-      .select(col("v").as("src"), col("cluster_rep").as("dst"))
-    val relabeled = resolveClusters(stars.union(p), "src", "dst")
+      .localCheckpoint(true) // ≤ |endpoints| rows, read by 3 consumers
+    val touchedReps = repOf.select(col("cluster_rep")).distinct()
+    // CONTRACT each stored cluster to its representative BEFORE the CC:
+    // connectivity inside a stored cluster is total, so mapping every
+    // new-edge endpoint through (v → rep) preserves the merged graph's
+    // components exactly, and cluster_rep = the cluster's min id keeps
+    // the min-label invariant (min over contracted node ids == min over
+    // all member ids). The CC then runs over ≤ |newPairs| edges on
+    // reps + unseen ids ONLY — no star edges, so the iteration cost is
+    // ∝ the increment, never the touched clusters' member counts, and
+    // the contracted diameter (old chains collapse to single nodes)
+    // cuts the fixpoint round count — the term that dominated the sf1
+    // IncrSoak. Row-identical to resolveClusters(star ∪ new) — the
+    // star-replay this replaces — and to the full recompute (DedupSpec).
+    val contracted = p
+      .join(repOf.select(col("v").as("src"), col("cluster_rep").as("src_rep")),
+        Seq("src"), "left")
+      .join(repOf.select(col("v").as("dst"), col("cluster_rep").as("dst_rep")),
+        Seq("dst"), "left")
+      .select(coalesce(col("src_rep"), col("src")).as("src"),
+        coalesce(col("dst_rep"), col("dst")).as("dst"))
+    // self-loops (a pair inside one stored cluster) stay: they keep the
+    // touched rep in the relabel table so expansion below finds it
+    val relabeled = resolveClusters(contracted, "src", "dst")
+    // EXPAND: touched members take their old rep's new label (one join —
+    // the old per-round star traffic becomes a single id-table hop);
+    // contracted nodes with no stored row enter directly
+    val expandedOld = existing.join(touchedReps, Seq("cluster_rep"))
+      .join(relabeled
+          .select(col("v").as("cluster_rep"), col("cluster_rep").as("new_rep")),
+        Seq("cluster_rep"), "left")
+      .select(col("v"), coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
+    val expandedNew = relabeled
+      .join(existing.select(col("v")), Seq("v"), "left_anti")
+      .select(col("v"), col("cluster_rep"))
     existing.join(touchedReps, Seq("cluster_rep"), "left_anti")
       .select(col("v"), col("cluster_rep"))
-      .union(relabeled.select(col("v"), col("cluster_rep")))
+      .union(expandedOld)
+      .union(expandedNew)
   }
 
   /** Corpus with near-duplicate clusters collapsed to one representative:

@@ -626,11 +626,33 @@ class DedupSpec extends SparkTestBase {
 
   test("cluster resolution refuses to return an unconverged fixpoint") {
     import spark.implicits._
-    // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw
-    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 6-node chain needs ~5 propagation rounds; cap at 1 must throw.
+    // Double ids (numeric but not integral) force the DISTRIBUTED loop —
+    // a small integral graph would take the exact driver union-find
+    // path, which has no iteration to cap
+    val chain = (1L to 5L).map(i => (i.toDouble, (i + 1).toDouble))
+      .toDF("id_a", "id_b")
     intercept[IllegalArgumentException](
       graft.operators.Dedup.resolveClusters(chain, "id_a", "id_b", maxIter = 1)
         .collect())
+  }
+
+  test("driver union-find path == the distributed fixpoint on the same graph") {
+    import spark.implicits._
+    // same seeded random graph through both regimes: integral ids take
+    // the ≤2^18 driver path; the double-cast twin takes the distributed
+    // loop — components and min-labels must agree exactly
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val ints = pairs.toDF("id_a", "id_b")
+    val dbls = pairs.map { case (a, b) => (a.toDouble, b.toDouble) }
+      .toDF("id_a", "id_b")
+    val viaDriver = graft.operators.Dedup.resolveClusters(ints, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = graft.operators.Dedup.resolveClusters(dbls, "id_a", "id_b")
+      .collect().map(r => r.getDouble(0).toLong -> r.getDouble(1).toLong).toMap
+    assert(viaDriver == viaLoop,
+      "driver union-find drifted from the distributed min-label fixpoint")
   }
 
   test("canonicalPerCluster keeps the best-quality member, ties to smallest id") {
