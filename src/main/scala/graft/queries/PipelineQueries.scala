@@ -1387,20 +1387,21 @@ object PipelineQueries {
     driftPanelTerms(s, d).filter(col("feature") === feature)
       .groupBy("source").agg(sum("psi_term_micro").as("psi_micro"))
 
-  /** True iff `feature`'s panel PSI exceeds the `confKey` threshold for
-    * ANY mixture source. The decision read is bounded by contract: one
-    * aggregate row over the ≤ n_sources PSI table. Default threshold is
-    * -1 (PSI sums are ≥ 0, so the registered queries always fire and
-    * their oracles price the retrained serve); Long.MaxValue pins the
-    * gate off without paying the panel scan (the spec's frozen leg).
+  /** True iff the PSI table ([[panelPsiBySource]], handed in so the
+    * caller's output readout and this decision share ONE panel scan)
+    * exceeds the `confKey` threshold for ANY mixture source. The
+    * decision read is bounded by contract: one aggregate row over the
+    * ≤ n_sources PSI table. Default threshold is -1 (PSI sums are ≥ 0,
+    * so the registered queries always fire and their oracles price the
+    * retrained serve); Long.MaxValue pins the gate off without reading
+    * the table (the spec's frozen leg).
     */
-  private def panelTrips(s: org.apache.spark.sql.SparkSession, d: String,
-      feature: String, confKey: String): Boolean = {
+  private def panelTrips(psi: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, confKey: String): Boolean = {
     val thr = s.conf.getOption(confKey).map(_.toLong).getOrElse(-1L)
     if (thr == Long.MaxValue) false
     else {
-      val worst = panelPsiBySource(s, d, feature)
-        .agg(max("psi_micro")).collect() // one row — the decision input
+      val worst = psi.agg(max("psi_micro")).collect() // one decision row
       worst.nonEmpty && !worst(0).isNullAt(0) && worst(0).getLong(0) > thr
     }
   }
@@ -3908,9 +3909,11 @@ object PipelineQueries {
     },
       (s, d) => {
         val docs = t(s, d, "documents")
-        val psi = panelPsiBySource(s, d, "quality")
+        // ONE panel scan feeds both the output readout and the gate
+        // (eager checkpoint: ≤ n_sources rows)
+        val psi = panelPsiBySource(s, d, "quality").localCheckpoint(true)
         val modelDir =
-          if (panelTrips(s, d, "quality", "spark.graft.lr.refreshPsiMicro"))
+          if (panelTrips(psi, s, "spark.graft.lr.refreshPsiMicro"))
             materializedLrModelDir(s, d) // retrain on the current corpus
           else materializedLrBaseModelDir(s, d) // frozen keeps serving
         val weights = s.read.parquet(modelDir)
@@ -4574,9 +4577,11 @@ object PipelineQueries {
               |FROM gcomp c JOIN psis p USING (source)
               |ORDER BY c.source""".stripMargin),
       (s, d) => {
-        val psi = panelPsiBySource(s, d, "tok_est")
+        // ONE panel scan feeds both the output readout and the gate
+        // (eager checkpoint: ≤ n_sources rows)
+        val psi = panelPsiBySource(s, d, "tok_est").localCheckpoint(true)
         val servedDir =
-          if (panelTrips(s, d, "tok_est", "spark.graft.bpe.refreshPsiMicro"))
+          if (panelTrips(psi, s, "spark.graft.bpe.refreshPsiMicro"))
             materializedBpeRetrainDir(s, d) // fresh version, current corpus
           else materializedBpeBaseDir(s, d) // frozen keeps serving
         val merges = loadMerges(s, servedDir)
