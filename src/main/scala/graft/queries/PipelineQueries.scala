@@ -1239,6 +1239,22 @@ object PipelineQueries {
     duckBpeApplyRound(duckBpeApplyRound(duckBpeApplyRound(
       bpeBaseSql, s"${p}r1"), s"${p}r2"), s"${p}r3")
 
+  /** The retrained-tokenizer SERVE oracle — re-derives the full-corpus
+    * 3-round training trajectory from data and applies the 48 learned
+    * merges through scalar subqueries. Shared by q_bpe_refresh (serve
+    * after a forced refresh) and q_bpe_serve_current (serve through the
+    * registry's CURRENT pointer): pointer → the retrained version, so
+    * both price the identical encode.
+    */
+  private lazy val BpeRetrainedEncodeOracleSql: Option[String] =
+    Some(s"""WITH ${duckBpeTrainedCtes("", "")},
+            |a AS (SELECT doc_id, ${duckBpeTrainedApplySql("")} AS ap FROM documents),
+            |tk AS (SELECT doc_id, list_filter(string_split(trim(ap), ' '),
+            |  t -> t <> '|' AND t <> '') AS toks FROM a)
+            |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+            |  array_to_string(toks[1:12], ',') AS head
+            |FROM tk WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)
+
   /** Load a stored (ord, x, y) merge table — 48 rows, the bounded
     * model-table contract. */
   private def loadMerges(s: org.apache.spark.sql.SparkSession,
@@ -1321,6 +1337,87 @@ object PipelineQueries {
       storeMerges(s,
         Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3), dir)
     }
+
+  /** The tokenizer registry under the CURRENT pointer — pointer parity
+    * with the IVF store (materializedIvfRegistryDir): v0 = the frozen
+    * base-slice-trained merge table, published; the refresh stage reads
+    * v0's corpus compression (the same trigger as q_bpe_refresh) and on
+    * a trip trains v1 on the current corpus and FLIPS the pointer only
+    * after v1's table is committed; the gc stage retires unpointed
+    * versions under the build lease. Every stage is marker-committed —
+    * a crash resumes at the first missing marker.
+    */
+  private def materializedBpeRegistryDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def touch(dir: String, marker: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$marker")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+    ArtifactCache.staged(s, d, "documents", "bpereg", Seq(
+      "markers/v0.done" -> { dir =>
+        s.read.parquet(materializedBpeBaseDir(s, d)).coalesce(1)
+          .write.mode("overwrite").parquet(dir + "/v0")
+        ArtifactCache.publishCurrent(s, dir, "v0")
+        touch(dir, "markers/v0.done")
+      },
+      "markers/refresh.done" -> { dir =>
+        val threshold = s.conf.getOption("spark.graft.bpe.refreshCptMicro")
+          .map(_.toLong).getOrElse(Long.MaxValue)
+        if (bpeCompressionMicro(s, d, dir + "/v0") < threshold) {
+          storeMerges(s,
+            Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3),
+            dir + "/v1")
+          ArtifactCache.publishCurrent(s, dir, "v1")
+        }
+        touch(dir, "markers/refresh.done")
+      },
+      "markers/gc.done" -> { dir =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ArtifactCache.retireLocked(s, fs, dir): Unit
+        touch(dir, "markers/gc.done")
+      }))
+  }
+
+  /** The classifier registry under the CURRENT pointer — same shape:
+    * v0 = the frozen base-slice-trained weight table; the refresh stage
+    * reads the drift panel's quality PSI (the q_classifier_refresh
+    * gate) and on a trip trains v1 on the current corpus and flips the
+    * pointer after commit; gc retires unpointed versions.
+    */
+  private def materializedLrRegistryDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def touch(dir: String, marker: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$marker")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+    ArtifactCache.staged(s, d, "documents", "lrreg", Seq(
+      "markers/v0.done" -> { dir =>
+        s.read.parquet(materializedLrBaseModelDir(s, d)).coalesce(1)
+          .write.mode("overwrite").parquet(dir + "/v0")
+        ArtifactCache.publishCurrent(s, dir, "v0")
+        touch(dir, "markers/v0.done")
+      },
+      "markers/refresh.done" -> { dir =>
+        val psi = panelPsiBySource(s, d, "quality").localCheckpoint(true)
+        if (panelTrips(psi, s, "spark.graft.lr.refreshPsiMicro")) {
+          s.read.parquet(materializedLrModelDir(s, d)).coalesce(1)
+            .write.mode("overwrite").parquet(dir + "/v1")
+          ArtifactCache.publishCurrent(s, dir, "v1")
+        }
+        touch(dir, "markers/refresh.done")
+      },
+      "markers/gc.done" -> { dir =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ArtifactCache.retireLocked(s, fs, dir): Unit
+        touch(dir, "markers/gc.done")
+      }))
+  }
 
   /** The drift-panel term table (q_drift_panel's computation, unordered):
     * per (mixture source, feature, bucket), the exact-integer PSI and JS
@@ -3930,6 +4027,28 @@ object PipelineQueries {
           .orderBy("source")
       }),
 
+    // The classifier served THROUGH THE REGISTRY POINTER — the third
+    // family at pointer parity (IVF, tokenizer, classifier): v0 = the
+    // frozen base-slice model, the refresh stage reads the drift
+    // panel's quality PSI and flips to the current-corpus retrain (v1)
+    // after its weight table commits, gc retires v0 under the lease.
+    // Pointer → v1 and exact-Long training round-trips parquet, so the
+    // oracle is the unrestricted two-step train→apply chain; the serve
+    // running after gc proves retention never touched the pointed
+    // version. TextAnalysisSpec pins serve-current ==
+    // q_linear_train_apply row-for-row.
+    Q("q_lr_serve_current", LrTrainApplyOracleSql,
+      (s, d) => {
+        val dir = materializedLrRegistryDir(s, d)
+        val cur = ArtifactCache.readCurrent(s, dir).getOrElse("v0")
+        val weights = s.read.parquet(s"$dir/$cur")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).map(_._2).toSeq
+        TextAnalysis.linearMargins(t(s, d, "documents"), "doc_id", "text",
+            weights)
+          .orderBy("doc_id")
+      }),
+
     // EVALUATION of the trained classifier — the verb that closes the
     // train → apply → EVALUATE loop (q_linear_train_apply scores; this
     // measures): confusion matrix + precision/recall/F1/accuracy of the
@@ -4526,14 +4645,7 @@ object PipelineQueries {
     // runtime-trained model with a cross-engine-verified serve. BpeSpec
     // pins threshold wiring both ways and that the refreshed table never
     // compresses the corpus worse than the frozen one.
-    Q("q_bpe_refresh",
-      Some(s"""WITH ${duckBpeTrainedCtes("", "")},
-              |a AS (SELECT doc_id, ${duckBpeTrainedApplySql("")} AS ap FROM documents),
-              |tk AS (SELECT doc_id, list_filter(string_split(trim(ap), ' '),
-              |  t -> t <> '|' AND t <> '') AS toks FROM a)
-              |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
-              |  array_to_string(toks[1:12], ',') AS head
-              |FROM tk WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+    Q("q_bpe_refresh", BpeRetrainedEncodeOracleSql,
       (s, d) => {
         val merges = loadMerges(s, materializedBpeRefreshDir(s, d))
         val toks = Bpe.encode(col("text"), merges)
@@ -4596,6 +4708,28 @@ object PipelineQueries {
             col("n_bpe"),
             expr("(n_chars * 1000000) div n_bpe").as("chars_per_tok_micro"))
           .orderBy("source")
+      }),
+
+    // The tokenizer served THROUGH THE REGISTRY POINTER — pointer parity
+    // with q_ann_serve_current: the consumer reads the atomic CURRENT
+    // pointer (v0 = frozen base table, flipped to v1 after the
+    // compression-triggered retrain commits, unpointed versions retired
+    // under the lease) and encodes under that version, never re-deriving
+    // the trigger. Pointer → v1, so the oracle is the retrained-encode
+    // chain shared with q_bpe_refresh — and the row also proves the gc
+    // stage never touched the pointed version, because the serve runs
+    // after it. BpeSpec pins serve-current == q_bpe_refresh row-for-row.
+    Q("q_bpe_serve_current", BpeRetrainedEncodeOracleSql,
+      (s, d) => {
+        val dir = materializedBpeRegistryDir(s, d)
+        val cur = ArtifactCache.readCurrent(s, dir).getOrElse("v0")
+        val merges = loadMerges(s, s"$dir/$cur")
+        val toks = Bpe.encode(col("text"), merges)
+        t(s, d, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe"),
+            array_join(slice(toks, 1, 12), ",").as("head"))
+          .orderBy("doc_id")
       }),
 
     // Packing with SUBWORD-real budgets: q_pack's window-cumsum shape,

@@ -171,6 +171,26 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("q_bpe_serve_current == q_bpe_refresh: the pointer serves the retrained version; registry holds only the pointed one") {
+    val viaPointer = SparkEntry.queries("q_bpe_serve_current")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaRefresh = SparkEntry.queries("q_bpe_refresh")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaPointer == viaRefresh,
+      "pointer serve drifted from the refresh-verb serve")
+    // retention: after the staged chain (v0 -> retrain v1 -> flip -> gc),
+    // exactly the pointed version survives in the registry dir
+    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_bpereg_cache_"))
+    assert(regs.nonEmpty, "no tokenizer registry dir found")
+    regs.foreach { reg =>
+      val versions = reg.listFiles().map(_.getName)
+        .filter(_.matches("v\\d+")).sorted.toSeq
+      assert(versions == Seq("v1"),
+        s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
+    }
+  }
+
   test("drift-gated tokenizer refresh: the panel PSI gates both ways; the trigger column IS the panel readout") {
     val psiKey = "spark.graft.bpe.refreshPsiMicro"
     // the two model generations, recomputed from first principles

@@ -771,6 +771,24 @@ class TextAnalysisSpec extends SparkTestBase {
       "q_classifier_refresh's psi_micro drifted from the q_drift_panel readout")
   }
 
+  test("q_lr_serve_current == q_linear_train_apply: the pointer serves the retrained model; only the pointed version survives gc") {
+    val viaPointer = SparkEntry.queries("q_lr_serve_current")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaChain = SparkEntry.queries("q_linear_train_apply")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaPointer == viaChain,
+      "pointer serve drifted from the inline train->apply chain")
+    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_lrreg_cache_"))
+    assert(regs.nonEmpty, "no classifier registry dir found")
+    regs.foreach { reg =>
+      val versions = reg.listFiles().map(_.getName)
+        .filter(_.matches("v\\d+")).sorted.toSeq
+      assert(versions == Seq("v1"),
+        s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
+    }
+  }
+
   test("held-out eval: valid-split matrix sizes to the valid split; weights differ from full-corpus training") {
     val docs = Tables.t(spark, sf, "documents")
     val got = SparkEntry.queries("q_classifier_eval_holdout")(spark, sf)
