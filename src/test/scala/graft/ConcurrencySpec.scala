@@ -276,6 +276,36 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("second JVM (real process): pointer flips are atomic across processes — a reader only ever sees whole versions") {
+    withScratchRegistry { root =>
+      val dir = new java.io.File(root, "flipreg")
+      dir.mkdirs()
+      graft.queries.ArtifactCache.publishCurrent(spark, dir.getPath, "v0")
+      val child = spawnContender("watch", root, "flipreg", "600000")
+      try {
+        // flip the pointer from THIS process for the child's whole watch
+        // window; every publish is a full write + atomic rename
+        val until = System.currentTimeMillis() + 5500L
+        var i = 0
+        while (System.currentTimeMillis() < until) {
+          graft.queries.ArtifactCache.publishCurrent(
+            spark, dir.getPath, if (i % 2 == 0) "v1" else "v0")
+          i += 1
+        }
+        assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+          && child.exitValue() == 0, "watcher JVM did not exit cleanly")
+        val out = java.nio.file.Files.readAllLines(
+          new java.io.File(root, "watch.out").toPath)
+        val reads = out.get(0).stripPrefix("READS ").toLong
+        val seen = out.subList(1, out.size()).toArray.map(_.toString).toSet
+        assert(reads > 100, s"watcher barely ran ($reads reads)")
+        assert(i > 100, s"parent barely flipped ($i flips)")
+        assert(seen.nonEmpty && seen.subsetOf(Set("v0", "v1")),
+          s"cross-process reader saw a non-whole pointer value: $seen")
+      } finally child.destroyForcibly(): Unit
+    }
+  }
+
   // ---- versioned registry: CURRENT pointer + retention laws -----------
 
   test("registry pointer: concurrent flips are atomic — readers see old or new, never partial") {

@@ -8,7 +8,7 @@ package graft
   * Closes the last simulation gap of the r18 lease hardening: the prior
   * tests faked the foreign JVM by writing lease files by hand.
   *
-  * args: mode(build|crash) registryRoot sfDir tag leaseMs
+  * args: mode(build|crash|watch) registryRoot sfDir tag leaseMs
   *  - `build`: normal contender — its build appends one line to
   *    `<root>/builders.log`, sleeps 4 s (long enough for the test JVM to
   *    observe the live lease), commits the marker, prints `SERVED <dir>`.
@@ -16,6 +16,12 @@ package graft
   *    `<root>/started`, then holds the lease (heartbeating) until the
   *    parent destroyForcibly()s it — the crashed-builder fixture for the
   *    TTL steal.
+  *  - `watch`: the CURRENT-pointer reader for the cross-process flip
+  *    test — spins on `ArtifactCache.readCurrent(<root>/<tag>)` for ~5 s
+  *    while the parent JVM flips the pointer, recording every DISTINCT
+  *    value seen (and `NONE` if a read ever finds no pointer) to
+  *    `<root>/watch.out`; the parent asserts only whole version names
+  *    were ever visible.
   */
 object LeaseContender {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,22 @@ object LeaseContender {
     val spark = graft.engine.GraftSession.local(s"graft-contender-$mode", "2")
     spark.conf.set("spark.graft.artifacts.root", root)
     spark.conf.set("spark.graft.artifacts.leaseMs", leaseMs)
+    if (mode == "watch") {
+      val dir = s"$root/$tag"
+      val seen = new scala.collection.mutable.LinkedHashSet[String]()
+      var reads = 0
+      val deadline = System.currentTimeMillis() + 5000L
+      while (System.currentTimeMillis() < deadline) {
+        seen += graft.queries.ArtifactCache.readCurrent(spark, dir)
+          .getOrElse("NONE")
+        reads += 1
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "watch.out"),
+        (s"READS $reads" +: seen.toSeq).mkString("\n").getBytes("UTF-8"))
+      spark.stop()
+      return
+    }
     def build(dir: String): Unit = {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(root, "builders.log"),
