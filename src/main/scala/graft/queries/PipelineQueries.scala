@@ -1104,6 +1104,55 @@ object PipelineQueries {
     * index — two bounded collects (8 + 128 rows, the centroid-table
     * contract).
     */
+  /** The COMPRESSED index's registry under the CURRENT pointer — the
+    * fourth and last trained family at pointer parity (IVF-Flat,
+    * tokenizer, classifier, IVF-PQ): v0 = the frozen append-era store
+    * snapshotted (coarse quantizer + codebooks + codes), published; the
+    * refresh stage reads the SAME two-signal trigger as q_ann_refresh_pq
+    * (occupancy skew OR sampled ADC recall decay) and on a trip rebuilds
+    * the whole compressed index on the current corpus as v1, flipping
+    * the pointer only after all three tables commit; gc retires
+    * unpointed versions under the build lease.
+    */
+  private def materializedIvfPqRegistryDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    def touch(dir: String, marker: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$marker")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+    ArtifactCache.staged(s, d, "embeddings", "ivfpqreg", Seq(
+      "markers/v0.done" -> { dir =>
+        val incr = materializedIvfPqIncrIndexDir(s, d)
+        Seq("centroids", "books").foreach { t0 =>
+          s.read.parquet(s"$incr/$t0").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/v0/$t0")
+        }
+        s.read.parquet(incr + "/codes")
+          .select(col("vec_id"), col("pq_code"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dir + "/v0/codes")
+        ArtifactCache.publishCurrent(s, dir, "v0")
+        touch(dir, "markers/v0.done")
+      },
+      "markers/refresh.done" -> { dir =>
+        val cur = ArtifactCache.readCurrent(s, dir).getOrElse("v0")
+        if (ivfNeedsRefresh(s, d, s"$dir/$cur", "codes",
+            sampledRecallPqMicro(s, d, _))) {
+          buildIvfPq(s, t(s, d, "embeddings"), dir + "/v1")
+          ArtifactCache.publishCurrent(s, dir, "v1")
+        }
+        touch(dir, "markers/refresh.done")
+      },
+      "markers/gc.done" -> { dir =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        ArtifactCache.retireLocked(s, fs, dir): Unit
+        touch(dir, "markers/gc.done")
+      }))
+  }
+
   private def readIvfPqModel(s: org.apache.spark.sql.SparkSession,
       idx: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents = s.read.parquet(idx + "/centroids").collect()
@@ -3428,6 +3477,29 @@ object PipelineQueries {
         val idx = materializedIvfPqRefreshDir(s, d)
         val (cents, books) = readIvfPqModel(s, idx)
         Pq.ivfPqTopK(s.read.parquet(idx + "/codes"),
+            emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
+          .select(col("q_id"), col("c_id"), col("rn"))
+          .orderBy("q_id", "rn")
+      }),
+
+    // The COMPRESSED index served THROUGH THE REGISTRY POINTER — the
+    // fourth and last trained family at pointer parity: v0 = the frozen
+    // append-era PQ store snapshotted, the refresh stage reads the same
+    // occupancy-OR-recall trigger as q_ann_refresh_pq and flips to the
+    // full rebuild (v1) after centroids + codebooks + codes all commit,
+    // gc retires v0 under the lease. Pointer → v1, shared builder ⇒ the
+    // oracle is the unrestricted IVF-PQ chain; the serve running after
+    // gc proves retention spared the pointed version. PqSpec pins
+    // serve-current == q_ann_refresh_pq row-for-row and
+    // exactly-one-surviving-version.
+    Q("q_pq_serve_current", IvfPqOracleSql,
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dir = materializedIvfPqRegistryDir(s, d)
+        val cur = ArtifactCache.readCurrent(s, dir).getOrElse("v0")
+        val (cents, books) = readIvfPqModel(s, s"$dir/$cur")
+        Pq.ivfPqTopK(s.read.parquet(s"$dir/$cur/codes"),
             emb.filter(col("vec_id") < 5),
             "vec_id", "embedding", cents, books, k = 10, nProbe = 3)
           .select(col("q_id"), col("c_id"), col("rn"))

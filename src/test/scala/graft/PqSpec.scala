@@ -330,4 +330,22 @@ class PqSpec extends SparkTestBase {
         "refreshed PQ index drifted from the built-from-scratch index")
     } finally spark.conf.unset(factorKey)
   }
+
+  test("q_pq_serve_current == q_ann_refresh_pq: the pointer serves the refreshed version; only the pointed one survives gc") {
+    val viaPointer = SparkEntry.queries("q_pq_serve_current")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaRefresh = SparkEntry.queries("q_ann_refresh_pq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaPointer == viaRefresh,
+      "PQ pointer serve drifted from the refresh-verb serve")
+    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_ivfpqreg_cache_"))
+    assert(regs.nonEmpty, "no PQ registry dir found")
+    regs.foreach { reg =>
+      val versions = reg.listFiles().map(_.getName)
+        .filter(_.matches("v\\d+")).sorted.toSeq
+      assert(versions == Seq("v1"),
+        s"PQ registry ${reg.getName} should hold exactly the pointed v1: $versions")
+    }
+  }
 }
