@@ -535,7 +535,13 @@ object Dedup {
     * both the union and the join) and plan stringification alone goes
     * exponential; checkpoint blocks are executor-local and reclaimed by
     * GC. Throws if `maxIter` rounds don't reach the fixpoint rather than
-    * returning partially-merged clusters.
+    * returning partially-merged clusters. NOTE: `maxIter` bounds only
+    * the DISTRIBUTED regime — a small integral-id graph (≤ 2^18 pairs,
+    * the measured-size gate below) is solved exactly by one driver
+    * union-find pass, which always terminates and therefore never
+    * consults `maxIter`; callers relying on the refuse-unconverged
+    * guard get it exactly where non-convergence is possible (ADVICE
+    * r19).
     */
   def resolveClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {

@@ -179,16 +179,18 @@ class BpeSpec extends SparkTestBase {
     assert(viaPointer == viaRefresh,
       "pointer serve drifted from the refresh-verb serve")
     // retention: after the staged chain (v0 -> retrain v1 -> flip -> gc),
-    // exactly the pointed version survives in the registry dir
-    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-      .filter(_.getName.startsWith("graft_bpereg_cache_"))
-    assert(regs.nonEmpty, "no tokenizer registry dir found")
-    regs.foreach { reg =>
-      val versions = reg.listFiles().map(_.getName)
-        .filter(_.matches("v\\d+")).sorted.toSeq
-      assert(versions == Seq("v1"),
-        s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
-    }
+    // exactly the pointed version survives in the registry dir. Resolve
+    // THIS sf's registry through the same ArtifactCache keying the query
+    // uses (already built -> returns instantly) instead of globbing
+    // tmpdir, which would sweep in stale/other-sf/gate-pinned registries
+    // (ADVICE r19)
+    val reg = new java.io.File(
+      graft.queries.PipelineQueries.materializedBpeRegistryDir(spark, sf))
+    assert(reg.isDirectory, "no tokenizer registry dir found")
+    val versions = reg.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versions == Seq("v1"),
+      s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
   }
 
   test("drift-gated tokenizer refresh: the panel PSI gates both ways; the trigger column IS the panel readout") {

@@ -507,4 +507,57 @@ class ConcurrencySpec extends SparkTestBase {
       assert(!lease.exists())
     }
   }
+
+  test("lease stolen mid-build: loser aborts before its next commit; the stealer's artifact serves") {
+    // VERDICT r19 "What's wrong #2": theft is only reachable past the
+    // TTL with a dead heartbeat, but a builder that DOES lose its lease
+    // mid-build must not publish over the stealer. The staged protocol
+    // re-verifies the token before every marker-committing stage: the
+    // loser's next commit aborts, the caller waits out the stealer's
+    // live lease, and serves the stealer's completed artifact.
+    withScratchRegistry { _ =>
+      val stage2Ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var artifactDir: String = null
+      def touch(dir: String, name: String): Unit = {
+        val f = new java.io.File(dir, name)
+        f.getParentFile.mkdirs()
+        assert(f.createNewFile() || f.exists())
+      }
+      val stages = Seq[(String, String => Unit)](
+        "s1.done" -> { d =>
+          artifactDir = d
+          // simulate the theft mid-stage: a stealer's UUID replaces ours
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d + ".lease"),
+            "stealer-jvm-uuid".getBytes("UTF-8"))
+          touch(d, "payload-loser")
+          touch(d, "s1.done")
+        },
+        "s2.done" -> { d =>
+          stage2Ran.incrementAndGet()
+          touch(d, "s2.done")
+        })
+      val pool = Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val f = Future(graft.queries.ArtifactCache.staged(
+          spark, sf, "documents", "stolentest", stages))
+        waitFor(artifactDir != null, 30000, "stage 1 to run")
+        Thread.sleep(1500)
+        assert(!f.isCompleted,
+          "loser must wait out the stealer's live lease, not serve its own build")
+        assert(stage2Ran.get() == 0, "loser committed past a stolen lease")
+        assert(!new java.io.File(artifactDir, "s2.done").exists())
+        // the stealer completes the whole artifact, then releases
+        touch(artifactDir, "payload-stealer")
+        touch(artifactDir, "s2.done")
+        assert(new java.io.File(artifactDir + ".lease").delete())
+        val d = Await.result(f, 1.minute)
+        assert(d == artifactDir)
+        assert(stage2Ran.get() == 0,
+          "loser must never re-run its aborted commit after the steal resolves")
+        assert(new java.io.File(d, "payload-stealer").exists())
+      } finally pool.shutdown()
+    }
+  }
 }

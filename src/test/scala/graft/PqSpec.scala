@@ -338,14 +338,14 @@ class PqSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(viaPointer == viaRefresh,
       "PQ pointer serve drifted from the refresh-verb serve")
-    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-      .filter(_.getName.startsWith("graft_ivfpqreg_cache_"))
-    assert(regs.nonEmpty, "no PQ registry dir found")
-    regs.foreach { reg =>
-      val versions = reg.listFiles().map(_.getName)
-        .filter(_.matches("v\\d+")).sorted.toSeq
-      assert(versions == Seq("v1"),
-        s"PQ registry ${reg.getName} should hold exactly the pointed v1: $versions")
-    }
+    // resolve THIS sf's registry via the cache keying the query uses,
+    // not a tmpdir glob (ADVICE r19: globs sweep in stale registries)
+    val reg = new java.io.File(
+      graft.queries.PipelineQueries.materializedIvfPqRegistryDir(spark, sf))
+    assert(reg.isDirectory, "no PQ registry dir found")
+    val versions = reg.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versions == Seq("v1"),
+      s"PQ registry ${reg.getName} should hold exactly the pointed v1: $versions")
   }
 }

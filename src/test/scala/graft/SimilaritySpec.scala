@@ -493,7 +493,7 @@ class SimilaritySpec extends SparkTestBase {
     val factorKey = "spark.graft.ann.refreshFactorMicro"
     def coldRegistry(): Unit =
       new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-        .filter(_.getName.startsWith("graft_ivfreg_cache_"))
+        .filter(_.getName.startsWith("graft_ivfreg")) // canonical + gate-keyed
         .foreach { d =>
           val p = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -526,5 +526,23 @@ class SimilaritySpec extends SparkTestBase {
       // (Verify, bench) rebuild the canonical terminal state
       coldRegistry()
     }
+  }
+
+  test("recall probe set is a fixed count, not a corpus fraction") {
+    // VERDICT r19 #1: a fraction-sized probe makes the refresh trigger
+    // itself an O(frac*N^2) job with an N-scaled broadcast at 100x. The
+    // probe is the first K vectors by (md5(vec_id), vec_id), so the
+    // readout has exactly K rows (one per probe query) at EVERY corpus
+    // size: 500 vectors here, 4x that at sf0.1 — same K both times.
+    val k = 48
+    val small = SparkEntry.queries("q_ann_refresh_recall")(spark, sf)
+      .select("q_id").collect().map(_.getLong(0))
+    assert(small.length == k, s"probe at sf0.001 must be exactly $k")
+    assert(small.distinct.length == k, "one row per probe query")
+    val big = SparkEntry.queries("q_ann_refresh_recall")(
+        spark, "/root/testdata/sf0.1")
+      .select("q_id").collect().map(_.getLong(0))
+    assert(big.length == k,
+      s"probe must stay $k on the 4x corpus, got ${big.length}")
   }
 }

@@ -778,15 +778,15 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(viaPointer == viaChain,
       "pointer serve drifted from the inline train->apply chain")
-    val regs = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-      .filter(_.getName.startsWith("graft_lrreg_cache_"))
-    assert(regs.nonEmpty, "no classifier registry dir found")
-    regs.foreach { reg =>
-      val versions = reg.listFiles().map(_.getName)
-        .filter(_.matches("v\\d+")).sorted.toSeq
-      assert(versions == Seq("v1"),
-        s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
-    }
+    // resolve THIS sf's registry via the cache keying the query uses,
+    // not a tmpdir glob (ADVICE r19: globs sweep in stale registries)
+    val reg = new java.io.File(
+      graft.queries.PipelineQueries.materializedLrRegistryDir(spark, sf))
+    assert(reg.isDirectory, "no classifier registry dir found")
+    val versions = reg.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+")).sorted.toSeq
+    assert(versions == Seq("v1"),
+      s"registry ${reg.getName} should hold exactly the pointed v1: $versions")
   }
 
   test("held-out eval: valid-split matrix sizes to the valid split; weights differ from full-corpus training") {
