@@ -650,11 +650,22 @@ object PipelineQueries {
     * — so selecting the probe set costs one bounded scan. The SQL twin
     * is [[sampleQWhereSql]]; SimilaritySpec pins |probe| == K
     * independent of corpus size.
+    *
+    * The K ids are resolved to a LITERAL `isin` filter (one bounded
+    * collect — exactly K longs — the persisted probe list a production
+    * store would replay): a bare limit subquery is not a selective
+    * predicate, so joins downstream of it lose dynamic partition
+    * pruning; the literal IN restores DPP on the cell-partitioned
+    * postings/codes read (EXPLAINS.md q_ann_refresh_recall).
     */
   private def probeSet(emb: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      : org.apache.spark.sql.DataFrame = {
+    val ids = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(RecallProbeK)
+      .select("vec_id").collect().map(_.get(0)) // bounded: K probe ids
+    emb.filter(col("vec_id").isin(ids: _*))
+  }
 
   private def sampleQWhereSql(id: String): String =
     s"$id IN (SELECT vec_id FROM embeddings " +
