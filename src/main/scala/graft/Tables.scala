@@ -62,6 +62,30 @@ object Tables {
     }
   }
 
+  /** [[t]] plus an up-front fan-out for HEAVY per-row compute consumers
+    * (BPE merge chains, per-token md5 grams, shingle hashing): a compact
+    * store can come back as a single scan split (one parquet row group
+    * reads as ONE task), which serializes all downstream map-side work on
+    * one core however many the session has. When — and only when — the
+    * scan yields fewer splits than the session's default parallelism,
+    * redistribute the scanned rows once before the expensive stage.
+    *
+    * Scale-adaptive by construction: at production scale the scan has
+    * splits >= cores and this is a NO-OP (no exchange is added — the
+    * corpus is never reshuffled for free parallelism it already has);
+    * locally it costs one exchange of the raw rows and buys scan-stage
+    * parallelism. Partition-count probing is safe here because [[t]]
+    * returns an exchange-free scan (nothing to materialize under AQE).
+    * Deterministic: round-robin repartition sorts its input partition
+    * first (sortBeforeRepartition, on by default) and every consumer of
+    * this path is order-insensitive by the oracle contract anyway.
+    */
+  def tFan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** The events table as an UNBOUNDED file-source stream (same normalized
     * schema as the batch read) — the ingest shape of a production monitor:
     * new parquet files landing in the directory flow through incrementally.

@@ -86,17 +86,49 @@ object Dsir {
     // of each onto the spine so zero-count buckets still get smoothing
     val nt = broadcast(t.select(col("__nt")).limit(1))
     val nr = broadcast(r.select(col("__nr")).limit(1))
-    def logP(cnt: Column, tot: Column): Column =
-      log((cnt + lit(1L)).cast("double") /
-        (tot + lit(buckets.toLong)).cast("double"))
     spine
       .join(t.select("bucket", "__ct"), Seq("bucket"), "left")
       .join(r.select("bucket", "__cr"), Seq("bucket"), "left")
       .crossJoin(nt).crossJoin(nr)
-      .select(col("bucket"),
-        round((logP(coalesce(col("__ct"), lit(0L)), col("__nt")) -
-          logP(coalesce(col("__cr"), lit(0L)), col("__nr"))) * lit(1e6), 0)
-          .cast("long").as("llr_micro"))
+      .select(col("bucket"), llrMicro(buckets))
+  }
+
+  /** One-scan sibling of [[logRatioTable]] for the common case where the
+    * target corpus is a FILTER of the raw corpus: a single gram explode
+    * serves both histograms (count(*) for raw, a conditional count for
+    * target), so the expensive md5-per-token pass runs once instead of
+    * once per corpus. Counts — and therefore every llr_micro — are
+    * bit-identical to the two-pass table: a gram instance is in the
+    * target histogram iff its row satisfies `targetCond` (NULL == false,
+    * exactly what `filter` keeps).
+    */
+  def logRatioTableFiltered(raw: DataFrame, targetCond: Column,
+      textCol: String, buckets: Int): DataFrame = {
+    val c = raw
+      .select(targetCond.as("__t"),
+        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val tots = broadcast(c.agg(
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"),
+      coalesce(sum(col("__cr")), lit(0L)).as("__nr")))
+    val spine = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine.join(c, Seq("bucket"), "left").crossJoin(tots)
+      .select(col("bucket"), llrMicro(buckets))
+  }
+
+  /** `round((ln p̂_target − ln p̂_raw)·1e6)` over (__ct,__nt,__cr,__nr)
+    * with the division-then-ln op order fixed as the cross-engine
+    * contract; absent buckets carry the smoothed prior.
+    */
+  private def llrMicro(buckets: Int): Column = {
+    def logP(cnt: Column, tot: Column): Column =
+      log((cnt + lit(1L)).cast("double") /
+        (tot + lit(buckets.toLong)).cast("double"))
+    round((logP(coalesce(col("__ct"), lit(0L)), col("__nt")) -
+      logP(coalesce(col("__cr"), lit(0L)), col("__nr"))) * lit(1e6), 0)
+      .cast("long").as("llr_micro")
   }
 
   /** Score every `raw` row: (idCol, n_grams, logw_micro). The log-ratio
@@ -111,7 +143,26 @@ object Dsir {
       textCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"bucket count must be in (0, 2^20]: $buckets")
-    val llrArr = logRatioTable(raw, target, textCol, buckets)
+    scoreUnder(logRatioTable(raw, target, textCol, buckets),
+      raw, idCol, textCol, buckets)
+  }
+
+  /** [[importanceWeights]] for a target that is a FILTER of `raw`: the
+    * two histograms come from one gram pass ([[logRatioTableFiltered]]),
+    * cutting the corpus md5 work from three passes (target + raw +
+    * scoring) to two. Same rows, same exact-long scores.
+    */
+  def importanceWeights(raw: DataFrame, targetCond: Column, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"bucket count must be in (0, 2^20]: $buckets")
+    scoreUnder(logRatioTableFiltered(raw, targetCond, textCol, buckets),
+      raw, idCol, textCol, buckets)
+  }
+
+  private def scoreUnder(llrTable: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val llrArr = llrTable
       .agg(transform(
         array_sort(collect_list(struct(col("bucket"), col("llr_micro")))),
         s => s.getField("llr_micro")).as("__a"))

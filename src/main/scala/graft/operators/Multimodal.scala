@@ -137,18 +137,36 @@ object Multimodal {
     val bp = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
       .select(col("id"), col("h"),
         posexplode(bandVals).as(Seq("band", "bv")))
-    val x = bp.select(col("id").as("id_a"), col("h").as("h_a"),
-      col("band"), col("bv"))
+    // The probe side inherits the corpus scan's partitioning (often ONE
+    // split for a compact store), but the band join fans each probe row
+    // out against every same-band candidate — the dominant work. A hash
+    // repartition of the tiny (id, h, band, bv) rows spreads that fan-out
+    // across the cluster; deterministic key, no sort-before-repartition.
+    // The partition count is EXPLICIT: the probe rows are byte-light but
+    // compute-heavy, and AQE coalesces a count-less REPARTITION_BY_COL
+    // back to one partition on byte size alone (observed), re-serializing
+    // the join.
+    val x = bp
+      .repartition(bp.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id").as("id_a"), col("h").as("h_a"),
+        col("band"), col("bv"))
     val y = bp.select(col("id").as("id_b"), col("h").as("h_b"),
-      col("band"), col("bv"))
-    x.join(y, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    // Order + distance predicates ride the JOIN itself and the verify
+    // column is computed BEFORE the dedup: with 4-bit bands, skewed real
+    // hashes put O(corpus²/16)-ish candidate rows through this join, and
+    // almost all of them fail the Hamming threshold — filtering first
+    // shrinks the distinct's exchange from every candidate pair (with
+    // both 8-byte hashes aboard) to just the surviving near-dup pairs,
+    // three narrow columns wide. hamming is a pure function of the two
+    // per-id hashes, so distinct-on-(ids, hamming) after the filter
+    // keeps exactly one row per qualifying pair — identical output.
+    x.join(y, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") < col("id_b") &&
+        expr("bit_count(h_a ^ h_b)") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
       .distinct()
-      .withColumn("hamming",
-        expr("bit_count(h_a ^ h_b)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** STUB decode: deterministic byte statistics per blob. Stands in for the

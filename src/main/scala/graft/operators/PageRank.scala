@@ -73,7 +73,7 @@ object PageRank {
     // enough that an unbounded iteration count cannot grow the plan tree
     // without bound, sparse enough that short runs stay one composite
     // plan. Same pattern as Dedup.resolveClusters.
-    // checkpoint the EDGE LIST FIRST: vertices, outdeg and withDeg all
+    // checkpoint the EDGE LIST FIRST: vertices and outdeg both
     // derive from it, and without this barrier each derivation re-runs
     // the caller's whole edge-building pipeline (joins, unions,
     // distinct) from the source scan — measured ~8 upstream evaluations
@@ -86,14 +86,29 @@ object PageRank {
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint(true, checkpointLevel)
+    // Out-degrees stay a VERTEX-scale side table instead of being joined
+    // onto the edge list (the old `withDeg` materialization): the
+    // per-round `rank div outdeg` is computed on the small rank table
+    // first and only (src, dst) ever rides the edge-scale join — the
+    // guide-§8 shape (decide on the light proxy, keep the heavy rows
+    // narrow). Saves one edge-scale join+materialization up front and
+    // one long column off every per-round edge shuffle.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src").localCheckpoint(true, checkpointLevel)
+      .localCheckpoint(true, checkpointLevel)
 
     var r = vertices.withColumn("rank", lit(Scale))
     for (i <- 1 to iterations) {
-      val contrib = withDeg
-        .join(r, withDeg("src") === r("vertex"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+      // Round 1's rank vector is the constant Scale on every vertex and
+      // every src IS a vertex, so `rank div outdeg` needs no join at
+      // all; later rounds join two vertex-scale tables. Inner join ==
+      // the old withDeg⋈r semantics: srcs all carry ranks, and
+      // rank-only vertices (no out-edges) contributed nothing before.
+      val perSrc =
+        if (i == 1) outdeg.select(col("src"),
+          expr(s"$Scale div outdeg").as("c"))
+        else outdeg.join(r, outdeg("src") === r("vertex"))
+          .select(col("src"), expr("rank div outdeg").as("c"))
+      val contrib = e.join(perSrc, "src")
         .groupBy("dst").agg(sum("c").as("inflow"))
       r = vertices
         .join(contrib, vertices("vertex") === contrib("dst"), "left")

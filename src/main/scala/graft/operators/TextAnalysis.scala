@@ -542,15 +542,20 @@ object TextAnalysis {
     val wArr = typedLit(weightsMicro)
     val bucketOf: Column => Column = t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    // hash each token ONCE: __b binds the bucket array in its own
+    // projection (transform is expensive, so CollapseProject keeps the
+    // boundary), and both the margin fold and the gradient explode read
+    // the bound longs — the old shape re-ran md5 per token in each
     df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
+      .withColumn("__b", transform(col("__t"), bucketOf))
       .withColumn("__m", aggregate(
-        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+        transform(col("__b"), b => element_at(wArr, (b + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x))
       .withColumn("__r", round(
         (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
           - label.cast("double")) * lit(1e6), 0).cast("long"))
-      .select(explode(col("__t")).as("__tok"), col("__r"))
-      .groupBy(bucketOf(col("__tok")).as("bucket"))
+      .select(explode(col("__b")).as("bucket"), col("__r"))
+      .groupBy("bucket")
       .agg(sum(col("__r")).as("grad_micro"),
         count(lit(1)).cast("long").as("n_terms"))
   }
@@ -576,16 +581,18 @@ object TextAnalysis {
     df.withColumn("__t", coalesce(
         filter(tokens(col(textCol)), t => t =!= ""),
         typedLit(Seq.empty[String])))
+      // hash each token ONCE (see [[logisticGradStep]]): the bound
+      // bucket array feeds both the margin fold and the explode
+      .withColumn("__b", transform(col("__t"), bucketOf))
       .withColumn("__m", aggregate(
-        transform(col("__t"), t => element_at(wArr, (bucketOf(t) + 1).cast("int"))),
+        transform(col("__b"), b => element_at(wArr, (b + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x) + element_at(wArr, buckets + 1))
       .withColumn("__r", round(
         (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
           - label.cast("double")) * lit(1e6), 0).cast("long"))
       // bucket ids ride the row; the bias sentinel joins the explode so
       // ONE aggregate produces the whole (buckets+1)-row gradient table
-      .select(explode(concat(
-          transform(col("__t"), t => bucketOf(t)),
+      .select(explode(concat(col("__b"),
           array(lit(buckets.toLong)))).as("bucket"),
         col("__r"))
       .groupBy("bucket")

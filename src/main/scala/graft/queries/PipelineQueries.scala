@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, tFan}
 import graft.operators._
 
 /** LLM-data-pipeline operators (SURVEY.md §2.4-2.10 north-star surface):
@@ -120,7 +120,7 @@ object PipelineQueries {
   private def materializedClusterDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "cluster", Seq("_SUCCESS")) { dir =>
-      val docs = t(s, d, "documents")
+      val docs = tFan(s, d, "documents")
       val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
         Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
       Dedup.resolveClusters(pairs, "id_a", "id_b")
@@ -180,7 +180,7 @@ object PipelineQueries {
   private def materializedManifestDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "manifest", Seq("_SUCCESS")) { dir =>
-      val docs = t(s, d, "documents")
+      val docs = tFan(s, d, "documents")
       val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
       val gated = docs.filter(col("source") =!= "src0").filter(gate)
       val losers = s.read.parquet(materializedClusterDir(s, d))
@@ -207,7 +207,7 @@ object PipelineQueries {
   private def materializedManifestIncrDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "manifestincr", Seq("_SUCCESS")) { dir =>
-      val docs = t(s, d, "documents")
+      val docs = tFan(s, d, "documents")
       val gate = TextAnalysis.gopherGates(col("text")).map(_._2).reduce(_ && _)
       val gated = docs.filter(col("source") =!= "src0").filter(gate)
       val losers = s.read
@@ -1387,7 +1387,7 @@ object PipelineQueries {
   private def materializedBpeBaseDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "bpebase", Seq("_SUCCESS")) { dir =>
-      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      val base = tFan(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
       storeMerges(s, Bpe.trainMergesHist(base, col("text"), 16, 3), dir)
     }
 
@@ -1442,7 +1442,7 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "bperefresh", Seq("_SUCCESS")) { dir =>
       storeMerges(s,
-        Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3), dir)
+        Bpe.trainMergesHist(tFan(s, d, "documents"), col("text"), 16, 3), dir)
     }
 
   /** The tokenizer registry under the CURRENT pointer — pointer parity
@@ -1476,7 +1476,7 @@ object PipelineQueries {
           .map(_.toLong).getOrElse(Long.MaxValue)
         if (bpeCompressionMicro(s, d, dir + "/v0") < threshold) {
           storeMerges(s,
-            Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3),
+            Bpe.trainMergesHist(tFan(s, d, "documents"), col("text"), 16, 3),
             dir + "/v1")
           ArtifactCache.publishCurrent(s, dir, "v1")
         }
@@ -1543,7 +1543,7 @@ object PipelineQueries {
   private def driftPanelTerms(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val docs = t(s, d, "documents")
+    val docs = tFan(s, d, "documents")
     val toks = TextAnalysis.tokens(col("text"))
     val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
       * lit(1e6)).cast("long")
@@ -1790,7 +1790,7 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "lrmodel", Seq("_SUCCESS")) { dir =>
       import s.implicits._
-      val docs = t(s, d, "documents")
+      val docs = tFan(s, d, "documents")
       val trained = TextAnalysis.logisticTrainN(docs, "text",
         when(col("source") === "src0", 1L).otherwise(0L),
         LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
@@ -1892,7 +1892,7 @@ object PipelineQueries {
              |FROM newd WHERE content_hash NOT IN (SELECT content_hash FROM seen)
              |GROUP BY content_hash ORDER BY keep_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         Dedup.exactIncremental(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
@@ -1920,7 +1920,7 @@ object PipelineQueries {
               |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.9
               |ORDER BY new_id, old_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         Dedup.minHashIncrementalHashed(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
@@ -1936,7 +1936,7 @@ object PipelineQueries {
       Some(s"""WITH ${duckPairCtes("0.7")}
               |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+        Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
             Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
           .orderBy("id_a", "id_b")),
 
@@ -1968,7 +1968,7 @@ object PipelineQueries {
               |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
               |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+        val pairs = Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         pairs.select(col("id_a").as("a"), col("id_b").as("b"))
           .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -2005,7 +2005,7 @@ object PipelineQueries {
               |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
               |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
+        val pairs = Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.resolveClusters(pairs, "id_a", "id_b")
           .select(col("v").as("doc_id"), col("cluster_rep"))
@@ -2035,7 +2035,7 @@ object PipelineQueries {
               |    PARTITION BY cluster_rep ORDER BY q DESC, v) AS rn FROM j)
               |WHERE rn = 1 ORDER BY cluster_rep, canonical_id, quality""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
@@ -2065,7 +2065,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT v FROM losers)
               |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.dropNearDuplicates(
@@ -2095,7 +2095,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT v FROM losers)
               |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.dropNearDuplicatesKeepBest(
@@ -2151,7 +2151,7 @@ object PipelineQueries {
     // (LSH completeness at j >= 0.9 as established by q_dedup_minhash).
     Q("q_dedup_clusters_incr", FullClosureOracleSql,
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val sh = Dedup.shinglesHashed(col("text"), 5)
         val base = docs.filter(col("doc_id") % 4 =!= 3)
         val incr = docs.filter(col("doc_id") % 4 === 3)
@@ -2233,7 +2233,7 @@ object PipelineQueries {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin),
       (s, d) =>
-        Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        Dedup.duplicateSpans(tFan(s, d, "documents"), "doc_id", "text",
             k = 13, minDocs = 2)
           .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
             col("span_end").cast("long").as("span_end"),
@@ -2266,7 +2266,7 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_toks
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        Dedup.cutDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        Dedup.cutDuplicateSpans(tFan(s, d, "documents"), "doc_id", "text",
             k = 13, minDocs = 2)
           .orderBy("doc_id")),
 
@@ -2290,7 +2290,7 @@ object PipelineQueries {
              |FROM w WHERE rn = 1
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        Dedup.dedupSegments(t(s, d, "documents"), "doc_id", "text",
+        Dedup.dedupSegments(tFan(s, d, "documents"), "doc_id", "text",
             segTokens = 10)
           .orderBy("doc_id")),
 
@@ -2339,7 +2339,7 @@ object PipelineQueries {
       Some(s"""WITH ${duckPairCtes("0.3", " WHERE doc_id < 1000")}
               |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.exactJaccardPairsHashed(t(s, d, "documents").filter(col("doc_id") < 1000),
+        Dedup.exactJaccardPairsHashed(tFan(s, d, "documents").filter(col("doc_id") < 1000),
             "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)
           .orderBy("id_a", "id_b")),
 
@@ -4120,7 +4120,7 @@ object PipelineQueries {
     },
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val trained = TextAnalysis.logisticTrainReg(docs, "text",
           when(col("source") === "src0", 1L).otherwise(0L),
           LrInitWeights :+ 250000L, steps = 1, lrMicro = 1000000L,
@@ -4143,7 +4143,7 @@ object PipelineQueries {
     // every sf.
     Q("q_linear_train_apply", LrTrainApplyOracleSql,
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val trained = TextAnalysis.logisticTrainN(docs, "text", y,
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
@@ -4162,7 +4162,7 @@ object PipelineQueries {
     // shared with q_linear_train_apply.
     Q("q_linear_apply_from_model", LrTrainApplyOracleSql,
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val weights = s.read.parquet(materializedLrModelDir(s, d))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(_._1).map(_._2).toSeq
@@ -4303,7 +4303,7 @@ object PipelineQueries {
               |FROM c""".stripMargin)
     },
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val trained = TextAnalysis.logisticTrainN(docs, "text", y,
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
@@ -4334,7 +4334,7 @@ object PipelineQueries {
               |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
               |FROM c""".stripMargin),
       (s, d) => {
-        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
+        val docs = Mixture.hashSplit(tFan(s, d, "documents"), "doc_id",
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val train = docs.filter(col("split") === "train")
@@ -4368,7 +4368,7 @@ object PipelineQueries {
               |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
               |FROM c ORDER BY thr_micro""".stripMargin),
       (s, d) => {
-        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
+        val docs = Mixture.hashSplit(tFan(s, d, "documents"), "doc_id",
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val train = docs.filter(col("split") === "train")
@@ -4400,7 +4400,7 @@ object PipelineQueries {
              |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         Decontaminate.decontaminate(
             docs.filter(col("source") =!= "src0"),
             docs.filter(col("source") === "src0"),
@@ -4651,7 +4651,7 @@ object PipelineQueries {
               |WHERE pr[1] <> '|' AND pr[2] <> '|' AND pr[1] <> '' AND pr[2] <> ''
               |GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 32""".stripMargin),
       (s, d) =>
-        Bpe.pairCounts(t(s, d, "documents"), col("text"))
+        Bpe.pairCounts(tFan(s, d, "documents"), col("text"))
           .select(col("x"), col("y"), col("c").cast("long").as("c"))
           .orderBy(col("c").desc, col("x").asc, col("y").asc)
           .limit(32)),
@@ -4673,7 +4673,7 @@ object PipelineQueries {
               |      UNION ALL ${bpeRoundSql(3, 32)})
               |ORDER BY round, c DESC, x, y""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tFan(s, d, "documents")
         (1 to 3).map { r =>
           Bpe.pairCounts(docs, col("text"), BpeMerges.take(16 * (r - 1)))
             .orderBy(col("c").desc, col("x").asc, col("y").asc)
@@ -4703,7 +4703,7 @@ object PipelineQueries {
         // round branches below must read the ONE-scan table, not re-derive
         // it from the corpus (the whole point of the histogram trainer);
         // vocab-bounded, spills to disk past memory
-        val hist = Bpe.wordHistogram(t(s, d, "documents"), col("text"))
+        val hist = Bpe.wordHistogram(tFan(s, d, "documents"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (1 to 3).map { r =>
           Bpe.pairCountsHist(hist, BpeMerges.take(16 * (r - 1)))
@@ -4779,7 +4779,7 @@ object PipelineQueries {
         val dir = materializedBpeMergesDir(s, d)
         val merges = s.read.parquet(dir).orderBy("ord").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        t(s, d, "documents")
+        tFan(s, d, "documents")
           .select(col("source"),
             length(col("text")).cast("long").as("nc"),
             Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
@@ -4817,7 +4817,7 @@ object PipelineQueries {
               |FROM tk GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val merges = loadMerges(s, materializedBpeBaseDir(s, d))
-        t(s, d, "documents")
+        tFan(s, d, "documents")
           .select(col("source"),
             length(col("text")).cast("long").as("nc"),
             Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
@@ -4894,7 +4894,7 @@ object PipelineQueries {
             materializedBpeRetrainDir(s, d) // fresh version, current corpus
           else materializedBpeBaseDir(s, d) // frozen keeps serving
         val merges = loadMerges(s, servedDir)
-        val comp = t(s, d, "documents")
+        val comp = tFan(s, d, "documents")
           .select(col("source"), length(col("text")).cast("long").as("nc"),
             Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
           .groupBy("source")
@@ -5071,7 +5071,7 @@ object PipelineQueries {
              |FROM toks JOIN cost USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.unigramNll(t(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.unigramNll(tFan(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Bigram conditional NLL (TextAnalysis.bigramNll): cost(w1 w2) =
@@ -5094,7 +5094,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.bigramNll(tFan(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Interpolated Kneser-Ney bigram NLL (Kneser-Ney '95, Chen-Goodman
@@ -5125,7 +5125,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.knBigramNll(t(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.knBigramNll(tFan(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Per-source Zipf fit (TextAnalysis.zipfFit): OLS slope of ln(freq)
@@ -5158,7 +5158,7 @@ object PipelineQueries {
              |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 0.001) AS BIGINT) AS intercept_milli
              |FROM f ORDER BY source""".stripMargin),
       (s, d) =>
-        TextAnalysis.zipfFit(t(s, d, "documents"), "source", "text")
+        TextAnalysis.zipfFit(tFan(s, d, "documents"), "source", "text")
           .select(col("source"), col("n").as("vocab"),
             floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
             // zipfFit intercept is in MICRO-ln units; ×0.001 → milli-ln
@@ -5561,7 +5561,7 @@ object PipelineQueries {
              |FROM r ORDER BY doc_id""".stripMargin),
       (s, d) =>
         Multimodal.decodeFeatures(
-            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
+            Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"))
           .toDF()
           .orderBy("doc_id")),
 
@@ -5601,7 +5601,7 @@ object PipelineQueries {
       (s, d) =>
         Multimodal.decodeFeatures(
             Multimodal.resizeStub(
-              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
+              Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"),
               factor = 4))
           .toDF()
           .orderBy("doc_id")),
@@ -5636,7 +5636,7 @@ object PipelineQueries {
       (s, d) =>
         Multimodal.phashNearDup(
             Multimodal.aHash64(
-              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
+              Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"))
               .toDF(),
             "doc_id", "phash", maxHamming = 13)
           .orderBy("id_a", "id_b")),
@@ -5949,7 +5949,7 @@ object PipelineQueries {
              |ORDER BY doc_id, frame_idx""".stripMargin),
       (s, d) =>
         Multimodal.sampleFrames(
-            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
+            Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"),
             frameSize = 64, stride = 2)
           .toDF()
           .orderBy("doc_id", "frame_idx")),
@@ -5996,8 +5996,8 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
-        Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        val docs = tFan(s, d, "documents")
+        Dsir.importanceWeights(docs, col("lang") === "en",
             "doc_id", "text", buckets = 256)
           .orderBy("doc_id")
       }),

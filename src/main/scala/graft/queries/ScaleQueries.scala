@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, tFan}
 import graft.operators._
 
 /** Round-5 scale-surface queries: operators whose value IS their 100 TB
@@ -250,7 +250,7 @@ object ScaleQueries {
              |    % 4611686018427387904 AS BIGINT) AS checksum
              |FROM canon GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, d) => {
-        val li = t(s, d, "lineitem")
+        val li = tFan(s, d, "lineitem")
         Checksum.grouped(li, Seq(col("l_returnflag")), Seq(
             col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
             col("l_suppkey").cast("string"), col("l_returnflag"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, tFan}
 import graft.operators._
 
 /** Warehouse-maintenance / data-quality surface (round 5): CDC upsert,
@@ -147,7 +147,7 @@ object WarehouseQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val base = ScratchDirs.forRun(s, "compact")
-        t(s, d, "documents").write.mode("overwrite")
+        tFan(s, d, "documents").write.mode("overwrite")
           .option("maxRecordsPerFile", 50).parquet(base + "/frag")
         Compact.rewrite(s, base + "/frag", base + "/compacted",
             targetFileBytes = 8L * 1024 * 1024)
@@ -170,7 +170,7 @@ object WarehouseQueries {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
       (s, d) => {
         val base = ScratchDirs.forRun(s, "compact_sorted")
-        t(s, d, "documents").write.mode("overwrite")
+        tFan(s, d, "documents").write.mode("overwrite")
           .option("maxRecordsPerFile", 50).parquet(base + "/frag")
         Compact.rewriteSorted(s, base + "/frag", base + "/sorted",
             targetFileBytes = 8L * 1024 * 1024, sortCols = Seq("doc_id"))
