@@ -41,12 +41,24 @@ object Bm25 {
     // (the per-term column layout would otherwise double-count it)
     val terms = rawTerms.distinct
     require(terms.nonEmpty, "term scoring needs at least one query term")
-    val toks = split(lower(textCol), " ")
-    val withTf = docs.select(
-      col(idCol) +: size(toks).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (term, i) =>
-          size(filter(toks, tk => tk === lit(term))).cast("double").as(s"tf_$i")
-        }: _*)
+    // __toks binds the tokenization ONCE per row in its own projection
+    // (split is expensive, so CollapseProject keeps the boundary): the
+    // dl/tf columns each read the bound array instead of re-splitting the
+    // text — higher-order filter() gets no codegen subexpression
+    // elimination, so the inlined form paid |terms|+1 splits per row.
+    val withTf = docs
+      .withColumn("__toks", split(lower(textCol), " "))
+      .select(
+        col(idCol) +: size(col("__toks")).cast("double").as("dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            size(filter(col("__toks"), tk => tk === lit(term)))
+              .cast("double").as(s"tf_$i")
+          }: _*)
+      // NOT persisted: a measured persist variant (caching the narrow tf
+      // table so stats + scoring share one tokenize) ran ~30% SLOWER at
+      // bench scale — the cache materialization cost more than the second
+      // pipelined scan it saved (r20 calibrated A/B). At a true 100 TB
+      // the two-scans-of-text tradeoff flips; revisit with real I/O cost.
 
     // ONE bounded aggregate: corpus scalars + per-term document counts
     val aggs = count(lit(1)).cast("double").as("n_docs") +:

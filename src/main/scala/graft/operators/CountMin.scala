@@ -44,17 +44,33 @@ object CountMin {
     * + one groupBy: the aggregate is map-side combined, and the result
     * is at most depth·width rows regardless of input size.
     */
-  def sketch(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  def sketch(keys: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    sketchFromCounts(
+      keys.groupBy(col(keyCol).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__n")),
+      "__k", "__n", depth, width)
+
+  /** [[sketch]] from an already-counted (key, count) table — and the core
+    * the occurrence-form delegates to: cell (j, h_j(k)) accumulates
+    * Σ counts of the keys hashing there, which equals the
+    * count-per-occurrence build exactly (CMS linearity again, within one
+    * sketch). Counting BEFORE hashing moves the depth md5 evaluations
+    * from per-OCCURRENCE to per-DISTINCT-KEY — on a Zipf-shaped corpus
+    * that is orders of magnitude less hash work for the identical table
+    * (the key count rides a map-side-combinable count aggregate instead).
+    */
+  def sketchFromCounts(counts: DataFrame, keyCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
     require(width >= 2 && width <= (1 << 20), s"width in [2,2^20]: $width")
     val k = col(keyCol).cast("string")
-    keys
-      .select(explode(array((0 until depth).map(j =>
+    counts
+      .select(col(cntCol).as("__n"), explode(array((0 until depth).map(j =>
         struct(lit(j).as("cms_row"), bucketOf(j, k, width).as("cms_bucket"))): _*))
         .as("__cell"))
       .groupBy(col("__cell.cms_row").as("cms_row"),
         col("__cell.cms_bucket").as("cms_bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__n")).as("cnt"))
   }
 
   /** Per-group sketch tables: (groupCol, cms_row, cms_bucket, cnt) — the
@@ -66,14 +82,20 @@ object CountMin {
       depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
     require(width >= 2 && width <= (1 << 20), s"width in [2,2^20]: $width")
+    // count-then-hash, as in [[sketchFromCounts]]: the depth md5s run per
+    // distinct (group, key) instead of per occurrence; cellwise Σ of the
+    // counts reproduces the per-occurrence table bit-for-bit.
     val k = col(keyCol).cast("string")
     keys
-      .select(col(groupCol), explode(array((0 until depth).map(j =>
-        struct(lit(j).as("cms_row"), bucketOf(j, k, width).as("cms_bucket"))): _*))
+      .groupBy(col(groupCol), k.as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), col("__n"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("cms_row"),
+          bucketOf(j, col("__k"), width).as("cms_bucket"))): _*))
         .as("__cell"))
       .groupBy(col(groupCol), col("__cell.cms_row").as("cms_row"),
         col("__cell.cms_bucket").as("cms_bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__n")).as("cnt"))
   }
 
   /** Merge sketch tables by cellwise sum — CMS linearity: the merge of

@@ -74,6 +74,10 @@ object Dedup {
       thresholdMilli: Int, maxDf: Long): DataFrame = {
     require(thresholdMilli >= 1 && thresholdMilli <= 1000,
       s"thresholdMilli must be in 1..1000, got $thresholdMilli")
+    // NOT persisted: the gram table feeds four consumers, but Spark's
+    // exchange reuse already shares the physical passes, and a measured
+    // persist variant ran 1.6× SLOWER (cache materialization cost more
+    // than the reused exchanges it replaced — r20 probe evidence).
     val sh = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(shingles).as("g"))
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -400,14 +404,28 @@ object Dedup {
       expr(s"transform(sequence(0, ${chunks - 1}), " +
         s"c -> shiftright(sig, c * $width) & ${mask}L)"))
       .as(Seq("chunk", "bits")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+    // Same shape discipline as Multimodal.phashNearDup: the probe side is
+    // explicitly hash-repartitioned (a compact store's scan is one split,
+    // and the band join's candidate fan-out is the dominant work — AQE
+    // coalesces count-less column repartitions of byte-light rows back to
+    // one partition), and the order + Hamming predicates ride the JOIN so
+    // the distinct's exchange carries only surviving near-dup pairs,
+    // three narrow columns wide, instead of every band collision with
+    // both signatures aboard. hamming is a pure function of the two
+    // per-id signatures, so distinct-on-(ids, hamming) after the filter
+    // keeps exactly one row per qualifying pair — identical output.
+    val a = banded
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("chunk"), col("bits"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk").as("chunk_b"), col("bits").as("bits_b"))
+    a.join(b, col("chunk") === col("chunk_b") && col("bits") === col("bits_b") &&
+        col("id_a") < col("id_b") &&
+        hamming64(col("sig_a"), col("sig_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Scale path for cosine near-dup: L independent sign-LSH tables

@@ -2376,7 +2376,7 @@ object PipelineQueries {
     // tokens() + per-string xxhash64, with no token-array materialization.
     Q("q_dedup_simhash", None,
       (s, d) =>
-        Dedup.simHashPairs(t(s, d, "documents"), "doc_id",
+        Dedup.simHashPairs(tFan(s, d, "documents"), "doc_id",
             graft.functions.hashed_words(col("text")), maxHamming = 3)
           .orderBy("id_a", "id_b")),
 
@@ -4565,7 +4565,7 @@ object PipelineQueries {
         val merges = s.read.parquet(materializedBpeMergesDir(s, d))
           .orderBy("ord").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        val kept = t(s, d, "documents")
+        val kept = tFan(s, d, "documents")
           .join(manifest, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("source"),
             Bpe.tokenCount(col("text"), merges).cast("long").as("n_toks"))
@@ -6138,12 +6138,18 @@ object PipelineQueries {
              |GROUP BY t.token, t.exact_cnt
              |ORDER BY exact_cnt DESC, token""".stripMargin),
       (s, d) => {
-        val toks = t(s, d, "documents")
+        // The token-count subtree feeds both the exact top-20 and the
+        // sketch (sketchFromCounts hashes per distinct token, not per
+        // occurrence) — Spark's exchange reuse shares the physical pass;
+        // a measured persist variant was slower (r20 calibrated A/B).
+        val tokCounts = t(s, d, "documents")
           .select(explode(split(lower(col("text")), " ")).as("token"))
-        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        val top = tokCounts
           .orderBy(col("exact_cnt").desc, col("token")).limit(20)
         CountMin.estimate(top, "token",
-            CountMin.sketch(toks, "token", depth = 4, width = 256),
+            CountMin.sketchFromCounts(tokCounts, "token", "exact_cnt",
+              depth = 4, width = 256),
             depth = 4, width = 256)
           .orderBy(col("exact_cnt").desc, col("token"))
       })
