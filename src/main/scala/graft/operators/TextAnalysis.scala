@@ -539,21 +539,44 @@ object TextAnalysis {
       weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
     require(weightsMicro.size == buckets,
       s"need $buckets weights, got ${weightsMicro.size}")
-    val wArr = typedLit(weightsMicro)
+    gradStepOnBuckets(bucketedFeatures(df, textCol, label, buckets),
+      weightsMicro, buckets)
+  }
+
+  /** Weight-INDEPENDENT featurization shared by every gradient step of a
+    * training run: one (__y label, __b hashed-bucket array) row per
+    * document. The token array is bound once (__t) and hashed once (__b
+    * — HOFs get no codegen subexpression elimination); everything
+    * weight-dependent lives in [[gradStepOnBuckets]], so the GD loops
+    * can persist THIS frame and stop re-tokenizing + re-hashing the
+    * corpus on every step. NULL text propagates (null __b) exactly as in
+    * the original inlined step: the explode drops such rows, and the
+    * bias variant coalesces __b to empty where it used to coalesce __t
+    * (transform(NULL) is NULL, so the two coalesce points are
+    * equivalent).
+    */
+  private def bucketedFeatures(df: DataFrame, textCol: String, label: Column,
+      buckets: Int): DataFrame = {
     val bucketOf: Column => Column = t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-    // hash each token ONCE: __b binds the bucket array in its own
-    // projection (transform is expensive, so CollapseProject keeps the
-    // boundary), and both the margin fold and the gradient explode read
-    // the bound longs — the old shape re-ran md5 per token in each
     df.withColumn("__t", filter(tokens(col(textCol)), t => t =!= ""))
       .withColumn("__b", transform(col("__t"), bucketOf))
+      .select(label.as("__y"), col("__b"))
+  }
+
+  /** The weight-dependent half of [[logisticGradStep]] over an
+    * already-featurized (__y, __b) frame.
+    */
+  private def gradStepOnBuckets(feats: DataFrame, weightsMicro: Seq[Long],
+      buckets: Int): DataFrame = {
+    val wArr = typedLit(weightsMicro)
+    feats
       .withColumn("__m", aggregate(
         transform(col("__b"), b => element_at(wArr, (b + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x))
       .withColumn("__r", round(
         (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
-          - label.cast("double")) * lit(1e6), 0).cast("long"))
+          - col("__y").cast("double")) * lit(1e6), 0).cast("long"))
       .select(explode(col("__b")).as("bucket"), col("__r"))
       .groupBy("bucket")
       .agg(sum(col("__r")).as("grad_micro"),
@@ -575,24 +598,30 @@ object TextAnalysis {
       weightsMicro: Seq[Long], buckets: Int = 256): DataFrame = {
     require(weightsMicro.size == buckets + 1,
       s"need ${buckets + 1} weights (incl. bias), got ${weightsMicro.size}")
+    gradStepBiasOnBuckets(bucketedFeatures(df, textCol, label, buckets),
+      weightsMicro, buckets)
+  }
+
+  /** The weight-dependent half of [[logisticGradStepBias]] over an
+    * already-featurized (__y, __b) frame. NULL __b coalesces to an empty
+    * array here (the original coalesced the token array; transform(NULL)
+    * is NULL so the two are the same frame) — a text-less document still
+    * contributes its bias-row residual.
+    */
+  private def gradStepBiasOnBuckets(feats: DataFrame, weightsMicro: Seq[Long],
+      buckets: Int): DataFrame = {
     val wArr = typedLit(weightsMicro)
-    val bucketOf: Column => Column = t =>
-      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
-    df.withColumn("__t", coalesce(
-        filter(tokens(col(textCol)), t => t =!= ""),
-        typedLit(Seq.empty[String])))
-      // hash each token ONCE (see [[logisticGradStep]]): the bound
-      // bucket array feeds both the margin fold and the explode
-      .withColumn("__b", transform(col("__t"), bucketOf))
+    feats
+      .withColumn("__bc", coalesce(col("__b"), typedLit(Seq.empty[Long])))
       .withColumn("__m", aggregate(
-        transform(col("__b"), b => element_at(wArr, (b + 1).cast("int"))),
+        transform(col("__bc"), b => element_at(wArr, (b + 1).cast("int"))),
         lit(0L), (acc, x) => acc + x) + element_at(wArr, buckets + 1))
       .withColumn("__r", round(
         (lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double") / lit(1e6)))
-          - label.cast("double")) * lit(1e6), 0).cast("long"))
+          - col("__y").cast("double")) * lit(1e6), 0).cast("long"))
       // bucket ids ride the row; the bias sentinel joins the explode so
       // ONE aggregate produces the whole (buckets+1)-row gradient table
-      .select(explode(concat(col("__b"),
+      .select(explode(concat(col("__bc"),
           array(lit(buckets.toLong)))).as("bucket"),
         col("__r"))
       .groupBy("bucket")
@@ -617,21 +646,34 @@ object TextAnalysis {
       "pass n = df.count() and train only when data exists")
     require(init.size == buckets + 1,
       s"need ${buckets + 1} init weights (incl. bias), got ${init.size}")
-    var w = init.toVector
-    var s = 0
-    while (s < steps) {
-      val grads = logisticGradStepBias(df, textCol, label, w, buckets)
-        .collect() // buckets + 1 rows — bounded
-        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (wj, j) =>
-        val data = lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
-        val shrink =
-          if (j == buckets) 0L else lrMicro * l2Micro * wj / 1000000000000L
-        wj - data - shrink
+    // featurize ONCE: the (__y, __b) frame is weight-independent, so the
+    // per-step scans read persisted bucket arrays instead of re-running
+    // tokenize + per-token md5 every step (the loop is eager — each step
+    // collects its bounded gradient table — so the unpersist is safe).
+    // A single-step run reads the frame once and skips the persist (cache
+    // materialization with zero reuse is pure overhead).
+    val base = bucketedFeatures(df, textCol, label, buckets)
+    val feats =
+      if (steps > 1)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
+    try {
+      var w = init.toVector
+      var s = 0
+      while (s < steps) {
+        val grads = gradStepBiasOnBuckets(feats, w, buckets)
+          .collect() // buckets + 1 rows — bounded
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val data = lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
+          val shrink =
+            if (j == buckets) 0L else lrMicro * l2Micro * wj / 1000000000000L
+          wj - data - shrink
+        }
+        s += 1
       }
-      s += 1
-    }
-    w
+      w
+    } finally { if (steps > 1) { feats.unpersist(blocking = false); () } }
   }
 
   /** `steps` full-batch gradient-descent steps of [[logisticGradStep]].
@@ -647,18 +689,26 @@ object TextAnalysis {
     // bare ArithmeticException from Long division deep in the loop
     require(n > 0, s"logisticTrainN needs a non-empty corpus (n=$n); " +
       "pass n = df.count() and train only when data exists")
-    var w = init.toVector
-    var s = 0
-    while (s < steps) {
-      val grads = logisticGradStep(df, textCol, label, w, buckets)
-        .collect() // buckets rows — bounded
-        .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (wj, j) =>
-        wj - lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
+    // featurize ONCE across the steps — see [[logisticTrainReg]]
+    val base = bucketedFeatures(df, textCol, label, buckets)
+    val feats =
+      if (steps > 1)
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
+    try {
+      var w = init.toVector
+      var s = 0
+      while (s < steps) {
+        val grads = gradStepOnBuckets(feats, w, buckets)
+          .collect() // buckets rows — bounded
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj - lrMicro * grads.getOrElse(j, 0L) / (1000000L * n)
+        }
+        s += 1
       }
-      s += 1
-    }
-    w
+      w
+    } finally { if (steps > 1) { feats.unpersist(blocking = false); () } }
   }
 
   /** Mean logistic loss of `weightsMicro` on the labeled frame — the
