@@ -71,10 +71,13 @@ object TextAnalysis {
     * hash-compare bit-identically across engines.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val g2 = graft.functions.ngram_poly_hashes(
-      graft.functions.hashed_words(col(textCol)), 2)
-    val g5 = graft.functions.ngram_poly_hashes(
-      graft.functions.hashed_words(col(textCol)), 5)
+    // __hw binds the per-token hash array once — the 2-gram source, the
+    // 5-gram source, and n_tokens all read it (three hashed_words
+    // evaluations per row otherwise; custom expressions get no CSE);
+    // __g5 likewise feeds both the total and the distinct count
+    val hw = col("__hw")
+    val g2 = graft.functions.ngram_poly_hashes(hw, 2)
+    val g5 = col("__g5")
     // longest run in the sorted array == count of the most frequent value
     val top2RunSql =
       """aggregate(
@@ -89,9 +92,11 @@ object TextAnalysis {
     // n_tokens uses the SAME tokenizer as the grams (whitespace runs, no
     // empty tokens) — mixing it with a single-space split would skew the
     // fractions on multi-space text
-    df.withColumn("__g2", g2)
+    df.withColumn("__hw", graft.functions.hashed_words(col(textCol)))
+      .withColumn("__g5", graft.functions.ngram_poly_hashes(hw, 5))
+      .withColumn("__g2", g2)
       .select(col(idCol),
-        size(graft.functions.hashed_words(col(textCol))).cast("long").as("n_tokens"),
+        size(hw).cast("long").as("n_tokens"),
         expr(top2RunSql).as("top2_count"),
         size(g5).cast("long").as("n_5grams"),
         size(array_distinct(g5)).cast("long").as("n_5grams_distinct"))
@@ -466,14 +471,18 @@ object TextAnalysis {
           .cast("long").as("n_toks"))
   }
 
-  /** Standard stats bundle over a text column. */
-  def stats(df: DataFrame, textCol: String): DataFrame = {
-    val toksC = tokens(col(textCol))
-    df.withColumn("n_chars2", length(col(textCol)).cast("long"))
-      .withColumn("n_tokens", size(toksC).cast("long"))
-      .withColumn("n_unique_tokens", size(array_distinct(toksC)).cast("long"))
+  /** Standard stats bundle over a text column. The token array is bound
+    * once (__t) — n_tokens and n_unique_tokens both read it, and the
+    * regex tokenize gets no codegen CSE across the two references.
+    */
+  def stats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__t", tokens(col(textCol)))
+      .withColumn("n_chars2", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("n_unique_tokens",
+        size(array_distinct(col("__t"))).cast("long"))
       .withColumn("tok_est", tokenEstimate(col(textCol)).cast("long"))
-  }
+      .drop("__t")
 
   /** Hashed bag-of-words linear scoring — the fastText-classifier shape of
     * the CCNet/RedPajama quality filters, as ONE per-row expression chain:

@@ -1543,8 +1543,12 @@ object PipelineQueries {
   private def driftPanelTerms(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // __toks binds the tokenization once per row (the batch-1 __b idiom):
+    // qualityScoreRaw references its token argument three times, and
+    // regex-split higher-order chains get no codegen CSE
     val docs = tFan(s, d, "documents")
-    val toks = TextAnalysis.tokens(col("text"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val toks = col("__toks")
     val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
       * lit(1e6)).cast("long")
     val feats = array(
@@ -3916,8 +3920,11 @@ object PipelineQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)
     },
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
+        // bind the tokenization once: langId probes it per language and
+        // qualityScore three more times (no codegen CSE across HOFs)
+        val toks = col("__toks")
         t(s, d, "documents")
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
           .select(col("doc_id"), col("lang"),
             TextAnalysis.langId(toks).as("pred_lang"),
             TextAnalysis.qualityScore(col("text"), toks).as("quality"))
@@ -4005,8 +4012,11 @@ object PipelineQueries {
               |WHERE s.q >= thr.t ORDER BY s.doc_id""".stripMargin)
     },
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
+        // bind the tokenization once — n_tokens + qualityScoreRaw
+        // reference it four times (no codegen CSE across HOFs)
+        val toks = col("__toks")
         val scored = t(s, d, "documents")
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
           .select(col("doc_id"),
             size(toks).cast("long").as("n_tokens"),
             TextAnalysis.qualityScoreRaw(col("text"), toks).as("q"))
