@@ -83,18 +83,22 @@ object PageRank {
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(true, checkpointLevel)
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
+    // ONE vertex-degree table instead of separate vertices + out-degree
+    // checkpoints: endpoints union into a single grouped count of
+    // out-occurrences (dst rows weigh 0), so the vertex set and the
+    // degrees share one exchange and one materialization. Out-degrees
+    // stay a VERTEX-scale side table instead of being joined onto the
+    // edge list (the old `withDeg` materialization): the per-round
+    // `rank div outdeg` is computed on the small rank table first and
+    // only (src, dst) ever rides the edge-scale join — the guide-§8
+    // shape (decide on the light proxy, keep the heavy rows narrow).
+    val vdeg = e.select(col("src").as("vertex"), lit(1L).as("__o"))
+      .union(e.select(col("dst").as("vertex"), lit(0L).as("__o")))
+      .groupBy("vertex").agg(sum("__o").as("outdeg"))
       .localCheckpoint(true, checkpointLevel)
-    // Out-degrees stay a VERTEX-scale side table instead of being joined
-    // onto the edge list (the old `withDeg` materialization): the
-    // per-round `rank div outdeg` is computed on the small rank table
-    // first and only (src, dst) ever rides the edge-scale join — the
-    // guide-§8 shape (decide on the light proxy, keep the heavy rows
-    // narrow). Saves one edge-scale join+materialization up front and
-    // one long column off every per-round edge shuffle.
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true, checkpointLevel)
+    val vertices = vdeg.select("vertex")
+    val outdeg = vdeg.filter(col("outdeg") > 0L)
+      .select(col("vertex").as("src"), col("outdeg"))
 
     var r = vertices.withColumn("rank", lit(Scale))
     for (i <- 1 to iterations) {
