@@ -1387,7 +1387,7 @@ object PipelineQueries {
   private def materializedBpeBaseDir(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "bpebase", Seq("_SUCCESS")) { dir =>
-      val base = tFan(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
+      val base = t(s, d, "documents").filter(col("doc_id") % 4 =!= 3)
       storeMerges(s, Bpe.trainMergesHist(base, col("text"), 16, 3), dir)
     }
 
@@ -1442,7 +1442,7 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String): String =
     ArtifactCache.dir(s, d, "documents", "bperefresh", Seq("_SUCCESS")) { dir =>
       storeMerges(s,
-        Bpe.trainMergesHist(tFan(s, d, "documents"), col("text"), 16, 3), dir)
+        Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3), dir)
     }
 
   /** The tokenizer registry under the CURRENT pointer — pointer parity
@@ -1476,7 +1476,7 @@ object PipelineQueries {
           .map(_.toLong).getOrElse(Long.MaxValue)
         if (bpeCompressionMicro(s, d, dir + "/v0") < threshold) {
           storeMerges(s,
-            Bpe.trainMergesHist(tFan(s, d, "documents"), col("text"), 16, 3),
+            Bpe.trainMergesHist(t(s, d, "documents"), col("text"), 16, 3),
             dir + "/v1")
           ArtifactCache.publishCurrent(s, dir, "v1")
         }
@@ -1546,7 +1546,7 @@ object PipelineQueries {
     // __toks binds the tokenization once per row (the batch-1 __b idiom):
     // qualityScoreRaw references its token argument three times, and
     // regex-split higher-order chains get no codegen CSE
-    val docs = tFan(s, d, "documents")
+    val docs = t(s, d, "documents")
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
     val toks = col("__toks")
     val qMicro = floor(TextAnalysis.qualityScoreRaw(col("text"), toks)
@@ -1896,7 +1896,7 @@ object PipelineQueries {
              |FROM newd WHERE content_hash NOT IN (SELECT content_hash FROM seen)
              |GROUP BY content_hash ORDER BY keep_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         Dedup.exactIncremental(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
@@ -1924,7 +1924,7 @@ object PipelineQueries {
               |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.9
               |ORDER BY new_id, old_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         Dedup.minHashIncrementalHashed(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
@@ -1940,7 +1940,7 @@ object PipelineQueries {
       Some(s"""WITH ${duckPairCtes("0.7")}
               |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
+        Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
             Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
           .orderBy("id_a", "id_b")),
 
@@ -1972,7 +1972,7 @@ object PipelineQueries {
               |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
               |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val pairs = Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
+        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         pairs.select(col("id_a").as("a"), col("id_b").as("b"))
           .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -2009,7 +2009,7 @@ object PipelineQueries {
               |SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
               |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val pairs = Dedup.minHashPairsHashed(tFan(s, d, "documents"), "doc_id",
+        val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.resolveClusters(pairs, "id_a", "id_b")
           .select(col("v").as("doc_id"), col("cluster_rep"))
@@ -2039,7 +2039,7 @@ object PipelineQueries {
               |    PARTITION BY cluster_rep ORDER BY q DESC, v) AS rn FROM j)
               |WHERE rn = 1 ORDER BY cluster_rep, canonical_id, quality""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         val clusters = Dedup.resolveClusters(pairs, "id_a", "id_b")
@@ -2069,7 +2069,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT v FROM losers)
               |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.dropNearDuplicates(
@@ -2099,7 +2099,7 @@ object PipelineQueries {
               |WHERE d.doc_id NOT IN (SELECT v FROM losers)
               |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val pairs = Dedup.minHashPairsHashed(docs, "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
         Dedup.dropNearDuplicatesKeepBest(
@@ -2155,7 +2155,7 @@ object PipelineQueries {
     // (LSH completeness at j >= 0.9 as established by q_dedup_minhash).
     Q("q_dedup_clusters_incr", FullClosureOracleSql,
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val sh = Dedup.shinglesHashed(col("text"), 5)
         val base = docs.filter(col("doc_id") % 4 =!= 3)
         val incr = docs.filter(col("doc_id") % 4 === 3)
@@ -2237,7 +2237,7 @@ object PipelineQueries {
              |FROM isl GROUP BY doc_id, island
              |ORDER BY doc_id, span_start""".stripMargin),
       (s, d) =>
-        Dedup.duplicateSpans(tFan(s, d, "documents"), "doc_id", "text",
+        Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
             k = 13, minDocs = 2)
           .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
             col("span_end").cast("long").as("span_end"),
@@ -2270,7 +2270,7 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_toks
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        Dedup.cutDuplicateSpans(tFan(s, d, "documents"), "doc_id", "text",
+        Dedup.cutDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
             k = 13, minDocs = 2)
           .orderBy("doc_id")),
 
@@ -2294,7 +2294,7 @@ object PipelineQueries {
              |FROM w WHERE rn = 1
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        Dedup.dedupSegments(tFan(s, d, "documents"), "doc_id", "text",
+        Dedup.dedupSegments(t(s, d, "documents"), "doc_id", "text",
             segTokens = 10)
           .orderBy("doc_id")),
 
@@ -2343,7 +2343,7 @@ object PipelineQueries {
       Some(s"""WITH ${duckPairCtes("0.3", " WHERE doc_id < 1000")}
               |SELECT id_a, id_b, jac FROM p ORDER BY id_a, id_b""".stripMargin),
       (s, d) =>
-        Dedup.exactJaccardPairsHashed(tFan(s, d, "documents").filter(col("doc_id") < 1000),
+        Dedup.exactJaccardPairsHashed(t(s, d, "documents").filter(col("doc_id") < 1000),
             "doc_id", Dedup.shinglesHashed(col("text"), 5), 0.3)
           .orderBy("id_a", "id_b")),
 
@@ -4130,7 +4130,7 @@ object PipelineQueries {
     },
       (s, d) => {
         import s.implicits._
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val trained = TextAnalysis.logisticTrainReg(docs, "text",
           when(col("source") === "src0", 1L).otherwise(0L),
           LrInitWeights :+ 250000L, steps = 1, lrMicro = 1000000L,
@@ -4153,7 +4153,7 @@ object PipelineQueries {
     // every sf.
     Q("q_linear_train_apply", LrTrainApplyOracleSql,
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val trained = TextAnalysis.logisticTrainN(docs, "text", y,
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
@@ -4172,7 +4172,7 @@ object PipelineQueries {
     // shared with q_linear_train_apply.
     Q("q_linear_apply_from_model", LrTrainApplyOracleSql,
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val weights = s.read.parquet(materializedLrModelDir(s, d))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(_._1).map(_._2).toSeq
@@ -4313,7 +4313,7 @@ object PipelineQueries {
               |FROM c""".stripMargin)
     },
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val trained = TextAnalysis.logisticTrainN(docs, "text", y,
           LrInitWeights, steps = 2, lrMicro = 1000000L, n = docs.count())
@@ -4344,7 +4344,7 @@ object PipelineQueries {
               |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
               |FROM c""".stripMargin),
       (s, d) => {
-        val docs = Mixture.hashSplit(tFan(s, d, "documents"), "doc_id",
+        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val train = docs.filter(col("split") === "train")
@@ -4378,7 +4378,7 @@ object PipelineQueries {
               |  CAST(CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE (1000000 * (tp + tn)) // (tp + fp + fn + tn) END AS BIGINT) AS accuracy_micro
               |FROM c ORDER BY thr_micro""".stripMargin),
       (s, d) => {
-        val docs = Mixture.hashSplit(tFan(s, d, "documents"), "doc_id",
+        val docs = Mixture.hashSplit(t(s, d, "documents"), "doc_id",
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         val y = when(col("source") === "src0", 1L).otherwise(0L)
         val train = docs.filter(col("split") === "train")
@@ -4410,7 +4410,7 @@ object PipelineQueries {
              |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         Decontaminate.decontaminate(
             docs.filter(col("source") =!= "src0"),
             docs.filter(col("source") === "src0"),
@@ -4713,7 +4713,7 @@ object PipelineQueries {
         // round branches below must read the ONE-scan table, not re-derive
         // it from the corpus (the whole point of the histogram trainer);
         // vocab-bounded, spills to disk past memory
-        val hist = Bpe.wordHistogram(tFan(s, d, "documents"), col("text"))
+        val hist = Bpe.wordHistogram(t(s, d, "documents"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (1 to 3).map { r =>
           Bpe.pairCountsHist(hist, BpeMerges.take(16 * (r - 1)))
@@ -5081,7 +5081,7 @@ object PipelineQueries {
              |FROM toks JOIN cost USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.unigramNll(tFan(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.unigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Bigram conditional NLL (TextAnalysis.bigramNll): cost(w1 w2) =
@@ -5104,7 +5104,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.bigramNll(tFan(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Interpolated Kneser-Ney bigram NLL (Kneser-Ney '95, Chen-Goodman
@@ -5135,7 +5135,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN scored s USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, d) =>
-        TextAnalysis.knBigramNll(tFan(s, d, "documents"), "doc_id", "text")
+        TextAnalysis.knBigramNll(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")),
 
     // Per-source Zipf fit (TextAnalysis.zipfFit): OLS slope of ln(freq)
@@ -5168,7 +5168,7 @@ object PipelineQueries {
              |  CAST(floor((dsy - slope * dsx) / CAST(n AS DOUBLE) * 0.001) AS BIGINT) AS intercept_milli
              |FROM f ORDER BY source""".stripMargin),
       (s, d) =>
-        TextAnalysis.zipfFit(tFan(s, d, "documents"), "source", "text")
+        TextAnalysis.zipfFit(t(s, d, "documents"), "source", "text")
           .select(col("source"), col("n").as("vocab"),
             floor(col("slope") * lit(1e9)).cast("long").as("slope_nano"),
             // zipfFit intercept is in MICRO-ln units; ×0.001 → milli-ln
@@ -5571,7 +5571,7 @@ object PipelineQueries {
              |FROM r ORDER BY doc_id""".stripMargin),
       (s, d) =>
         Multimodal.decodeFeatures(
-            Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"))
+            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
           .toDF()
           .orderBy("doc_id")),
 
@@ -5611,7 +5611,7 @@ object PipelineQueries {
       (s, d) =>
         Multimodal.decodeFeatures(
             Multimodal.resizeStub(
-              Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"),
+              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
               factor = 4))
           .toDF()
           .orderBy("doc_id")),
@@ -5646,7 +5646,7 @@ object PipelineQueries {
       (s, d) =>
         Multimodal.phashNearDup(
             Multimodal.aHash64(
-              Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"))
+              Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"))
               .toDF(),
             "doc_id", "phash", maxHamming = 13)
           .orderBy("id_a", "id_b")),
@@ -5959,7 +5959,7 @@ object PipelineQueries {
              |ORDER BY doc_id, frame_idx""".stripMargin),
       (s, d) =>
         Multimodal.sampleFrames(
-            Multimodal.packBinary(tFan(s, d, "documents"), "doc_id", "text"),
+            Multimodal.packBinary(t(s, d, "documents"), "doc_id", "text"),
             frameSize = 64, stride = 2)
           .toDF()
           .orderBy("doc_id", "frame_idx")),
@@ -6006,7 +6006,7 @@ object PipelineQueries {
              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
              |ORDER BY d.doc_id""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        val docs = t(s, d, "documents")
         Dsir.importanceWeights(docs, col("lang") === "en",
             "doc_id", "text", buckets = 256)
           .orderBy("doc_id")
