@@ -161,11 +161,22 @@ object Multimodal {
     // three narrow columns wide. hamming is a pure function of the two
     // per-id hashes, so distinct-on-(ids, hamming) after the filter
     // keeps exactly one row per qualifying pair — identical output.
+    // The survivor repartition before the distinct is a MATERIALIZATION
+    // BOUNDARY, not a tuning knob: without it the distinct satisfies its
+    // clustering from the probe-side id partitioning and fuses into the
+    // join's stage — then any downstream range-partitioned sort (every
+    // oracled consumer orders its output) runs its bounds-SAMPLING pass
+    // against the fused stage and RE-EXECUTES the whole quadratic
+    // candidate join (measured at 10x data: two equal ~26 s jobs, 51 s
+    // total; with the boundary the join runs once). The exchanged rows
+    // are only the Hamming survivors, three narrow longs — tiny at every
+    // scale, unlike the pre-filter candidate exchange this replaced.
     x.join(y, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("id_a") < col("id_b") &&
         expr("bit_count(h_a ^ h_b)") <= maxHamming)
       .select(col("id_a"), col("id_b"),
         expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .repartition(col("id_a"), col("id_b"))
       .distinct()
   }
 
