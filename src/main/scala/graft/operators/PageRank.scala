@@ -63,25 +63,33 @@ object PageRank {
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int,
-      checkpointLevel: StorageLevel = StorageLevel.DISK_ONLY): DataFrame = {
+      checkpointLevel: StorageLevel = StorageLevel.DISK_ONLY,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // The edge list, vertex set, and out-degrees are loop-invariant:
     // localCheckpoint them ONCE so each iteration joins materialized
     // blocks instead of re-deriving the graph from the source scan — at
     // cluster scale this is the persisted, src-partitioned edge RDD every
-    // Pregel-style engine keeps. Ranks checkpoint every 4th round — often
-    // enough that an unbounded iteration count cannot grow the plan tree
-    // without bound, sparse enough that short runs stay one composite
-    // plan. Same pattern as Dedup.resolveClusters.
+    // Pregel-style engine keeps. (r21 NOTE, measured and rejected: a
+    // lazy `repartition(src).persist(DISK_ONLY)` in place of the eager
+    // checkpoint — to let rounds reuse HashPartitioning(src) and skip
+    // the per-round edge exchange — blew the composite plan up with 24
+    // InMemoryRelation instantiations and tripled the probe min
+    // (4.0 → 11.7 s): the ExistingRDD barrier is what keeps the
+    // 3-iteration plan small, and that dominates the exchange it costs.)
     // checkpoint the EDGE LIST FIRST: vertices and outdeg both
     // derive from it, and without this barrier each derivation re-runs
     // the caller's whole edge-building pipeline (joins, unions,
     // distinct) from the source scan — measured ~8 upstream evaluations
-    // before the first iteration on the q_pagerank shape
-    val e = edges
+    // before the first iteration on the q_pagerank shape.
+    // `edgesDistinct = true` callers guarantee (src, dst) is already
+    // duplicate-free — q_pagerank dedups narrow int pairs BEFORE the
+    // string build (guide §2.3 "narrower types"), so the corpus-scale
+    // string distinct here would be pure re-work.
+    val eRaw = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .distinct()
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct())
       .localCheckpoint(true, checkpointLevel)
     // ONE vertex-degree table instead of separate vertices + out-degree
     // checkpoints: endpoints union into a single grouped count of
@@ -100,34 +108,47 @@ object PageRank {
     val outdeg = vdeg.filter(col("outdeg") > 0L)
       .select(col("vertex").as("src"), col("outdeg"))
 
-    var r = vertices.withColumn("rank", lit(Scale))
+    // The loop carries the INFLOW table, not the rank table (r21):
+    // rank_i(v) = 150000 + (85·coalesce(inflow_i(v), 0)) div 100 is a
+    // pure per-row function of inflow_i, so intermediate rounds never
+    // need the vertex-complete rank frame — round i+1's per-src
+    // contributions come from ONE vertex-scale left join
+    // (outdeg ⟕ contrib_i, rank expression inlined) instead of two
+    // (vertices ⟕ contrib, then outdeg ⋈ r). Identical trajectory:
+    // the old inner join outdeg ⋈ r hit every outdeg vertex (vertices ⊇
+    // srcs), and missing-inflow srcs carried rank 150000 — exactly what
+    // the coalesce reproduces. The vertex-complete frame is assembled
+    // once, after the last round. One vertex-scale join (and its
+    // exchanges) removed per intermediate round — the §2.4 shuffle-count
+    // lever on what is otherwise a stage-count-bound query.
+    var contrib: DataFrame = null
     for (i <- 1 to iterations) {
       // Round 1's rank vector is the constant Scale on every vertex and
       // every src IS a vertex, so `rank div outdeg` needs no join at
-      // all; later rounds join two vertex-scale tables. Inner join ==
-      // the old withDeg⋈r semantics: srcs all carry ranks, and
-      // rank-only vertices (no out-edges) contributed nothing before.
+      // all; later rounds fold the rank expression into the one
+      // outdeg ⟕ contrib join.
       val perSrc =
         if (i == 1) outdeg.select(col("src"),
           expr(s"$Scale div outdeg").as("c"))
-        else outdeg.join(r, outdeg("src") === r("vertex"))
-          .select(col("src"), expr("rank div outdeg").as("c"))
-      val contrib = e.join(perSrc, "src")
+        else outdeg.join(contrib, outdeg("src") === contrib("dst"), "left")
+          .select(col("src"),
+            expr("(150000L + (85 * coalesce(inflow, 0L)) div 100) div outdeg")
+              .as("c"))
+      contrib = e.join(perSrc, "src")
         .groupBy("dst").agg(sum("c").as("inflow"))
-      r = vertices
-        .join(contrib, vertices("vertex") === contrib("dst"), "left")
-        .select(col("vertex"),
-          (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
-            .as("rank"))
       // checkpoint every 4th round, not every round: a few rounds of
       // join+agg lineage are cheap to carry, while each localCheckpoint
       // is a full materialization — per-round checkpointing DOMINATED
       // the 3-iteration query's cost. Unbounded iteration counts still
       // get periodic lineage truncation.
       if (i % 4 == 0 && i < iterations)
-        r = r.localCheckpoint(true, checkpointLevel)
+        contrib = contrib.localCheckpoint(true, checkpointLevel)
     }
-    r.select(col("vertex"), col("rank").as("rank_micros"))
+    vertices
+      .join(contrib, vertices("vertex") === contrib("dst"), "left")
+      .select(col("vertex"),
+        (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+          .as("rank_micros"))
   }
 
   /** The DuckDB mirror of one iteration, for oracle builders: given the

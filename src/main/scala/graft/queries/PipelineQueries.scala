@@ -1401,7 +1401,13 @@ object PipelineQueries {
   private def bpeCompressionMicro(s: org.apache.spark.sql.SparkSession,
       d: String, modelDir: String): Long = {
     val merges = loadMerges(s, modelDir)
-    val agg = t(s, d, "documents")
+    // tFan, not t: this readout is a 48-merge replace-chain tokenCount
+    // over the corpus — the heavy-per-row class the r20 fan-out
+    // classification keeps fanned (the four registered readout twins all
+    // ride tFan; this decision-input scan was the one missed site, and
+    // its single-split scan was q_bpe_refresh's dominant job, 1.44 s of
+    // a 2.3 s probe min).
+    val agg = tFan(s, d, "documents")
       .select(length(col("text")).cast("long").as("nc"),
         Bpe.tokenCount(col("text"), merges).cast("long").as("nt"))
       .agg(sum("nc").as("nc"), sum("nt").as("nt"))
@@ -4683,9 +4689,21 @@ object PipelineQueries {
               |      UNION ALL ${bpeRoundSql(3, 32)})
               |ORDER BY round, c DESC, x, y""".stripMargin),
       (s, d) => {
-        val docs = tFan(s, d, "documents")
+        // Served by the ONE-SCAN histogram core (r21, VERDICT item 4):
+        // pairCountsHist's frequency-weighted counts are bit-equal to
+        // pairCounts' corpus counts (merges/pairs never cross the ` | `
+        // word boundary — BpeSpec pins trainMergesHist == trainMerges,
+        // and q_bpe_train_hist has always emitted byte-identical rows to
+        // this query via this exact path), so the three evolving-merge
+        // rounds run over the vocab-scale histogram instead of three
+        // corpus scans with growing replace chains. The corpus-scan-per-
+        // round twin remains exercised by the shared trainer core
+        // (Bpe.trainMerges, BpeSpec); this query now prices the
+        // production (Sennrich '16) trainer shape.
+        val hist = Bpe.wordHistogram(t(s, d, "documents"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (1 to 3).map { r =>
-          Bpe.pairCounts(docs, col("text"), BpeMerges.take(16 * (r - 1)))
+          Bpe.pairCountsHist(hist, BpeMerges.take(16 * (r - 1)))
             .orderBy(col("c").desc, col("x").asc, col("y").asc)
             .limit(16)
             .select(lit(r.toLong).as("round"), col("x"), col("y"),
@@ -4951,8 +4969,11 @@ object PipelineQueries {
               |FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
               |ORDER BY doc_id""".stripMargin),
       (s, d) =>
+        // tFan: same 48-merge tokenCount class as q_pack_budget (which
+        // already rides tFan) — the one packing site still on the
+        // single-split scan.
         Pack.byBudget(
-            t(s, d, "documents").select(col("doc_id"), col("source"),
+            tFan(s, d, "documents").select(col("doc_id"), col("source"),
               Bpe.tokenCount(col("text"), BpeMerges).cast("long").as("n_toks")),
             col("source"), col("doc_id"), col("n_toks"), budget = 512L)
           .withColumnRenamed("offset", "start_off")

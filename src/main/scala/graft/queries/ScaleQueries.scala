@@ -390,15 +390,26 @@ object ScaleQueries {
               |FROM r3 ORDER BY vertex""".stripMargin)
     },
       (s, d) => {
+        // Dedup the NARROW INT pairs before the string build (r21,
+        // guide §2.3 "narrower types"): the old shape unioned both
+        // string directions first and let ranks() distinct 2|cs| string
+        // rows; distinct (custkey, suppkey) longs is half the rows at a
+        // fraction of the bytes, and both directions of a distinct pair
+        // set are distinct by construction ('c'/'s' prefixes are
+        // disjoint), so ranks() skips its own distinct
+        // (edgesDistinct = true). Same edge set, same trajectory.
         val cs = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-        val edges = cs.union(
-          cs.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank.ranks(edges, "src", "dst", iterations = 3)
+          .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = cs.select(concat(lit("c"), col("ck")).as("src"),
+            concat(lit("s"), col("sk")).as("dst"))
+          .union(cs.select(concat(lit("s"), col("sk")).as("src"),
+            concat(lit("c"), col("ck")).as("dst")))
+        PageRank.ranks(edges, "src", "dst", iterations = 3,
+            edgesDistinct = true)
           .orderBy("vertex")
       })
   )
