@@ -37,6 +37,15 @@ object MapSideCombine {
   def counts[K](keys: Iterator[K], cap: Int = DefaultCap): Iterator[(K, Long)] =
     combine[K, K, Long](keys, identity, _ => 1L, (n, _) => n + 1L, cap)
 
+  /** Sum pre-weighted (key, delta) pairs within one partition, same
+    * size-capped flush discipline as [[counts]] — the second combine
+    * stage of count-then-hash pipelines (deltas for the same key sum
+    * exactly, so flush duplication is harmless).
+    */
+  def sums[K](pairs: Iterator[(K, Long)],
+      cap: Int = DefaultCap): Iterator[(K, Long)] =
+    combine[(K, Long), K, Long](pairs, _._1, _._2, (acc, p) => acc + p._2, cap)
+
   /** Per-key (min value, occurrence count) within one partition, same
     * size-capped flush discipline as [[counts]]. For state updates that
     * take a min and a sum (the exact-dedup monitor: keep_id = min id,

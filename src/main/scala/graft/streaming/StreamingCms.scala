@@ -79,12 +79,28 @@ object StreamingCms {
     val spark = stream.sparkSession
     import spark.implicits._
     val k = col(keyCol).cast("string")
+    // Count-then-hash (r21 — the streaming twin of the batch
+    // CountMin.sketchFromCounts rewrite, guide §2.3 "aggregate before
+    // you shuffle" applied to the hash work itself): keys are
+    // pre-counted per partition FIRST, so the depth md5 cells are
+    // computed once per DISTINCT key per partition with the count as
+    // the delta weight, not once per occurrence — on a Zipf corpus
+    // orders of magnitude less hashing inside the micro-batch's (often
+    // single-split) scan stage. A second capped combine then merges the
+    // per-key deltas into per-cell deltas, so the stateful exchange
+    // still carries O(partitions × touched cells) rows. Cellwise totals
+    // are identical by CMS linearity (Σ over distinct keys of
+    // count·indicator == Σ over occurrences).
     stream
+      .select(k.as("cell"))
+      .as[CmsHit] // field reuse: `cell` carries the RAW key pre-hash
+      .mapPartitions(keys => MapSideCombine.counts(keys.map(_.cell))
+        .map { case (key, n) => CmsDelta(key, n) })
       .select(explode(array((0 until depth).map(j =>
-        concat(lit(j + "|"), CountMin.bucketOf(j, k, width))): _*))
-        .as("cell"))
-      .as[CmsHit]
-      .mapPartitions(hits => MapSideCombine.counts(hits.map(_.cell))
+        concat(lit(j + "|"), CountMin.bucketOf(j, col("cell"), width))): _*))
+        .as("cell"), col("n"))
+      .as[CmsDelta]
+      .mapPartitions(deltas => MapSideCombine.sums(deltas.map(d => (d.cell, d.n)))
         .map { case (cell, n) => CmsDelta(cell, n) })
       .groupByKey(_.cell)
       .transformWithState(new CmsCellProcessor,
