@@ -425,6 +425,15 @@ object Dedup {
         hamming64(col("sig_a"), col("sig_b")) <= maxHamming)
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      // Materialization boundary BEFORE the distinct (r21, ADVICE r20):
+      // survivors are three narrow longs — tiny at every scale — but if
+      // the band join broadcasts, the distinct's clustering is already
+      // satisfied by the probe-side hash(id) partitioning and fuses into
+      // the join stage, so a downstream ORDER BY's range-sampling pass
+      // re-executes the whole quadratic candidate join (the exact 2x
+      // re-execution phashNearDup measured at 10x data and fixed the
+      // same way, Multimodal.scala).
+      .repartition(col("id_a"), col("id_b"))
       .distinct()
   }
 

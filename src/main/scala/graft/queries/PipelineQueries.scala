@@ -1980,12 +1980,25 @@ object PipelineQueries {
       (s, d) => {
         val pairs = Dedup.minHashPairsHashed(t(s, d, "documents"), "doc_id",
           Dedup.shinglesHashed(col("text"), 5), threshold = 0.7, k = 126, bands = 21)
-        pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
           .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
           // materialize: UnionLoop re-evaluates the recursion input every
           // level — without this the whole MinHash pipeline would rerun
           // per iteration (measured 16 s -> ~3 s at sf0.1)
           .localCheckpoint()
+        // Right-size the recursion input AFTER materialization (r21):
+        // the checkpoint inherits the band-join's shuffle partitioning
+        // (session partition count), so every UnionLoop level re-joined
+        // ~32 near-empty partitions — at a dozen levels that is hundreds
+        // of 10 ms tasks for a pair set thousands of times smaller than
+        // the corpus. The count is free (blocks are local), the coalesce
+        // is narrow (no shuffle), and the target keeps ~200k edges per
+        // partition, so a genuinely large pair set keeps its
+        // parallelism — only the empty tail collapses.
+        val nParts = edges.rdd.getNumPartitions
+        val target = math.max(1L, math.min(nParts.toLong,
+          (edges.count() + 199999L) / 200000L)).toInt
+        (if (target < nParts) edges.coalesce(target) else edges)
           .createOrReplaceTempView("graft_rcte_edges")
         // Spark bounds WITH RECURSIVE at 1M cumulative rows by default —
         // the sf1 soak hit it (RECURSION_ROW_LIMIT_EXCEEDED). Raise the
@@ -3409,7 +3422,10 @@ object PipelineQueries {
         import s.implicits._
         // 1000000.0D keeps the multiply in IEEE double (matching DuckDB)
         // rather than Spark's decimal literal path — same as q_ivf_assign.
-        val q = t(s, d, "embeddings").select(col("vec_id"),
+        // tFan (r21): the 16-code × 8-subspace assignment fold below is
+        // the heavy-per-row expression class; the compact store's single
+        // scan split serialized it on one core.
+        val q = tFan(s, d, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> cast(floor(x * 1000000.0D) as bigint))").as("e"))
         // bounded driver round-trip: 16 x 64 longs — the codebook-table
         // contract (at 100 TB the codebook is a trained KB-sized table,
@@ -3487,9 +3503,17 @@ object PipelineQueries {
       },
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        // tFan for the TRAINING and ENCODE scans (r21): both run the
+        // m×ks nearestCell expression forest (~128 inlined euclidean
+        // folds) per row — exactly the heavy-per-row class the r20
+        // fan-out classification keeps fanned — and a compact store's
+        // single scan split serialized them on one core. Training is
+        // partitioning-invariant by construction (exact integer-micro
+        // sums); the ADC heap is a deterministic total order.
+        val fanned = tFan(s, d, "embeddings")
+        val books = Pq.trainCodebooks(fanned, "vec_id", "embedding",
           dim = 64, m = 8, ks = 16)
-        val encoded = emb.select(col("vec_id"),
+        val encoded = fanned.select(col("vec_id"),
           Pq.encodeExpr(col("embedding"), books).as("pq_code"))
         // batch-native flat ADC: one corpus-code scan serves all queries
         // (per-query LUTs are broadcast; no driver loop, no plan branch
@@ -3516,6 +3540,13 @@ object PipelineQueries {
     Q("q_embed_knn_ivfpq", IvfPqOracleSql,
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        // tFan measured and REJECTED here (r21, stash A/B min-of-5):
+        // fanning the Lloyd loop re-pays the raw-vector exchange per
+        // iteration (4.11 vs 3.61 s), and even fanning only the
+        // residual-training + encode scans lost (3.93 vs 2.89 probe
+        // min) — unlike q_embed_knn_pq, this chain's scans interleave
+        // with bounded collects, and the exchange of 64-double rows
+        // costs more than the staged residual/encode projections gain.
         val seed = Similarity.centroidRows(
           emb.filter(col("vec_id") < 8), "vec_id", "embedding")
         // tol = 0.0: the loop then stops early ONLY at an exact fixed

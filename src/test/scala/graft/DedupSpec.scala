@@ -229,6 +229,39 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10)
   }
 
+  test("simHashPairs == brute-force all-pairs Hamming (banding recall, ADVICE r20)") {
+    import spark.implicits._
+    // Mixed fixture: clusters of near-identical docs (1-2 word edits),
+    // plus unrelated docs — enough rows that banding actually prunes.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs for the long trip home",
+      "sphinx of black quartz judge my vow said the old professor",
+      "how vexingly quick daft zebras jump over the fence at dawn")
+    val docs = (0 until 40).map { i =>
+      val b = base(i % 4)
+      val text =
+        if (i < 16) b // exact copies => distance 0 pairs
+        else if (i < 28) b.replace("the", s"a$i") // small edits => near
+        else s"unique content number $i with totally different words here"
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    // Brute force: exact popcount over all id_a < id_b signature pairs.
+    val sigs = docs.select(col("id"), graft.functions.simhash64(toks).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield ((ia, ib), h)).toMap
+    // Banded path (default maxHamming = 7 < chunks = 8: pigeonhole
+    // guarantees full recall, so the sets must be EQUAL, not a subset).
+    val got = Dedup.simHashPairs(docs, "id", toks)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == want,
+      s"banded pairs drifted from brute force: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+  }
+
   test("semanticDedup hot-cell guard: bounded work, sound drops, idle-guard identity") {
     val emb = Tables.t(spark, sf, "embeddings")
     // Degenerate codebook: ONE centroid puts every embedding in one cell —
